@@ -1,0 +1,80 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target local[N] testing but the knobs are the ones that matter
+on a real cluster too: AQE for runtime re-planning (skew joins,
+partition coalescing), Arrow for any pandas exchange, UTC session time
+zone so results are comparable across engines (DuckDB oracle included).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "scotustician_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    At cluster scale the same settings apply; only ``master`` and the
+    memory sizing change (driver memory is the single knob in local
+    mode because executors are threads in the driver JVM).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
+    """Load the driver's parquet tables; optionally register temp views.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst
+    for free; at 100 TB the same code path applies with the dataset
+    partitioned on disk (partitionBy keys prune entire files).
+    """
+    dfs = {}
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            dfs[name] = df
+            if register_views:
+                df.createOrReplaceTempView(name)
+    return dfs
