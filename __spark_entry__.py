@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scotustician_spark.plans import QUERY_REGISTRY  # noqa: E402
 from scotustician_spark.plans import relational  # noqa: E402,F401  (registers queries)
+from scotustician_spark.plans import vectors_text  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

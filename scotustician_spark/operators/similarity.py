@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The reference's vector search is pgvector cosine top-k over case
+embeddings (clustering/helpers.py:185-226, W2 in SURVEY §2.6). Here:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the corpus scan, dot products as Catalyst HOFs,
+  per-query top-k via window. One pass over the corpus, no shuffle of
+  the corpus itself — the right baseline up to ~thousands of queries.
+- ``lsh_bucket_topk`` — the scale path: deterministic random-hyperplane
+  (SimHash-for-vectors) bucketing; only same-bucket pairs are scored.
+  Probing multiple hyperplane sets trades recall for cost.
+- ``pairwise_cosine_longform`` — all-pairs cosine via dimension-
+  exploded equi-join (the SQL-oracle-friendly formulation; also the
+  sparse-vector-friendly one).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vector import cosine_similarity, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (small side); the corpus is scanned once.
+    Ranking uses row_number over (query, -sim) with id tie-break so
+    results are deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 8, seed: int = 42) -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id for a vector column.
+
+    Hyperplanes are seeded sinusoids (no RNG state needed on executors;
+    every task regenerates identical planes — this is what makes the
+    operator resumable and oracle-checkable). sign(v · h_p) gives bit p.
+    """
+    bits = []
+    for p in range(n_planes):
+        # h_p[i] = sin(seed + p*dim + i) — fixed, full-rank-ish directions
+        plane = F.array(
+            *[F.lit(math.sin(seed + p * dim + i)) for i in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.alias("bucket")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH bucket.
+
+    At 100 TB this replaces the broadcast-scan (which is per-query
+    linear) with an equi-join on bucket: corpus partitions by bucket
+    once, each query probes one partition. Recall is tunable via
+    n_planes (fewer planes → bigger buckets → higher recall and cost).
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(vec_col, dim, n_planes, seed),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(vec_col, dim, n_planes, seed),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def pairwise_cosine_longform(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via dimension-exploded equi-join.
+
+    posexplode → self-join on dim → groupBy pair: the shuffle is keyed
+    on dimension index (bounded fan-out), dot products accumulate as
+    partial sums — the formulation that also handles sparse vectors and
+    that a SQL oracle can replicate exactly. Norms accumulate in
+    float64, matching the dot-product accumulation order (pos asc) so
+    results are reproducible.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    norms = ex.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    a, b = ex.alias("a"), ex.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

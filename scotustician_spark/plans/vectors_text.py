@@ -1,0 +1,385 @@
+"""Vector + text-analysis queries (SURVEY §2.5/2.7/2.8 plus the
+beyond-reference training-data operators), each with a DuckDB oracle.
+
+The Spark implementations live in ``functions/`` and ``operators/``;
+this module binds them to the driver's synthetic tables and provides
+the SQL twins. All hashing is md5-based precisely so the oracle can
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import text as TX
+from ..functions import vector as V
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- shared oracle SQL fragments ------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES = f"""
+    SELECT doc_id, CASE WHEN len(l) >= 3
+                THEN unnest(list_transform(range(1, len(l)-1),
+                            i -> array_to_string(l[i:i+2], ' ')))
+                ELSE array_to_string(l, ' ') END AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+"""
+_SW = {
+    code: "[" + ",".join(f"'{w}'" for w in TX.STOPWORDS[code]) + "]"
+    for code in TX.STOPWORDS
+}
+_EMB_LONG = """
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH base AS (SELECT doc_id, text, n_chars, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(toks)
+                + length(regexp_replace(text, '[^\\.,;:!\\?''"\\(\\)]', '', 'g'))
+                + greatest(0, CAST(floor((length(text) - len(toks)*5) / 4.0) AS BIGINT))
+                AS BIGINT) AS bpe_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS avg_word_len,
+           CAST(length(text) AS INTEGER) AS text_len,
+           n_chars
+    FROM base
+    """,
+    doc="Token counting for training pipelines: whitespace tokens (the "
+    "reference's word_count, helpers.py:153) + a BPE-ish estimate + "
+    "average word length; all codegen expressions.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("bpe_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+            / F.nullif(F.size(toks), F.lit(0))
+        ).alias("avg_word_len"),
+        F.length("text").alias("text_len"),
+        "n_chars",
+    )
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               len({_TOKS}) AS n_tok,
+               CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                   / NULLIF(len({_TOKS}), 0) AS awl,
+               CAST(len(list_filter({_TOKS}, x -> list_contains({_SW["en"]}, x))) AS DOUBLE)
+                   / NULLIF(len({_TOKS}), 0) AS sw_ratio
+        FROM documents)
+    SELECT doc_id, n_tok AS n_tokens, awl AS avg_word_len, sw_ratio AS stopword_ratio,
+           (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN sw_ratio > 0.05 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+    FROM base
+    """,
+    doc="Document quality scoring (C4/Gopher-style length, word-length and "
+    "stopword filters) — the corpus-filtering stage of a pretraining pipeline.",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.avg_word_length("text").alias("avg_word_len"),
+        TX.stopword_ratio("text", "en").alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    cnt = {
+        c: f"len(list_filter({_TOKS}, x -> list_contains({_SW[c]}, x)))"
+        for c in sorted(TX.STOPWORDS)
+    }
+    mx = "greatest(" + ", ".join(f"c_{c}" for c in sorted(TX.STOPWORDS)) + ")"
+    case = " ".join(f"WHEN c_{c} = mx THEN '{c}'" for c in sorted(TX.STOPWORDS))
+    sels = ", ".join(f"{v} AS c_{c}" for c, v in cnt.items())
+    return f"""
+    WITH counts AS (SELECT doc_id, lang, {sels} FROM documents),
+    m AS (SELECT *, {mx} AS mx FROM counts)
+    SELECT doc_id, lang,
+           CASE WHEN mx = 0 THEN 'und' {case} END AS lang_pred,
+           CASE WHEN (CASE WHEN mx = 0 THEN 'und' {case} END) = lang
+                THEN 1 ELSE 0 END AS is_correct
+    FROM m
+    """
+
+
+@register(
+    "doc_langid",
+    _langid_oracle(),
+    doc="Language identification via stopword votes (n-gram-heuristic "
+    "family); compared against the table's labeled lang column.",
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pred = TX.lang_id("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_correct"),
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup via normalized-text fingerprint groupBy "
+    "(hash-partitioned single shuffle; the 100 TB exact-dedup baseline).",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM posts GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, n_inter,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           n_inter * 1.0 / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs ≥ 0.5 via shingle "
+    "postings self-join — only docs sharing a shingle ever meet "
+    "(no cartesian); document-frequency cap available for hot shingles.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+    hashed AS (
+        SELECT doc_id, s.range AS seed,
+               md5(CAST(s.range AS VARCHAR) || '|' || shingle) AS h
+        FROM posts, range(16) s),
+    sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+        FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INTEGER))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash(16)+LSH(4 bands × 4 rows) candidate pairs; md5-string "
+    "minhash for oracle reproducibility. Candidates are generated by an "
+    "equi-join on band signature — never a cartesian.",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=16, band_size=4
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substring(h, {j + 1}, 1) IN {odd} THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    concat = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, {concat} AS simhash FROM votes
+    """
+
+
+@register(
+    "simhash_signatures",
+    _simhash_oracle(16),
+    doc="16-bit SimHash signatures from md5-digit token votes; "
+    "near-duplicates differ in few bits (hamming ≤ 2-3).",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Vector operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_vec_avg",
+    f"""
+    WITH ex AS (
+        SELECT label, CAST(vec_id % 7 + 1 AS DOUBLE) AS w, pos, v FROM ({_EMB_LONG}))
+    SELECT label, CAST(pos AS INTEGER) AS dim,
+           round(sum(v * w) / sum(w), 6) AS wavg
+    FROM ex GROUP BY label, pos
+    """,
+    doc="THE reference's signature aggregate: SUM(vector*w)/SUM(w) "
+    "elementwise per group (clustering/helpers.py:30, pgvector overloads) "
+    "— posexplode + (group,dim)-keyed partial aggregation; long-format "
+    "output for engine-independent comparison.",
+    bench=True,
+)
+def weighted_vec_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "w", (F.col("vec_id") % 7 + 1).cast("double")
+    )
+    ex = e.select(
+        "label", "w", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.sum(F.col("v") * F.col("w")) / F.sum("w"), 6).alias("wavg"))
+        .select("label", F.col("pos").alias("dim"), "wavg")
+    )
+
+
+@register(
+    "vector_norm_stats",
+    f"""
+    WITH norms AS (
+        SELECT vec_id, label, sqrt(sum(v * v)) AS nrm
+        FROM ({_EMB_LONG}) GROUP BY vec_id, label)
+    SELECT label,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM norms GROUP BY label
+    """,
+    doc="L2-norm stats per label — vector math as Catalyst HOFs "
+    "(functions/vector.py), float64 accumulation.",
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", V.l2_norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH ex AS (SELECT vec_id, pos, v FROM ({_EMB_LONG})),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="W2 exact cosine top-k (clustering/helpers.py:185-226): brute-force "
+    "baseline — broadcast query set, corpus scanned once, rank by rounded "
+    "sim so ranking is engine-stable. Scale path: lsh_bucket_topk.",
+    bench=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(V.cosine_similarity("q_vec", "c_vec"), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= 5
+    )
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH ex AS (SELECT vec_id, pos, v FROM ({_EMB_LONG})),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+        FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.id_a = na.vec_id
+    JOIN norms nb ON d.id_b = nb.vec_id
+    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs via dimension-exploded "
+    "equi-join (sparse-friendly, oracle-reproducible). The all-pairs "
+    "form is for verification; production near-dup uses LSH buckets.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = SIM.pairwise_cosine_longform(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=-1.0
+    )
+    return pairs.withColumn("cos_sim", F.round("cos_sim", 6)).filter(
+        F.col("cos_sim") >= 0.4
+    )
