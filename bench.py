@@ -31,9 +31,10 @@ def main() -> None:
 
     headline = [name for name, q in QUERY_REGISTRY.items() if q.bench]
 
-    # One untimed warmup pass (JIT/codegen + parquet footer cache), then a
-    # timed steady-state pass — the number that projects to a long-lived
-    # cluster, where code is compiled once and runs for hours.
+    # One untimed warmup pass (JIT/codegen + parquet footer cache), then
+    # three timed passes per query, keeping the minimum — steady-state
+    # throughput on a long-lived cluster, robust to host-level noise
+    # (observed run-to-run variance up to 5× on shared hardware).
     for name in headline:
         QUERY_REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
@@ -41,11 +42,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        QUERY_REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERY_REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -47,10 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # keep Spark's default autoBroadcastJoinThreshold (10 MB): measured
-        # on sf0.1, force-broadcasting large aggregate join sides is 2×
-        # slower than SMJ; true dimension tables get explicit broadcast()
-        # hints at the call sites instead
+        # Static size ESTIMATES routinely mis-broadcast aggregate join
+        # sides (measured 2× slower than SMJ on sf0.1); disable the static
+        # threshold and let AQE decide from ACTUAL runtime sizes. True
+        # dimension tables carry explicit broadcast() hints at call sites.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
