@@ -1,0 +1,71 @@
+"""Unit tests for the text-analysis function library."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from scotustician_spark.functions import text as T
+
+DOCS = [
+    (0, "The cat sat on the mat and looked at the dog."),
+    (1, "el perro es un animal que vive en la casa"),
+    (2, ""),
+    (3, "word"),
+    (4, "  spaced   out\ttokens\nhere  "),
+]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(DOCS, "id int, text string")
+
+
+def test_tokens_and_counts(tdf):
+    rows = {r["id"]: r for r in tdf.select(
+        "id", T.tokens("text").alias("toks"), T.token_count("text").alias("n")
+    ).collect()}
+    assert rows[0]["n"] == 11
+    assert rows[2]["toks"] == [] and rows[2]["n"] == 0
+    assert rows[3]["toks"] == ["word"]
+    assert rows[4]["toks"] == ["spaced", "out", "tokens", "here"]
+
+
+def test_lang_id(tdf):
+    rows = {r["id"]: r["lang"] for r in tdf.select(
+        "id", T.lang_id("text").alias("lang")).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "es"
+    assert rows[2] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, " HELLO\tWORLD ")],
+        "id int, text string",
+    )
+    fps = [r["fp"] for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert len(set(fps)) == 1
+    assert fps[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id int, text string")
+    rows = {r["id"]: r["sh"] for r in df.select(
+        "id", T.word_shingles("text", 3).alias("sh")).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == ["a b"]  # short doc → whole-text shingle
+
+
+def test_quality_score_bounds(tdf):
+    rows = tdf.select(T.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_stopword_ratio_null_on_empty(tdf):
+    rows = {r["id"]: r["sr"] for r in tdf.select(
+        "id", T.stopword_ratio("text").alias("sr")).collect()}
+    assert rows[2] is None  # 0/0 guarded by nullif
+    assert rows[0] is not None and rows[0] > 0.3
