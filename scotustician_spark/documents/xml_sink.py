@@ -1,0 +1,63 @@
+"""XML serialization of transcripts (reference S11, helpers.py:348-421:
+nested JSON → ``<transcript><utterance speaker=…>`` documents).
+
+Built entirely from codegen string expressions (escape via chained
+``replace``; assembly via ordered ``array_sort(collect_list(struct))``)
+— one shuffle keyed by case, no Python in the path. The result is one
+XML string per case, writable with ``df.write.text`` / partitioned by
+term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def xml_escape(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    return F.replace(c, F.lit("'"), F.lit("&apos;"))
+
+
+def transcript_to_xml(utterances: DataFrame) -> DataFrame:
+    """flatten.py output → (case_id, term, xml) one row per case."""
+    utt_xml = F.format_string(
+        '  <utterance index="%s" section="%s" speaker="%s" start_ms="%s" stop_ms="%s">%s</utterance>',
+        F.col("utterance_index").cast("string"),
+        F.col("section_id").cast("string"),
+        xml_escape(F.coalesce("speaker_name", F.lit("Unknown"))),
+        F.coalesce(F.col("start_time_ms").cast("string"), F.lit("0")),
+        F.coalesce(F.col("end_time_ms").cast("string"), F.lit("0")),
+        xml_escape("text"),
+    )
+    return (
+        utterances.groupBy("case_id", "term")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("utterance_index").alias("i"), utt_xml.alias("x"))
+                )
+            ).alias("__u")
+        )
+        .select(
+            "case_id",
+            "term",
+            F.concat(
+                F.format_string('<transcript case_id="%s">\n', xml_escape("case_id")),
+                F.array_join(F.transform("__u", lambda s: s["x"]), "\n"),
+                F.lit("\n</transcript>"),
+            ).alias("xml"),
+        )
+    )
+
+
+def write_xml(utterances: DataFrame, path: str) -> None:
+    """Partitioned-by-term XML corpus sink (reference writes xml/ keys
+    per case; partition pruning replaces key-prefix listing)."""
+    transcript_to_xml(utterances).write.partitionBy("term").mode("overwrite").parquet(
+        path
+    )

@@ -1,0 +1,128 @@
+"""Document pipeline differential tests: Spark flatten/chunks/XML vs a
+pure-Python reference-faithful oracle on synthetic nested JSON."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pytest
+from pyspark.sql import functions as F
+
+from scotustician_spark.documents import (
+    assemble_section_chunks,
+    classify_speaker_role,
+    flatten_utterances,
+    read_oa_json,
+    split_quarantine,
+    transcript_to_xml,
+)
+from tests.fixtures_oa import make_corpus, oracle_flatten, write_corpus_json
+
+DOCS = make_corpus(n_docs=6, seed=7)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("oa_corpus")
+    write_corpus_json(DOCS, str(d), junk=2)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def utterances(spark, corpus_dir):
+    valid, _ = split_quarantine(read_oa_json(spark, corpus_dir))
+    return flatten_utterances(valid).cache()
+
+
+def test_quarantine_split(spark, corpus_dir):
+    docs = read_oa_json(spark, corpus_dir)
+    valid, junk = split_quarantine(docs)
+    assert valid.count() == len(DOCS)
+    assert junk.count() == 2
+    assert junk.filter(F.col("_corrupt_record").isNotNull()).count() == 2
+
+
+def test_flatten_matches_oracle(utterances):
+    exp = oracle_flatten(DOCS)
+    got = {
+        (r["case_id"], r["utterance_index"]): r
+        for r in utterances.collect()
+    }
+    assert len(got) == len(exp)
+    for e in exp:
+        g = got[(e["case_id"], e["utterance_index"])]
+        for k in e:
+            assert g[k] == e[k], f"{k} mismatch at {e['case_id']}#{e['utterance_index']}: {g[k]} != {e[k]}"
+
+
+def test_flatten_plan_has_single_shuffle(spark, corpus_dir):
+    # the fused HOF flatten must not shuffle; only the offset/index
+    # windows exchange by case_id (shared partitioning → one Exchange)
+    valid, _ = split_quarantine(read_oa_json(spark, corpus_dir))
+    # min_words=2 ≠ the cached fixture's lineage, so the cache manager
+    # can't substitute an InMemoryRelation (whose printout re-nests the
+    # cached plan and would double-count)
+    fresh = flatten_utterances(valid, min_words=2)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_speaker_role_classification(utterances):
+    roles = {
+        r["speaker_name"]: r["speaker_role"]
+        for r in classify_speaker_role(utterances).select("speaker_name", "speaker_role").distinct().collect()
+    }
+    for name, role in roles.items():
+        if "Justice" in name:
+            assert role == "Justice", (name, role)
+        else:
+            assert role == "Attorney", (name, role)
+
+
+def test_section_chunks(utterances):
+    exp_rows = oracle_flatten(DOCS)
+    chunks = {
+        (r["case_id"], r["section_id"]): r
+        for r in assemble_section_chunks(utterances).collect()
+    }
+    # build oracle chunk text per (case, section) in utterance order
+    from collections import defaultdict
+
+    exp = defaultdict(list)
+    for e in sorted(exp_rows, key=lambda e: (e["case_id"], e["utterance_index"])):
+        exp[(e["case_id"], e["section_id"])].append(
+            (f"{e['speaker_name']}: {e['text']}", e["word_count"], e["utterance_index"])
+        )
+    assert set(chunks) == set(exp)
+    for key, lines in exp.items():
+        c = chunks[key]
+        assert c["chunk_text"] == "\n".join(l for l, _, _ in lines)
+        assert c["word_count"] == sum(w for _, w, _ in lines)
+        assert c["utterance_count"] == len(lines)
+        assert c["first_utterance_index"] == min(i for _, _, i in lines)
+        assert c["last_utterance_index"] == max(i for _, _, i in lines)
+        assert c["token_count"] >= c["word_count"]  # BPE-ish ≥ whitespace
+
+
+def test_chunk_char_truncation(utterances):
+    trunc = assemble_section_chunks(utterances, max_chars=50)
+    assert trunc.filter(F.length("chunk_text") > 50).count() == 0
+
+
+def test_xml_roundtrip(utterances):
+    exp = oracle_flatten(DOCS)
+    xml_rows = {r["case_id"]: r["xml"] for r in transcript_to_xml(utterances).collect()}
+    by_case = {}
+    for e in exp:
+        by_case.setdefault(e["case_id"], []).append(e)
+    assert set(xml_rows) == set(by_case)
+    for case_id, xml in xml_rows.items():
+        root = ET.fromstring(xml)  # well-formed
+        assert root.tag == "transcript" and root.get("case_id") == case_id
+        utts = root.findall("utterance")
+        exp_utts = sorted(by_case[case_id], key=lambda e: e["utterance_index"])
+        assert len(utts) == len(exp_utts)
+        for el, e in zip(utts, exp_utts):
+            assert el.text == e["text"]
+            assert el.get("speaker") == e["speaker_name"]
+            assert int(el.get("index")) == e["utterance_index"]
