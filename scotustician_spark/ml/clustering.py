@@ -1,0 +1,255 @@
+"""Clustering-analysis operators (reference services/clustering/, M1-M5).
+
+The reference pipeline (clustering/main.py:50-129) is: SQL weighted
+case-embedding extraction → StandardScaler → t-SNE(2d, seed 42) →
+HDBSCAN → per-cluster centroid/representative/top-5-neighbors →
+CSV/JSON export. Spark-first restatement:
+
+* case vectors: ``functions.vector.weighted_mean_vectors`` (A1) — a
+  (group, dim)-keyed partial aggregation, one shuffle, scales to any
+  corpus size.
+* scaling: ``pyspark.ml.feature.StandardScaler`` (distributed).
+* 2-D projection: MLlib ``PCA`` as the scale path (t-SNE does not
+  distribute); a driver-side sklearn t-SNE escape hatch is
+  import-gated — the case-level matrix is small (≲ thousands of rows,
+  clustering/helpers.py:83-97 collects it too), so collect-to-driver
+  is reference-faithful where sklearn exists.
+* clustering: MLlib ``KMeans`` (distributed, seed-pinned) as the scale
+  path; driver-side HDBSCAN escape hatch import-gated likewise.
+* representatives/neighbors (W1/W2): min-by-struct argmin and
+  windowed top-k — pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scotustician_spark.functions import vector as V
+
+
+def standard_scale(df: DataFrame, vec_col: str, out_col: str = "scaled") -> DataFrame:
+    """Distributed z-scoring of a vector column (reference
+    clustering/helpers.py:103-104 StandardScaler)."""
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = df.withColumn("__mlvec", array_to_vector(F.col(vec_col)))
+    model = StandardScaler(
+        inputCol="__mlvec", outputCol="__scaled", withMean=True, withStd=True
+    ).fit(with_vec)
+    return (
+        model.transform(with_vec)
+        .withColumn(out_col, vector_to_array("__scaled").cast("array<double>"))
+        .drop("__mlvec", "__scaled")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame, vec_col: str, k: int, seed: int = 42, out_col: str = "cluster"
+) -> DataFrame:
+    """Distributed clustering path (stands in for HDBSCAN, M2): MLlib
+    KMeans with pinned seed. Labels are arbitrary ids — downstream
+    verification uses label-invariant properties (SURVEY §7 hard #2).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("__mlvec", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=k, seed=seed, featuresCol="__mlvec", predictionCol=out_col).fit(
+        with_vec
+    )
+    return model.transform(with_vec).drop("__mlvec")
+
+
+def pca_project_2d(df: DataFrame, vec_col: str) -> DataFrame:
+    """Distributed 2-D projection (stands in for t-SNE, M1): MLlib PCA.
+    Emits x/y columns like the reference's coords frame
+    (clustering/helpers.py:99-122)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = df.withColumn("__mlvec", array_to_vector(F.col(vec_col)))
+    model = PCA(k=2, inputCol="__mlvec", outputCol="__proj").fit(with_vec)
+    arr = vector_to_array("__proj")
+    return (
+        model.transform(with_vec)
+        .withColumn("x", arr[0])
+        .withColumn("y", arr[1])
+        .drop("__mlvec", "__proj")
+    )
+
+
+def tsne_hdbscan_driver(
+    df: DataFrame,
+    vec_col: str,
+    id_cols: list[str],
+    perplexity: int = 30,
+    min_cluster_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference-exact escape hatch (M1+M2): collect the (small) case
+    matrix, run sklearn t-SNE + hdbscan with the reference's parameter
+    guardrails (clustering/helpers.py:105-110,133-138), return a
+    DataFrame of (ids…, x, y, cluster). Requires sklearn + hdbscan —
+    unavailable here, so this raises with a clear message; the
+    distributed path (pca_project_2d + kmeans_assign) covers the same
+    pipeline contract.
+    """
+    try:
+        import hdbscan  # noqa: F401
+        from sklearn.manifold import TSNE  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "driver-side t-SNE/HDBSCAN needs sklearn+hdbscan; use "
+            "pca_project_2d + kmeans_assign for the distributed path"
+        ) from e
+    import numpy as np  # pragma: no cover - exercised only with sklearn
+
+    pdf = df.select(*id_cols, vec_col).toPandas()
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    n = len(mat)
+    eff_perp = min(perplexity, max(5, n // 4))
+    coords = TSNE(
+        n_components=2, perplexity=eff_perp, random_state=seed
+    ).fit_transform(mat)
+    eff_mcs = max(2, min(min_cluster_size, n // 8))
+    labels = hdbscan.HDBSCAN(min_cluster_size=eff_mcs).fit_predict(coords)
+    pdf["x"], pdf["y"], pdf["cluster"] = coords[:, 0], coords[:, 1], labels
+    return df.sparkSession.createDataFrame(pdf.drop(columns=[vec_col]))
+
+
+def cluster_centroids(
+    assigned: DataFrame, vec_col: str, cluster_col: str = "cluster"
+) -> DataFrame:
+    """Per-cluster mean vector (A8 generalized from t-SNE x/y to the
+    full embedding): weighted_mean_vectors with weight 1."""
+    return V.weighted_mean_vectors(
+        assigned.withColumn("__one", F.lit(1.0)),
+        [cluster_col],
+        vec_col,
+        "__one",
+        out_col="centroid",
+    )
+
+
+def representatives(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """W1: the member closest (L2) to its cluster centroid —
+    clustering/helpers.py:177-183. min(struct(dist, id)) gives a
+    deterministic argmin (lexicographic tiebreak on id); the centroid
+    side is tiny (|clusters| rows) so the join broadcasts.
+    """
+    cent = cluster_centroids(assigned, vec_col, cluster_col)
+    dist = V.l2_distance(vec_col, "centroid")
+    return (
+        assigned.join(F.broadcast(cent), cluster_col)
+        .select(
+            cluster_col,
+            F.struct(
+                F.round(dist, 6).alias("d"), F.col(id_col).alias("id")
+            ).alias("__cand"),
+        )
+        .groupBy(cluster_col)
+        .agg(F.min("__cand").alias("__best"))
+        .select(
+            cluster_col,
+            F.col("__best.id").alias("representative_id"),
+            F.col("__best.d").alias("representative_dist"),
+        )
+    )
+
+
+def topk_neighbors(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """W2: per cluster, top-k members most cosine-similar to the
+    representative, excluding itself (clustering/helpers.py:185-226).
+
+    The representative table is |clusters| rows → broadcast join; each
+    member is scored once (no within-cluster cartesian). Rank on
+    rounded sim with id tiebreak so ordering is engine-stable.
+    """
+    reps = representatives(assigned, id_col, vec_col, cluster_col)
+    rep_vecs = (
+        assigned.select(F.col(id_col).alias("representative_id"), F.col(vec_col).alias("__rep_vec"))
+        .join(F.broadcast(reps), "representative_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(rep_vecs), cluster_col)
+        .filter(F.col(id_col) != F.col("representative_id"))
+        .withColumn("sim", F.round(V.cosine_similarity(vec_col, "__rep_vec"), 6))
+    )
+    w = W.partitionBy(cluster_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            cluster_col,
+            "representative_id",
+            F.col(id_col).alias("neighbor_id"),
+            "sim",
+            "rnk",
+        )
+    )
+
+
+def cluster_stats(
+    assigned: DataFrame,
+    vec_col: str,
+    cluster_col: str = "cluster",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """A9/A11: per-cluster sizes + mean/std of member values + mean
+    vector norm."""
+    aggs = [
+        F.count("*").cast("bigint").alias("n_members"),
+        F.round(F.avg(V.l2_norm(vec_col)), 6).alias("avg_norm"),
+    ]
+    for c in value_cols or []:
+        aggs += [
+            F.round(F.avg(c), 6).alias(f"avg_{c}"),
+            F.round(F.stddev(c), 6).alias(f"std_{c}"),
+        ]
+    return assigned.groupBy(cluster_col).agg(*aggs)
+
+
+def analysis_report(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """M3: one JSON document per cluster — representative + ordered
+    neighbor list + stats — the reference's exported metadata shape
+    (clustering/helpers.py:261-315)."""
+    nb = topk_neighbors(assigned, id_col, vec_col, k, cluster_col)
+    nb_agg = nb.groupBy(cluster_col, "representative_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rnk"), F.col("neighbor_id"), F.col("sim")))
+        ).alias("neighbors")
+    )
+    st = cluster_stats(assigned, vec_col, cluster_col)
+    joined = nb_agg.join(st, cluster_col)
+    return joined.select(
+        cluster_col,
+        F.to_json(
+            F.struct(
+                F.col(cluster_col).alias("cluster"),
+                F.col("representative_id"),
+                F.col("neighbors"),
+                F.col("n_members"),
+                F.col("avg_norm"),
+            )
+        ).alias("report_json"),
+    )

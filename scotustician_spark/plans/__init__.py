@@ -1,1 +1,7 @@
 from .registry import QUERY_REGISTRY, Query, register  # noqa: F401
+
+# importing the package registers every query module — keeps
+# __spark_entry__ / bench / tests / tools automatically in sync
+from . import relational  # noqa: E402,F401
+from . import vectors_text  # noqa: E402,F401
+from . import ml_analysis  # noqa: E402,F401

@@ -1,0 +1,111 @@
+"""Unit tests for the clustering-analysis operators on a handcrafted
+dataset with known geometry (numpy oracle)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scotustician_spark.ml import (
+    analysis_report,
+    cluster_stats,
+    kmeans_assign,
+    pca_project_2d,
+    representatives,
+    standard_scale,
+    topk_neighbors,
+    tsne_hdbscan_driver,
+)
+
+# two well-separated clusters in 3-d; member 1 resp. 11 is the centroid
+DATA = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [1.0, 0.1, 0.0], 0),
+    (2, [1.0, 0.2, 0.0], 0),
+    (10, [0.0, 5.0, 5.0], 1),
+    (11, [0.0, 5.0, 5.2], 1),
+    (12, [0.0, 5.0, 5.4], 1),
+    (13, [0.1, 5.0, 5.2], 1),
+]
+
+
+@pytest.fixture(scope="module")
+def edf(spark):
+    return spark.createDataFrame(DATA, "vec_id int, embedding array<float>, label int")
+
+
+def test_representatives_argmin(edf):
+    reps = {
+        r["label"]: r for r in representatives(edf, "vec_id", "embedding", "label").collect()
+    }
+    # numpy oracle: argmin L2 to the per-label mean
+    arr = {lbl: np.array([v for _, v, l in DATA if l == lbl]) for lbl in (0, 1)}
+    for lbl, mat in arr.items():
+        cent = mat.mean(axis=0)
+        ids = [i for i, _, l in DATA if l == lbl]
+        dists = np.linalg.norm(mat - cent, axis=1)
+        assert reps[lbl]["representative_id"] == ids[int(np.argmin(dists))]
+        assert reps[lbl]["representative_dist"] == pytest.approx(dists.min(), abs=2e-6)
+
+
+def test_topk_neighbors_excludes_rep_and_orders(edf):
+    nb = topk_neighbors(edf, "vec_id", "embedding", k=2, cluster_col="label").collect()
+    by_cluster = {}
+    for r in nb:
+        by_cluster.setdefault(r["label"], []).append(r)
+    for rows in by_cluster.values():
+        rep = rows[0]["representative_id"]
+        assert all(r["neighbor_id"] != rep for r in rows)
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) == 2
+
+
+def test_kmeans_separates_known_clusters(edf):
+    out = kmeans_assign(edf, "embedding", k=2, seed=42).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], set()).add(r["cluster"])
+    # each true cluster maps to exactly one kmeans cluster, and they differ
+    assert all(len(s) == 1 for s in by_label.values())
+    assert by_label[0] != by_label[1]
+
+
+def test_standard_scale_and_pca_shapes(edf):
+    scaled = standard_scale(edf, "embedding")
+    row = scaled.limit(1).collect()[0]
+    assert len(row["scaled"]) == 3
+    proj = pca_project_2d(scaled, "scaled")
+    rows = proj.select("x", "y").collect()
+    assert len(rows) == len(DATA)
+    assert all(r["x"] is not None and r["y"] is not None for r in rows)
+    # scaled columns have ~zero mean
+    means = scaled.select(F.expr("avg(scaled[0])"), F.expr("avg(scaled[1])")).collect()[0]
+    assert abs(means[0]) < 1e-7 and abs(means[1]) < 1e-7
+
+
+def test_cluster_stats_counts(edf):
+    st = {r["label"]: r for r in cluster_stats(edf, "embedding", "label").collect()}
+    assert st[0]["n_members"] == 3 and st[1]["n_members"] == 4
+
+
+def test_analysis_report_json(edf):
+    rows = analysis_report(edf, "vec_id", "embedding", k=2, cluster_col="label").collect()
+    assert len(rows) == 2
+    for r in rows:
+        doc = json.loads(r["report_json"])
+        assert set(doc) >= {"cluster", "representative_id", "neighbors", "n_members"}
+        rnks = [n["rnk"] for n in doc["neighbors"]]
+        assert rnks == sorted(rnks)
+
+
+def test_tsne_hdbscan_gated(edf):
+    try:
+        import hdbscan  # noqa: F401
+        import sklearn  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            tsne_hdbscan_driver(edf, "embedding", ["vec_id"])
