@@ -5,3 +5,4 @@ from .registry import QUERY_REGISTRY, Query, register  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import vectors_text  # noqa: E402,F401
 from . import ml_analysis  # noqa: E402,F401
+from . import events_windows  # noqa: E402,F401

@@ -1,0 +1,97 @@
+"""Sinks + pipeline gates (reference S3-S5, S9/S10, S12-S15, ST3).
+
+The reference's sinks are S3 object writes partitioned by term
+(ingest/main.py:299-310), a junk/dead-letter prefix
+(ingest/main.py:96-119), row-at-a-time idempotent INSERTs relying on
+unique keys (helpers.py:250-346), and COUNT verification gates between
+stages (infrastructure/lambda/data_verification.py:31-113). Spark-first:
+partitioned columnar writes, a quarantine writer, anti-join MERGE
+discipline for idempotency, and count gates as actions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("term",),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """S3 corpus sink: ``partitionBy`` layout gives partition pruning on
+    read — the Spark analog of the reference's ``term_{t}/`` prefixes."""
+    df.write.partitionBy(*partition_cols).format(fmt).mode(mode).save(path)
+
+
+def write_quarantine(junk: DataFrame, path: str) -> int:
+    """S4 dead-letter sink: malformed records as JSON with context,
+    truncated like the reference's 10k-char cap (ingest/main.py:104).
+    Returns the quarantined count (logged by the reference)."""
+    # rename: `_corrupt_record` is reserved on JSON reads, so keeping it
+    # would make the quarantine dir itself unqueryable
+    out = (
+        junk.withColumn("raw_record", F.substring(F.col("_corrupt_record"), 1, 10000))
+        .drop("_corrupt_record")
+        .withColumn("quarantined_at", F.current_timestamp())
+    )
+    out.write.mode("append").json(path)
+    return out.count()
+
+
+def idempotent_append(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+) -> dict[str, int]:
+    """S9/S10 + ST3: unique-key INSERT-or-skip semantics without a
+    database. New rows are anti-joined against the existing keys
+    BEFORE the append, and the incoming batch is de-duplicated on the
+    key too, so re-running a batch is a no-op (the reference gets this
+    from Postgres unique constraints, schema.sql:44,62).
+
+    At scale the existing-keys scan prunes to ``key_cols`` only
+    (column pruning on parquet), and the anti-join keys are the
+    shuffle key — no full-row exchange. Returns insert/skip counts as
+    the reference logs them (helpers.py:287-296).
+    """
+    spark = df.sparkSession
+    incoming = df.dropDuplicates(key_cols)
+    n_in = incoming.count()
+    if os.path.isdir(path) and any(
+        not f.startswith("_") for f in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path).select(*key_cols)
+        fresh = incoming.join(existing, key_cols, "left_anti")
+    else:
+        fresh = incoming
+    n_new = fresh.count()
+    if n_new:
+        fresh.write.mode("append").parquet(path)
+    return {"inserted": n_new, "skipped": n_in - n_new}
+
+
+def count_gate(df: DataFrame, min_rows: int = 1, what: str = "stage") -> int:
+    """S15 verification gate: fail-fast between pipeline stages
+    (data_verification.py Choice-state analog)."""
+    n = df.count()
+    if n < min_rows:
+        raise RuntimeError(f"verification gate failed: {what} has {n} rows < {min_rows}")
+    return n
+
+
+def run_summary(df: DataFrame, group_col: str) -> DataFrame:
+    """S5/A10 run-summary sink content: global totals + per-group
+    counts in one small DataFrame (ingest/main.py:313-323)."""
+    per_group = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    total = df.agg(
+        F.count("*").alias("n"), F.lit("__total__").alias(group_col)
+    ).select(group_col, "n")
+    return per_group.unionByName(total).withColumn(
+        "generated_at", F.current_timestamp()
+    )

@@ -1,0 +1,69 @@
+"""Incremental / scheduled-micro-batch semantics (reference §2.9).
+
+The reference's "stream" is a twice-weekly batch over ONLY-new files:
+new-file discovery by anti-join against processed keys
+(processors.py:86-116), idempotent keyed INSERTs (helpers.py:250-346),
+quarantine instead of watermarks (helpers.py:235-248). Two equivalent
+Spark paths, same transform code:
+
+* batch: ``incremental_filter`` (left_anti) + ``idempotent_append`` —
+  the drop-in restatement.
+* streaming: Structured Streaming file source (which tracks processed
+  files natively in the checkpoint, replacing the SELECT DISTINCT
+  probe) + ``Trigger.AvailableNow`` for the scheduled-run shape +
+  ``foreachBatch`` idempotent merge for exactly-once sink semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from scotustician_spark.sources.sinks import idempotent_append
+
+
+def incremental_filter(
+    new_df: DataFrame, processed: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """P11/P13: keep only rows whose key is not already processed.
+    left_anti shuffles on the key only; with the processed side small
+    (a key list) AQE broadcasts it."""
+    return new_df.join(processed.select(*key_cols), key_cols, "left_anti")
+
+
+def stream_json_corpus(
+    spark: SparkSession, src_dir: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Structured Streaming file source over a JSON-lines corpus dir.
+    The checkpoint's file index replaces the reference's
+    processed-keys probe (ST4)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(src_dir)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    out_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+) -> None:
+    """ST1+ST3: process everything currently available, then stop —
+    the scheduled-micro-batch shape — writing through the idempotent
+    keyed sink so replays (or overlapping batch backfills) cannot
+    duplicate. Blocks until the trigger drains.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(transform(batch_df), out_path, key_cols)
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

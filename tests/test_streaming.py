@@ -1,0 +1,104 @@
+"""Incremental/streaming semantics: anti-join filter, AvailableNow
+file-source pipeline with idempotent keyed sink, and the window
+transforms driven through an actual writeStream."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from scotustician_spark.documents.flatten import flatten_utterances
+from scotustician_spark.documents.schema import OA_DOCUMENT
+from scotustician_spark.streaming import (
+    incremental_filter,
+    run_available_now,
+    sessionize,
+    stream_json_corpus,
+    tumbling_agg,
+)
+from tests.fixtures_oa import make_corpus
+
+
+def _write_jsonl(docs, path):
+    path.mkdir(parents=True, exist_ok=True)
+    for d in docs:
+        (path / f"{d['id']}.json").write_text(json.dumps(d))
+
+
+def test_incremental_filter(spark):
+    new = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    done = spark.createDataFrame([(2,), (99,)], "k int")
+    assert sorted(
+        r["k"] for r in incremental_filter(new, done, ["k"]).collect()
+    ) == [1, 3]
+
+
+def test_available_now_pipeline_is_incremental_and_idempotent(spark, tmp_path):
+    docs = make_corpus(n_docs=4, seed=3)
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_jsonl(docs[:2], src)
+
+    def transform(batch):
+        return flatten_utterances(batch.filter(F.size("transcript.sections") > 0))
+
+    keys = ["case_id", "utterance_index"]
+    stream = stream_json_corpus(spark, str(src), OA_DOCUMENT)
+    run_available_now(stream, transform, str(out), str(ckpt), keys)
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 > 0
+
+    # second trigger with no new files: checkpoint file-index skips all
+    stream = stream_json_corpus(spark, str(src), OA_DOCUMENT)
+    run_available_now(stream, transform, str(out), str(ckpt), keys)
+    assert spark.read.parquet(str(out)).count() == n1
+
+    # two more files: only their utterances are appended
+    _write_jsonl(docs[2:], src)
+    stream = stream_json_corpus(spark, str(src), OA_DOCUMENT)
+    run_available_now(stream, transform, str(out), str(ckpt), keys)
+    final = spark.read.parquet(str(out))
+    assert final.count() > n1
+    assert final.groupBy(*keys).count().filter("count > 1").count() == 0
+
+
+def test_windows_run_in_streaming_mode(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "a", "value": 2.0},
+        {"ts": "2024-01-01T01:10:00", "user_id": 1, "event_type": "b", "value": 3.0},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        tumbling_agg(stream, "1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert got == {("2024-01-01T00:00:00", "a"): 2, ("2024-01-01T01:00:00", "b"): 1}
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        sessionize(stream, "30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sess = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(sess) == 2  # 00:00+00:10 merge; 01:10 is its own session
+    assert {r["n_events"] for r in sess} == {2, 1}
