@@ -89,6 +89,7 @@ def lsh_bucket_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    sim_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket.
 
@@ -96,6 +97,9 @@ def lsh_bucket_topk(
     linear) with an equi-join on bucket: corpus partitions by bucket
     once, each query probes one partition. Recall is tunable via
     n_planes (fewer planes → bigger buckets → higher recall and cost).
+
+    ``sim_round``: round similarities BEFORE ranking so the rank order
+    (rounded-sim desc, id asc) is reproducible across engines.
     """
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -107,10 +111,13 @@ def lsh_bucket_topk(
         F.col(vec_col).alias("q_vec"),
         hyperplane_bucket(vec_col, dim, n_planes, seed),
     )
+    sim = cosine_similarity("q_vec", "c_vec")
+    if sim_round is not None:
+        sim = F.round(sim, sim_round)
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+        .withColumn("sim", sim)
         .select("query_id", "neighbor_id", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

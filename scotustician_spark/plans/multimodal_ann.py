@@ -1,0 +1,155 @@
+"""Multimodal plumbing + approximate-nearest-neighbor queries.
+
+The multimodal queries manufacture binary content from ``documents``
+(``encode(text)``) so the REAL distributed plumbing — Arrow-batched
+mapInPandas decode, 1→N frame fan-out — runs under the driver's
+oracle gate: the deterministic fake extractor is md5/length-based,
+which DuckDB reproduces in SQL.
+
+``lsh_ann_topk`` registers the similarity-search scale path
+(seeded-hyperplane bucketing) with a full SQL twin, including the
+bucket computation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from .registry import register
+
+_N_DIMS = 8
+_ASCII = "^[ -~]*$"  # printable-ASCII docs: byte offsets == char offsets
+
+
+def _docs_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.encode("text", "utf-8").alias("content"), "text")
+    )
+
+
+_FEAT_COLS = ", ".join(
+    f"CAST(ascii(substring(md5(text), {j + 1}, 1)) AS DOUBLE) AS f{j}"
+    for j in range(_N_DIMS)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           {_FEAT_COLS}
+    FROM documents
+    """,
+    doc="Multimodal feature extraction plumbing: opaque binary column → "
+    "Arrow-batched mapInPandas (decoder-per-partition pattern, C4/M4); "
+    "decode stubbed with a deterministic md5-derived feature vector so "
+    "the full distributed path is oracle-verifiable.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = MM.extract_media_features(
+        _docs_binary(spark, sf_dir), "content", "doc_id", n_dims=_N_DIMS
+    )
+    return feats.select(
+        "id",
+        "n_bytes",
+        "content_md5",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(_N_DIMS)],
+    )
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH ascii_docs AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE regexp_matches(text, '^[ -~]*$')),
+    frames AS (
+        SELECT doc_id AS id, CAST(f.range AS INTEGER) AS frame_idx,
+               CAST(f.range * (n // 4) AS BIGINT) AS byte_start,
+               CAST(n // 4 AS BIGINT) AS byte_len,
+               md5(substring(text, CAST(f.range * (n // 4) + 1 AS INTEGER),
+                             CAST(n // 4 AS INTEGER))) AS frame_md5
+        FROM ascii_docs, range(4) f
+        WHERE n // 4 > 0)
+    SELECT * FROM frames
+    """,
+    doc="Video-style frame sampling plumbing: 1 binary row → N frame "
+    "rows via mapInPandas (UDTF fan-out shape) with byte-range metadata "
+    "and per-frame digests; ASCII-restricted so the SQL twin can slice "
+    "by chars.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_binary(spark, sf_dir).filter(F.col("text").rlike(_ASCII))
+    return MM.sample_frames(docs, "content", "doc_id", n_frames=4)
+
+
+def _lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5) -> str:
+    # same seeded sinusoid hyperplanes as similarity.hyperplane_bucket
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    planes AS (
+        SELECT p.range AS p, d.range AS pos,
+               sin({seed} + p.range * {dim} + d.range) AS h
+        FROM range({n_planes}) p, range({dim}) d),
+    proj AS (
+        SELECT vec_id, p, sum(v * h) AS s
+        FROM ex JOIN planes USING (pos) GROUP BY vec_id, p),
+    buckets AS (
+        SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN 2**p ELSE 0 END) AS INTEGER) AS bucket
+        FROM proj GROUP BY vec_id),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    dots AS (
+        SELECT p.query_id, p.neighbor_id, sum(a.v * b.v) AS dot
+        FROM pairs p
+        JOIN ex a ON a.vec_id = p.query_id
+        JOIN ex b ON b.vec_id = p.neighbor_id AND b.pos = a.pos
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "lsh_ann_topk",
+    _lsh_oracle(),
+    doc="ANN scale path (W2 at 100 TB): seeded-hyperplane LSH buckets + "
+    "equi-join on bucket — corpus partitions by bucket once instead of "
+    "a per-query linear scan; brute-force cosine_topk is the exact "
+    "baseline it approximates.",
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.lsh_bucket_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        sim_round=6,
+    )
+    return out.select("query_id", "neighbor_id", "sim", "rnk")
