@@ -1,0 +1,126 @@
+"""End-to-end pipeline driver (reference §3.1: Step Functions DAG →
+one Spark application).
+
+The reference orchestrates ingest → verify → embed → verify →
+clustering → report across Fargate/Batch/Lambda boundaries
+(infrastructure/lib/scotustician-orchestration-stack.ts). Here every
+boundary collapses into Spark stages; the Choice-state verification
+gates become ``count_gate`` actions (data_verification.py analog) and
+the run summary replaces the cost/metrics sinks.
+
+Stages (all lazy until a gate or sink forces them):
+  1. corpus read + quarantine split        (S6/S7, S4)
+  2. flatten → utterances, role classify   (P1-P7, P9)
+  3. section chunks                        (C1-C3)
+  4. embeddings (pluggable model)          (C4, hash mode by default)
+  5. case vectors = token-weighted mean    (A1)
+  6. cluster + representatives + report    (M1-M3, W1/W2)
+  7. medallion models + data tests         (dbt layer)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from scotustician_spark.documents import (
+    assemble_section_chunks,
+    classify_speaker_role,
+    flatten_utterances,
+    read_oa_json,
+    split_quarantine,
+    write_xml,
+)
+from scotustician_spark.documents.medallion import (
+    register_models,
+    run_data_tests,
+)
+from scotustician_spark.functions.vector import weighted_mean_vectors
+from scotustician_spark.ml import analysis_report, kmeans_assign
+from scotustician_spark.ml.embedding import embed_text
+from scotustician_spark.sources.sinks import (
+    count_gate,
+    run_summary,
+    write_partitioned,
+    write_quarantine,
+)
+
+
+@dataclass
+class PipelineResult:
+    utterances: DataFrame
+    chunks: DataFrame
+    embeddings: DataFrame
+    case_vectors: DataFrame
+    report: DataFrame
+    models: dict[str, DataFrame]
+    gates: dict[str, int] = field(default_factory=dict)
+    data_test_violations: dict[str, int] = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str | None = None,
+    embed_dim: int = 8,
+    n_clusters: int = 4,
+    embed_mode: str = "hash",
+) -> PipelineResult:
+    """Run the full reference pipeline over a JSON corpus directory.
+
+    With ``out_dir`` set, also writes the partitioned utterance table,
+    XML corpus, quarantine and run summary (the reference's S3 layout).
+    """
+    gates: dict[str, int] = {}
+
+    docs = read_oa_json(spark, corpus_dir)
+    valid, junk = split_quarantine(docs)
+    gates["valid_documents"] = count_gate(valid, 1, "ingested documents")
+
+    utterances = classify_speaker_role(flatten_utterances(valid))
+    # cache: five downstream consumers (chunks, models, summary, xml,
+    # partitioned sink) would otherwise re-read + re-flatten the corpus
+    utterances.cache()
+    gates["utterances"] = count_gate(utterances, 1, "flattened utterances")
+
+    chunks = assemble_section_chunks(utterances)
+    gates["chunks"] = count_gate(chunks, 1, "section chunks")
+
+    embeddings = embed_text(
+        chunks.select("case_id", "oa_id", "section_id", "chunk_text", "token_count"),
+        "chunk_text",
+        dim=embed_dim,
+        mode=embed_mode,
+    ).drop("chunk_text")
+    gates["embeddings"] = count_gate(embeddings, 1, "chunk embeddings")
+
+    case_vectors = weighted_mean_vectors(
+        embeddings, ["case_id"], "embedding", "token_count", out_col="case_vec"
+    )
+
+    assigned = kmeans_assign(case_vectors, "case_vec", k=n_clusters, seed=42)
+    report = analysis_report(assigned, "case_id", "case_vec", k=5)
+
+    models = register_models(spark, utterances, chunks)
+    violations = run_data_tests(spark)
+
+    if out_dir:
+        write_partitioned(utterances, f"{out_dir}/utterances", ("term",))
+        write_xml(utterances, f"{out_dir}/xml")
+        if junk.limit(1).count():
+            write_quarantine(junk.select("_corrupt_record"), f"{out_dir}/junk")
+        run_summary(utterances, "term").write.mode("overwrite").json(
+            f"{out_dir}/run_summary"
+        )
+
+    return PipelineResult(
+        utterances=utterances,
+        chunks=chunks,
+        embeddings=embeddings,
+        case_vectors=case_vectors,
+        report=report,
+        models=models,
+        gates=gates,
+        data_test_violations=violations,
+    )

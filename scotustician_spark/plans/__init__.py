@@ -7,3 +7,4 @@ from . import vectors_text  # noqa: E402,F401
 from . import ml_analysis  # noqa: E402,F401
 from . import events_windows  # noqa: E402,F401
 from . import multimodal_ann  # noqa: E402,F401
+from . import embedding_q  # noqa: E402,F401
