@@ -100,6 +100,7 @@ def run_pipeline(
     )
 
     assigned = kmeans_assign(case_vectors, "case_vec", k=n_clusters, seed=42)
+    assigned.cache()  # consumed by report + CSV results sink
     report = analysis_report(assigned, "case_id", "case_vec", k=5)
 
     models = register_models(spark, utterances, chunks)
@@ -113,6 +114,12 @@ def run_pipeline(
         run_summary(utterances, "term").write.mode("overwrite").json(
             f"{out_dir}/run_summary"
         )
+        # S12/S13: clustering results CSV + per-cluster JSON metadata
+        # (clustering/helpers.py:269-302 export shapes)
+        assigned.drop("case_vec").write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{out_dir}/cluster_results")
+        report.write.mode("overwrite").json(f"{out_dir}/cluster_report")
 
     return PipelineResult(
         utterances=utterances,

@@ -755,3 +755,49 @@ def json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("prop_k"),
         F.when(k >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@register(
+    "partition_slice",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders ORDER BY o_orderkey
+    LIMIT 500 OFFSET 1000
+    """,
+    doc="P12 skip/limit shard slice (processors.py:152-162 array-job "
+    "sharding: ds.skip(start).limit(n)): offset+limit over a sorted key "
+    "— Spark ≥3.4 native offset; at scale sharding is done by partition "
+    "pruning instead, but the operator parity is exact.",
+)
+def partition_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .offset(1000)
+        .limit(500)
+    )
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Beyond-reference grouping-sets family (SURVEY §2.4 'not present' "
+    "row): CUBE over (returnflag, linestatus) — Catalyst Expand feeds one "
+    "hash aggregation, map-side partials intact (rollup_revenue covers "
+    "ROLLUP).",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

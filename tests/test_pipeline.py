@@ -52,3 +52,8 @@ def test_outputs_written(result, spark):
     assert junk.count() == 1
     summary = spark.read.json(str(d / "out" / "run_summary"))
     assert summary.filter(F.col("term") == "__total__").count() == 1
+    results = spark.read.option("header", True).csv(str(d / "out" / "cluster_results"))
+    assert set(results.columns) == {"case_id", "cluster"}
+    assert results.count() == 10
+    report = spark.read.json(str(d / "out" / "cluster_report"))
+    assert report.count() > 0
