@@ -87,6 +87,9 @@ def embed_text(
             pdf[out_col] = [v.tolist() for v in vecs]
             yield pdf
 
+    from scotustician_spark.session import repartition_for_compute
+
+    df = repartition_for_compute(df)
     if mode == "hash":
         return df.mapInPandas(run_hash, schema)
     if mode == "model":

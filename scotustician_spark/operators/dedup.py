@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, word_shingles
+from ..session import repartition_for_compute
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -62,7 +63,8 @@ def shingle_postings(
     skew guard — a shingle in 1M docs would otherwise create 1M² join
     rows)."""
     posts = (
-        df.select(
+        repartition_for_compute(df)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(word_shingles(text_col, n)).alias("shingle"),
         )
@@ -117,30 +119,37 @@ def ngram_jaccard_pairs(
     )
 
 
+# Mersenne prime for the universal-hash family; shingle base hash is
+# 48 bits (12 md5 hex digits) and a_i ≤ 2·num_hashes+3, so a_i·H + b_i
+# stays far below 2^63 — identical int64 arithmetic in any engine.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) for hash_i(H) = (a_i·H + b_i) mod P."""
+    return [(2 * i + 3, 1000003 * i + 17) for i in range(num_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, the lexicographic min
-    of md5(i || '|' || shingle). md5-string minhash keeps the oracle
-    reproducible in any SQL engine; swap for xxhash64 when oracle
-    parity is not needed (cheaper, same collision behavior).
+    """Wide MinHash signature per document: columns mh0..mh{k-1}.
 
-    Plan shape: postings × seeds (a broadcast-range cross join), then
-    one groupBy (doc, seed) with a min() — partial aggregation makes the
-    shuffle carry one 32-char string per (doc, seed).
+    One md5 per shingle (48-bit base hash H), then the k hashes come
+    from a universal family (a_i·H + b_i) mod P — pure int64 codegen
+    arithmetic, reproducible in any SQL engine. ALL k minima aggregate
+    in a single groupBy(doc_id): one shuffle carrying k longs per doc
+    (vs. the naive per-seed explode, which costs k× the hashing and a
+    k-times-larger shuffle).
     """
     posts = shingle_postings(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = posts.select(
-        "doc_id",
-        seeds,
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    base = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+    hashed = posts.withColumn("__h", base)
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -153,29 +162,33 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing any band signature.
 
-    Band signature = md5 of the band's minhashes concatenated in seed
-    order (ordered via array_sort over (seed, minhash) structs —
-    collect_list order is never trusted post-shuffle, SURVEY §7 #4).
-    The band join is an equi-join on (band, signature): documents that
-    collide in no band are never paired, which is the whole point of
-    LSH at corpus scale.
+    Band signatures (md5 of the band's minhashes in seed order) derive
+    from the wide signature row directly — no second aggregation; the
+    per-band layout comes from an in-row explode. The candidate join is
+    an equi-join on (band, signature): documents that collide in no
+    band are never paired, which is the whole point of LSH at corpus
+    scale — pair cost tracks actual collisions, never n².
     """
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
+                F.concat_ws(
                     "|",
+                    *[
+                        F.col(f"mh{bi * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
                 )
-            ).alias("band_sig")
+            ).alias("band_sig"),
         )
-    )
+        for bi in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.band_sig")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -199,6 +212,7 @@ def simhash_signatures(
     or band the bit-string for LSH-style candidate generation).
     """
     assert bits <= 32, "md5 hex provides 32 digit votes"
+    df = repartition_for_compute(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),

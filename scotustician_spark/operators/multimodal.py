@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import repartition_for_compute
+
 MEDIA_META = T.StructType(
     [
         T.StructField("media_type", T.StringType()),  # image|audio|video
@@ -90,7 +92,9 @@ def extract_media_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return repartition_for_compute(df.select(id_col, content_col)).mapInPandas(
+        run, schema
+    )
 
 
 def sample_frames(
@@ -138,7 +142,9 @@ def sample_frames(
                     out["frame_md5"].append(hashlib.md5(sl).hexdigest())
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return repartition_for_compute(df.select(id_col, content_col)).mapInPandas(
+        run, schema
+    )
 
 
 def with_media_metadata(

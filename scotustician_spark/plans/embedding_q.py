@@ -33,6 +33,7 @@ _OUT = ", ".join(f"round(r{j} / nrm, 6) AS e{j}" for j in range(_DIM))
     "(executor-singleton, Arrow batches); deterministic hash embedder in "
     "test mode so the oracle verifies the distributed path end-to-end; "
     "L2-normalized float64.",
+    bench=True,
 )
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")

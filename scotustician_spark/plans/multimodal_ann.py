@@ -52,6 +52,7 @@ _FEAT_COLS = ", ".join(
     "Arrow-batched mapInPandas (decoder-per-partition pattern, C4/M4); "
     "decode stubbed with a deterministic md5-derived feature vector so "
     "the full distributed path is oracle-verifiable.",
+    bench=True,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.extract_media_features(
@@ -140,6 +141,7 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5) ->
     "equi-join on bucket — corpus partitions by bucket once instead of "
     "a per-query linear scan; brute-force cosine_topk is the exact "
     "baseline it approximates.",
+    bench=True,
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

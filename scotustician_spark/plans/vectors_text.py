@@ -165,6 +165,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact dedup via normalized-text fingerprint groupBy "
     "(hash-partitioned single shuffle; the 100 TB exact-dedup baseline).",
+    bench=True,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -197,26 +198,48 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_lsh_pairs",
-    f"""
+def _minhash_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    mins = ", ".join(
+        f"min(({a} * H + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    n_bands = num_hashes // band_size
+    band_rows = ", ".join(
+        "({bi}, md5({cat}))".format(
+            bi=bi,
+            cat=" || '|' || ".join(
+                f"CAST(mh{bi * band_size + j} AS VARCHAR)" for j in range(band_size)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
     WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
     hashed AS (
-        SELECT doc_id, s.range AS seed,
-               md5(CAST(s.range AS VARCHAR) || '|' || shingle) AS h
-        FROM posts, range(16) s),
-    sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT) AS H
+        FROM posts),
+    sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
-        FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INTEGER))
+        SELECT doc_id, b.band, b.band_sig
+        FROM sigs, LATERAL (VALUES {band_rows}) AS b(band, band_sig))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    """,
-    doc="MinHash(16)+LSH(4 bands × 4 rows) candidate pairs; md5-string "
-    "minhash for oracle reproducibility. Candidates are generated by an "
-    "equi-join on band signature — never a cartesian.",
+    """
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_oracle(),
+    doc="MinHash(16)+LSH(4 bands × 4 rows) candidate pairs: ONE md5 per "
+    "shingle (48-bit base hash), k mins via a universal int64 hash "
+    "family in a single groupBy — oracle-reproducible arithmetic. "
+    "Candidates come from an equi-join on band signature — never a "
+    "cartesian.",
+    bench=True,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_candidates(
@@ -244,6 +267,7 @@ def _simhash_oracle(bits: int = 16) -> str:
     _simhash_oracle(16),
     doc="16-bit SimHash signatures from md5-digit token votes; "
     "near-duplicates differ in few bits (hamming ≤ 2-3).",
+    bench=True,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
@@ -372,14 +396,17 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN norms nb ON d.id_b = nb.vec_id
     WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs via dimension-exploded "
-    "equi-join (sparse-friendly, oracle-reproducible). The all-pairs "
-    "form is for verification; production near-dup uses LSH buckets.",
+    doc="Embedding-cosine near-duplicate pairs, exact, via distributed "
+    "block matrix multiply (applyInPandas + BLAS per block pair) — the "
+    "dense scale path; the dimension-exploded longform remains as the "
+    "sparse-friendly variant and the oracle formulation.",
+    bench=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = SIM.pairwise_cosine_longform(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=-1.0
-    )
-    return pairs.withColumn("cos_sim", F.round("cos_sim", 6)).filter(
-        F.col("cos_sim") >= 0.4
+    return SIM.pairwise_cosine_blocked(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        sim_round=6,
     )
