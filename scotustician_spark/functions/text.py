@@ -21,9 +21,13 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens; empty string → empty array (split('') yields
-    [''], which we normalize away)."""
-    t = F.trim(_c(text))
+    """Whitespace tokens; empty/blank string → empty array.
+
+    Edge-strip uses a regex, NOT ``trim`` — Spark's (and SQL's) trim
+    removes only ASCII spaces, so tab/newline-edged text would
+    otherwise produce phantom empty tokens (Python ``str.split()``
+    semantics are the contract here)."""
+    t = F.regexp_replace(_c(text), r"^\s+|\s+$", "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, WS))
 
 

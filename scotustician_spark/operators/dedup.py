@@ -212,10 +212,12 @@ def simhash_signatures(
     or band the bit-string for LSH-style candidate generation).
     """
     assert bits <= 32, "md5 hex provides 32 digit votes"
+    from ..functions.text import tokens
+
     df = repartition_for_compute(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.md5("tok"))
     odd = "13579bdf"
     votes = [

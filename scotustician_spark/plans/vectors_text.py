@@ -26,7 +26,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- shared oracle SQL fragments ------------------------------------------
 
-_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# regex edge-strip, not trim(): SQL trim removes only spaces, and the
+# Spark tokens() contract is Python str.split() (all whitespace)
+_TOKS = (
+    "regexp_split_to_array("
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+)
 _SHINGLES = f"""
     SELECT doc_id, CASE WHEN len(l) >= 3
                 THEN unnest(list_transform(range(1, len(l)-1),
