@@ -1,0 +1,65 @@
+"""Skew-resistant aggregation (100 TB design pattern).
+
+AQE's skew-join splitting handles joins, but a groupBy whose key
+distribution is pathological (one key = 30% of a 100 TB corpus — a
+boilerplate dedup fingerprint, a null-ish user id) still lands one
+monster reducer. ``salted_agg`` is the classic two-phase fix: phase 1
+aggregates on (key, salt) — the hot key fans out over ``n_salts``
+reducers — phase 2 merges the per-salt partials on the key alone.
+Works for algebraic aggregates (sum/count/min/max and avg as
+sum÷count) whose partials merge losslessly, so the result is
+bit-identical to a plain groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# aggregate -> (phase-1 fn, phase-2 merge fn)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(keys).agg(...) with salt fan-out.
+
+    ``aggs``: (column, fn, alias) with fn in sum|count|min|max|avg.
+    avg decomposes to sum/count internally (a direct avg-of-avgs would
+    be weight-wrong).
+    """
+    plan: list[tuple[str, str, str]] = []
+    derived_avg: list[tuple[str, str]] = []  # (alias, src_col)
+    for col, fn, alias in aggs:
+        if fn == "avg":
+            plan.append((col, "sum", f"__s_{alias}"))
+            plan.append((col, "count", f"__c_{alias}"))
+            derived_avg.append((alias, col))
+        elif fn in _ALGEBRAIC:
+            plan.append((col, fn, alias))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[_ALGEBRAIC[fn][0](col).alias(alias) for col, fn, alias in plan]
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        *[_ALGEBRAIC[fn][1](alias).alias(alias) for _, fn, alias in plan]
+    )
+    for alias, _ in derived_avg:
+        phase2 = phase2.withColumn(
+            alias, F.col(f"__s_{alias}") / F.col(f"__c_{alias}")
+        ).drop(f"__s_{alias}", f"__c_{alias}")
+    return phase2

@@ -801,3 +801,50 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)       AS n_rows,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           min(l_shipdate)                AS first_ship,
+           max(l_shipdate)                AS last_ship,
+           round(sum(l_extendedprice), 4) / count(*) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-resistant two-phase aggregation (operators/skew.py): a "
+    "3-key groupBy over the fact table — the pathological shape at "
+    "100 TB — salted over 16 sub-keys then merged; algebraic partials "
+    "make the result identical to the plain groupBy the oracle runs.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("*", "count", "n_rows"),
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_shipdate", "min", "first_ship"),
+            ("l_shipdate", "max", "last_ship"),
+            ("l_extendedprice", "avg", "avg_price"),
+        ],
+        n_salts=16,
+    )
+    # round the continuous sums AFTER the merge (float-parity policy);
+    # avg re-derives from the rounded sum so the oracle can reproduce it
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "first_ship",
+        "last_ship",
+        (F.round(F.col("avg_price") * F.col("n_rows"), 4) / F.col("n_rows")).alias(
+            "avg_price"
+        ),
+    )

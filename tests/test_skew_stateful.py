@@ -1,0 +1,85 @@
+"""Salted aggregation equivalence + custom stateful streaming op."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from scotustician_spark.operators.skew import salted_agg
+from scotustician_spark.streaming.stateful import running_user_totals
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+        F.avg("l_extendedprice").alias("avg_price"),
+    )
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("*", "count", "n_rows"),
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_linenumber", "min", "mn"),
+            ("l_linenumber", "max", "mx"),
+            ("l_extendedprice", "avg", "avg_price"),
+        ],
+        n_salts=8,
+    )
+    p = {r["l_returnflag"]: r for r in plain.collect()}
+    s = {r["l_returnflag"]: r for r in salted.collect()}
+    assert set(p) == set(s)
+    for k in p:
+        assert p[k]["n_rows"] == s[k]["n_rows"]
+        assert abs(p[k]["sum_qty"] - s[k]["sum_qty"]) < 1e-6
+        assert p[k]["mn"] == s[k]["mn"] and p[k]["mx"] == s[k]["mx"]
+        assert abs(p[k]["avg_price"] - s[k]["avg_price"]) < 1e-6
+
+
+def test_running_user_totals_accumulates_state(spark, tmp_path):
+    src = tmp_path / "stream"
+    src.mkdir()
+    batch1 = [
+        {"ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T00:01:00", "user_id": 1, "value": 2.0},
+        {"ts": "2024-01-01T00:02:00", "user_id": 2, "value": 5.0},
+    ]
+    batch2 = [
+        {"ts": "2024-01-01T01:00:00", "user_id": 1, "value": 10.0},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    schema = "ts timestamp, user_id long, value double"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .json(str(src))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM totals_out").collect()
+    # update mode appends one row per key per batch; the row with the
+    # highest n_events per key carries the final accumulated state
+    # (memory-sink row order is not batch order)
+    last = {}
+    for r in rows:
+        if r["user_id"] not in last or r["n_events"] > last[r["user_id"]]["n_events"]:
+            last[r["user_id"]] = r
+    u1, u2 = last[1], last[2]
+    assert u1["n_events"] == 3 and abs(u1["sum_value"] - 13.0) < 1e-9
+    assert u2["n_events"] == 1 and abs(u2["sum_value"] - 5.0) < 1e-9
+    # state survived across micro-batches: user 1 appears twice
+    assert sum(1 for r in rows if r["user_id"] == 1) == 2
