@@ -1,0 +1,142 @@
+"""Temporal joins: as-of join and binned range (interval) join.
+
+SURVEY §2.3 notes the reference has *no* theta/range/as-of joins —
+its temporal logic stops at interval arithmetic (bronze_oa_text.sql:
+29-33) and event ordering by utterance index. These two operators are
+the beyond-reference additions a training-data / event pipeline needs
+(attach latest-known state to an event; correlate events within a
+time window), built to scale:
+
+- ``asof_join`` — union + single window pass. The naive formulation
+  (inequality join then argmax per left row) explodes to O(|L|·|R|)
+  per key; this one shuffles each row exactly once on the key, sorts
+  within partition, and carries the right side's payload forward with
+  ``last(..., ignorenulls=True)``. Cost is one Exchange + one sort —
+  the same plan shape at 100 TB, with no pair blow-up on hot keys.
+- ``range_join_binned`` — time-bucketed equi-join. Each left row is
+  expanded to the (few) bins its window overlaps, joined on
+  (key, bin) — an equi-shuffle Catalyst can plan as a hash join —
+  then the exact range predicate filters bin-boundary false
+  candidates. Duplication factor is ceil(window/bin)+1 (2 with the
+  default bin = window width), vs the unbounded per-key cross
+  product of a raw theta join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_SIDE = "__asof_side"
+_TIE = "__asof_tie"
+_TS = "__asof_ts_us"
+_BIN = "__range_bin"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: dict[str, str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join: attach the most recent right row at-or-before
+    each left row's timestamp, per key. Left rows with no prior right
+    row keep nulls (left-outer semantics).
+
+    ``right_payload`` maps right column -> output alias. Ties on the
+    right timestamp are broken by ``tie_col`` (max wins), making the
+    result deterministic at any parallelism.
+
+    Single shuffle: union the two sides tagged 0 (right) / 1 (left),
+    one window ``partitionBy(on).orderBy(ts, side, tie)`` with
+    ``last(payload, ignorenulls=True)`` rows-unbounded-to-current,
+    then keep the left rows. Right rows sort before left rows at the
+    same timestamp, so an exact-timestamp match counts as "at or
+    before" (standard ASOF <= semantics).
+    """
+    out_left = [c for c in left.columns]
+    tie = tie_col if tie_col is not None else next(iter(right_payload))
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[tie].dataType).alias(_TIE),
+        *[F.col(c) for c in out_left if c != on],
+        *[
+            F.lit(None).cast(right.schema[src].dataType).alias(dst)
+            for src, dst in right_payload.items()
+        ],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.col(tie).alias(_TIE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in out_left if c != on],
+        *[F.col(src).alias(dst) for src, dst in right_payload.items()],
+    )
+
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(_TS), F.col(_SIDE), F.col(_TIE))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(dst, ignorenulls=True).over(w).alias(f"__carried_{dst}")
+            for dst in right_payload.values()
+        ],
+    )
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *[F.col(c) for c in out_left if c != on],
+        F.col(on),
+        *[F.col(f"__carried_{dst}").alias(dst) for dst in right_payload.values()],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bin_us: int | None = None,
+) -> DataFrame:
+    """Inner range join: pairs where
+    ``left_ts + lower_us <= right_ts < left_ts + upper_us`` and the
+    key matches. Timestamp columns must be epoch-microsecond longs and
+    the two sides must not share column names other than ``on``.
+
+    The equi-join key is (on, time-bin): left rows fan out to every
+    bin their window overlaps (``sequence`` + ``explode`` — a few
+    rows, not a cross product), right rows land in exactly one bin.
+    """
+    if bin_us is None:
+        bin_us = max(upper_us - lower_us, 1)
+    lo = F.col(left_ts) + F.lit(lower_us)
+    hi = F.col(left_ts) + F.lit(upper_us)
+    l_binned = left.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(bin_us)).cast("long"),
+                F.floor((hi - 1) / F.lit(bin_us)).cast("long"),
+            )
+        ).alias(_BIN),
+    )
+    r_binned = right.select(
+        "*", F.floor(F.col(right_ts) / F.lit(bin_us)).cast("long").alias(_BIN)
+    )
+    return (
+        l_binned.join(r_binned, [on, _BIN], "inner")
+        .filter((F.col(right_ts) >= lo) & (F.col(right_ts) < hi))
+        .drop(_BIN)
+    )

@@ -1,0 +1,129 @@
+"""Temporal-join queries over the ``events`` table (as-of + range).
+
+Beyond-reference (SURVEY §2.3 "not present" row): the reference's
+only temporal logic is interval arithmetic and ordering
+(bronze_oa_text.sql:29-33, helpers.py:164-176). These exercise
+``operators/temporal.py`` — the oracles are the *naive* inequality-
+join formulations, so the gate proves the scalable plans compute
+identical results.
+
+Timestamps flow as epoch-microsecond BIGINTs (micro-precision on
+both engines, zero formatting ambiguity — same convention as
+events_windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join_binned
+from .registry import register
+from .relational import _events
+
+
+@register(
+    "asof_prior_purchase",
+    """
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         ranked AS (
+           SELECT l.event_id,
+                  r.event_id AS prior_purchase_id,
+                  r.ts AS r_ts,
+                  r.value AS r_value,
+                  row_number() OVER (
+                      PARTITION BY l.event_id
+                      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+           FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+    SELECT l.event_id, l.user_id,
+           CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+           l.value,
+           k.prior_purchase_id,
+           CAST(epoch_us(k.r_ts) AS BIGINT) AS prior_purchase_ts_us,
+           k.r_value AS prior_purchase_value
+    FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k USING (event_id)
+    """,
+    doc="As-of join: each click event picks up the most recent at-or-before "
+    "purchase by the same user. Spark plan is union+window (ONE shuffle on "
+    "user_id, no pair explosion); the oracle is the naive inequality-join "
+    "argmax — identical results, incomparable scaling.",
+    bench=True,
+)
+def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="p_ts_us",
+        right_payload={
+            "p_event_id": "prior_purchase_id",
+            "p_ts_us": "prior_purchase_ts_us",
+            "p_value": "prior_purchase_value",
+        },
+        tie_col="p_event_id",
+    )
+
+
+@register(
+    "range_join_follow_clicks",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           CAST(count(c.ts) AS BIGINT) AS n_follow_clicks,
+           round(coalesce(sum(c.value), 0.0), 4) AS follow_click_value
+    FROM e LEFT JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts
+     AND c.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+    doc="Range join: clicks within 10 minutes after each error, per user. "
+    "Spark plan bins time so the join is an equi-join on (user_id, bin) "
+    "with duplication factor 2; the oracle is the naive theta join.",
+    bench=True,
+)
+def range_join_follow_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ten_min_us = 10 * 60 * 1_000_000
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_ts_us"),
+        F.col("value").alias("c_value"),
+    )
+    pairs = range_join_binned(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="c_ts_us",
+        lower_us=0,
+        upper_us=ten_min_us,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("c_ts_us").alias("n"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("v"),
+    )
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_follow_clicks"),
+        F.coalesce("v", F.lit(0.0)).alias("follow_click_value"),
+    )
