@@ -1,0 +1,51 @@
+"""Physical-plan regression tests for the headline queries.
+
+At 100 TB the plan is the contract: a filter that stops reaching the
+parquet scan, a pruned column that starts being read, or a broadcast
+that silently becomes a shuffle join are order-of-magnitude
+regressions that row-count tests never see. These assertions pin the
+plan properties we tuned for."""
+
+from __future__ import annotations
+
+from scotustician_spark.plans import QUERY_REGISTRY
+
+
+def _final_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE
+    return df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")  # untruncated ReadSchema
+    plan = _final_plan(QUERY_REGISTRY["pricing_summary"].fn(spark, sf_dir))
+    # date filter reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    # column pruning: 16-column lineitem scan reads only the 7 needed
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert read.count(":") == 7 and "l_comment" not in read, read
+    # single shuffle (partial agg then final), whole-stage codegen on
+    assert plan.count("Exchange") == 1 and "HashAggregate" in plan, plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["star_join_revenue"].fn(spark, sf_dir))
+    # customer, nation, region ride broadcasts — the fact table is
+    # never shuffled for them
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    # orders date filter is pushed down
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_weighted_vec_avg_shuffles_scalars_not_vectors(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["weighted_vec_avg"].fn(spark, sf_dir))
+    # the (group, dim) partial-aggregation design: map-side partial
+    # HashAggregate before the exchange, so the shuffle carries one
+    # partial sum per (group, dim), never whole vectors
+    before_shuffle = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in before_shuffle, plan
+
+
+def test_asof_join_single_exchange_full_query(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["asof_prior_purchase"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan  # one shuffle on user_id, ever
