@@ -415,3 +415,45 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         sim_round=6,
     )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+              FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+               t.tf * ln((n.n_docs + 1.0) / (d.doc_freq + 1.0)) AS tfidf
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+    SELECT doc_id, term, tf, doc_freq, round(tfidf, 6) AS tfidf,
+           CAST(rn AS INTEGER) AS term_rank
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Beyond-reference TF-IDF document featurization: top-3 terms per "
+    "document by smoothed tf·idf (operators/tfidf.py). Map-side-combined "
+    "tf/df aggregations; the tf⋈df join shuffles on the well-spread term "
+    "key (a 100 TB vocabulary cannot broadcast); scalar corpus size rides "
+    "a broadcast; ties break on term for determinism.",
+    bench=True,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import tfidf_top_terms
+
+    out = tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "doc_freq",
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").alias("term_rank"),
+    )

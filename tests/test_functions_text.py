@@ -69,3 +69,37 @@ def test_stopword_ratio_null_on_empty(tdf):
         "id", T.stopword_ratio("text").alias("sr")).collect()}
     assert rows[2] is None  # 0/0 guarded by nullif
     assert rows[0] is not None and rows[0] > 0.3
+
+
+def test_tfidf_top_terms_matches_pure_python(spark):
+    import math
+
+    from scotustician_spark.operators.tfidf import tfidf_top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry dog"),
+        (3, "apple dog dog dog elephant"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["doc_freq"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+
+    # pure-python oracle
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    dfreq: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    expected = {}
+    for d, t in toks.items():
+        tf = {w: t.count(w) for w in set(t)}
+        scored = sorted(
+            tf, key=lambda w: (-tf[w] * math.log((n + 1) / (dfreq[w] + 1)), w)
+        )
+        for rank, w in enumerate(scored[:2], 1):
+            expected[(d, rank)] = (w, tf[w], dfreq[w])
+    assert got == expected
