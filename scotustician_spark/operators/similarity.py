@@ -234,3 +234,72 @@ def pairwise_cosine_longform(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: a KMeans coarse quantizer shards
+    the corpus into ``n_cells`` inverted lists; each query probes its
+    ``n_probe`` nearest cells and re-ranks candidates exactly.
+
+    The third ANN family next to the broadcast scan (per-query linear)
+    and LSH buckets (data-independent): IVF adapts cell boundaries to
+    the data distribution, so recall/cost concentrates where vectors
+    do. At 100 TB: quantizer fits on a sample, assignment is one model
+    pass, the probe is an equi-join on cell id — candidates scale with
+    list sizes, never corpus². ``n_probe == n_cells`` degrades to
+    exact brute force (the correctness anchor the tests pin).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cv = corpus.withColumn("__v", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell"
+    ).fit(cv)
+    inverted = model.transform(cv).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("__cell").alias("cell"),
+    )
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # squared euclidean to each centroid (same metric as the assignment)
+    d2 = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("p_rnk", F.row_number().over(wp))
+        .filter(F.col("p_rnk") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        inverted.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -155,3 +155,25 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_round=6,
     )
     return out.select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@register(
+    "ivf_ann_topk",
+    None,  # KMeans quantizer is not SQL-expressible -> rows-only gate;
+    # tests/test_ml_clustering.py pins exactness at n_probe == n_cells
+    doc="Third ANN family (brute force / LSH / IVF): KMeans coarse "
+    "quantizer shards the corpus into inverted lists; queries probe "
+    "their 2 nearest cells and re-rank exactly. Data-adaptive cells vs "
+    "LSH's data-independent planes; probe is an equi-join on cell id.",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_cells=8,
+        n_probe=2,
+    )
