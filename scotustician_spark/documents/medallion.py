@@ -180,12 +180,37 @@ DATA_TESTS: dict[str, str] = {
 }
 
 
+# dbt macro analog (macros/get_term_year.sql:1-10): a reusable named
+# SQL scalar function, registered once per session via Spark 4 SQL
+# UDFs — usable from any model/view/ad-hoc SQL, planned by Catalyst
+# like any inline expression (no Python boundary).
+SQL_MACROS = {
+    "get_term_year": """
+        CREATE OR REPLACE TEMPORARY FUNCTION get_term_year(term STRING)
+        RETURNS INT
+        RETURN CASE
+          WHEN term RLIKE '^[0-9]{4}'
+            THEN CAST(regexp_extract(term, '^([0-9]{4})', 1) AS INT)
+          WHEN term RLIKE 'OT[0-9]{4}'
+            THEN CAST(regexp_extract(term, 'OT([0-9]{4})', 1) AS INT)
+        END
+    """,
+}
+
+
+def register_sql_macros(spark: SparkSession) -> None:
+    """Register the reusable SQL scalar functions (dbt macros)."""
+    for sql in SQL_MACROS.values():
+        spark.sql(sql)
+
+
 def register_models(
     spark: SparkSession, utterances: DataFrame, chunks: DataFrame
 ) -> dict[str, DataFrame]:
     """Register source + model views in dependency order (the dbt DAG:
     sources → bronze → silver → gold) and return the model DataFrames.
     """
+    register_sql_macros(spark)
     utterances.createOrReplaceTempView("utterances")
     chunks.createOrReplaceTempView("chunks")
     out = {}

@@ -60,3 +60,14 @@ def test_gold_rows_nonempty(model_env):
     models, _ = model_env
     assert models["gold_speaker_analytics"].count() > 0
     assert models["gold_oral_arguments_analytics"].count() > 0
+
+
+def test_get_term_year_macro(spark):
+    from scotustician_spark.documents.medallion import register_sql_macros
+
+    register_sql_macros(spark)
+    row = spark.sql(
+        "SELECT get_term_year('2023-fall') a, get_term_year('OT2019') b, "
+        "get_term_year('junk') c"
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (2023, 2019, None)
