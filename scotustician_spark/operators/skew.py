@@ -63,3 +63,59 @@ def salted_agg(
             alias, F.col(f"__s_{alias}") / F.col(f"__c_{alias}")
         ).drop(f"__s_{alias}", f"__c_{alias}")
     return phase2
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: DataFrame | list,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``left`` is heavily skewed on known hot keys.
+
+    AQE's runtime skew splitting handles most cases; this is the
+    explicit variant for when the hot keys are known up front (a
+    null-ish user id, a boilerplate fingerprint) or AQE is
+    unavailable (streaming joins). Classic replication scheme:
+
+    - left rows on a hot key get a random-ish salt in [0, n_salts)
+      (deterministic: hash of the full row, not rand() — resumable);
+    - right rows on a hot key are REPLICATED once per salt;
+    - everything else joins with salt 0 (no replication cost);
+    - join on (key, salt) — the hot key now spreads over n_salts
+      reducers.
+
+    Bit-identical to the plain join (inner/left) for any salt count.
+    """
+    spark = left.sparkSession
+    if isinstance(hot_keys, list):
+        hot_keys = spark.createDataFrame(
+            [(k,) for k in hot_keys], f"{key} {dict(left.dtypes)[key]}"
+        )
+    hot = F.broadcast(hot_keys.select(key).distinct().withColumn("__hot", F.lit(True)))
+
+    l_salted = (
+        left.join(hot, key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot"),
+                F.pmod(F.xxhash64(*left.columns), F.lit(n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    r_salted = (
+        right.join(hot, key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("__salt", F.explode("__salt"))
+        .drop("__hot")
+    )
+    return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")

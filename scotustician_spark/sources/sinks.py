@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,37 @@ def run_summary(df: DataFrame, group_col: str) -> DataFrame:
     return per_group.unionByName(total).withColumn(
         "generated_at", F.current_timestamp()
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict[str, int]:
+    """MERGE semantics on plain parquet: rows matching on the key are
+    REPLACED by the incoming version, new keys are inserted
+    (``idempotent_append`` is the insert-or-skip sibling; this is
+    update-or-insert — the reference's closest analog is the dbt
+    full-refresh of gold tables, dbt_project.yml:23-31).
+
+    Parquet is immutable, so the merge is copy-on-write: existing
+    rows anti-join away the updated keys, union the updates, rewrite.
+    At scale this belongs on a table format with file-level pruning
+    (Delta/Iceberg MERGE INTO rewrites only matched files); the
+    copy-on-write plan here is the same shape those formats execute,
+    minus the file skipping. Returns updated/inserted counts.
+    """
+    incoming = updates.dropDuplicates(key_cols)
+    if os.path.isdir(path) and any(not f.startswith("_") for f in os.listdir(path)):
+        existing = spark.read.parquet(path)
+        kept = existing.join(incoming.select(*key_cols), key_cols, "left_anti")
+        n_existing = existing.count()
+        n_kept = kept.count()
+        merged = kept.unionByName(incoming)
+        # rewrite must not read its own output mid-plan: materialize first
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        n_in = incoming.count()
+        return {"updated": n_existing - n_kept, "inserted": n_in - (n_existing - n_kept)}
+    incoming.write.mode("overwrite").parquet(path)
+    return {"updated": 0, "inserted": incoming.count()}

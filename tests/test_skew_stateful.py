@@ -83,3 +83,21 @@ def test_running_user_totals_accumulates_state(spark, tmp_path):
     assert u2["n_events"] == 1 and abs(u2["sum_value"] - 5.0) < 1e-9
     # state survived across micro-batches: user 1 appears twice
     assert sum(1 for r in rows if r["user_id"] == 1) == 2
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from scotustician_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_linenumber"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = li.join(o, "l_orderkey", "inner")
+    hot = [r["l_orderkey"] for r in li.groupBy("l_orderkey").count()
+           .orderBy(F.desc("count")).limit(3).collect()]
+    salted = salted_join(li, o, "l_orderkey", hot_keys=hot, n_salts=8)
+    assert salted.count() == plain.count()
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"], r["o_orderstatus"])
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))

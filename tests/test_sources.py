@@ -89,3 +89,28 @@ def test_fetch_keys_retry_and_quarantine(spark):
     ok, junk = parse_fetched(fetched, OA_DOCUMENT)
     assert {r["key"] for r in junk.select("key").collect()} == {"bad", "notjson"}
     assert [r["id"] for r in ok.select("id").collect()] == ["ok1"]
+
+
+def test_merge_upsert(spark, tmp_path):
+    from scotustician_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    stats = merge_upsert(spark, path, base, ["id"])
+    assert stats == {"updated": 0, "inserted": 3}
+
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id long, name string, v long"
+    )
+    stats = merge_upsert(spark, path, updates, ["id"])
+    assert stats == {"updated": 1, "inserted": 1}
+    got = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+    # re-running the same batch is idempotent (same counts, same data)
+    stats = merge_upsert(spark, path, updates, ["id"])
+    assert stats == {"updated": 2, "inserted": 0}
+    got2 = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
