@@ -1,3 +1,4 @@
+from scotustician_spark.streaming.dedup import dedup_stream
 from scotustician_spark.streaming.incremental import (
     incremental_filter,
     run_available_now,
@@ -6,6 +7,7 @@ from scotustician_spark.streaming.incremental import (
 from scotustician_spark.streaming.windows import sessionize, tumbling_agg
 
 __all__ = [
+    "dedup_stream",
     "incremental_filter",
     "run_available_now",
     "sessionize",

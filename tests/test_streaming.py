@@ -102,3 +102,56 @@ def test_windows_run_in_streaming_mode(spark, tmp_path):
     sess = spark.sql("SELECT * FROM sessions_out").collect()
     assert len(sess) == 2  # 00:00+00:10 merge; 01:10 is its own session
     assert {r["n_events"] for r in sess} == {2, 1}
+
+
+def test_dedup_stream_bounded_state_across_runs(spark, tmp_path):
+    from scotustician_spark.streaming import dedup_stream
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    schema = "ts timestamp, doc_key string, payload string"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        (
+            dedup_stream(stream, ["doc_key"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:00:00", "doc_key": "a", "payload": "first"},
+                {"ts": "2024-01-01T00:01:00", "doc_key": "b", "payload": "first"},
+                {"ts": "2024-01-01T00:01:30", "doc_key": "a", "payload": "same-batch-dup"},
+            ]
+        )
+    )
+    run()
+    got = {r["doc_key"]: r["payload"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {"a": "first", "b": "first"}
+
+    # second run, same checkpoint: the redelivered "a" (within the
+    # watermark horizon) is dropped by state persisted across restarts;
+    # "c" is new and passes
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:02:00", "doc_key": "a", "payload": "cross-run-dup"},
+                {"ts": "2024-01-01T00:03:00", "doc_key": "c", "payload": "first"},
+            ]
+        )
+    )
+    run()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 3
+    got = {r["doc_key"]: r["payload"] for r in rows}
+    assert got == {"a": "first", "b": "first", "c": "first"}
