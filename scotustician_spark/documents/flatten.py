@@ -92,8 +92,13 @@ def flatten_utterances(docs: DataFrame, min_words: int = 4) -> DataFrame:
     kept = exploded.filter(
         F.size(F.split(F.trim("text"), r"\s+")) >= F.lit(min_words)
     )
+    # The reference resets idx/offset per *document* (its triple loop
+    # runs once per OA JSON), and posexplode's utterance_index likewise
+    # restarts per oa_id — so the windows MUST partition by
+    # (case_id, oa_id); case_id alone gives duplicate order keys (and
+    # nondeterministic numbering) for cases with multiple OA documents.
     w = (
-        Window.partitionBy("case_id")
+        Window.partitionBy("case_id", "oa_id")
         .orderBy("utterance_index")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -102,7 +107,9 @@ def flatten_utterances(docs: DataFrame, min_words: int = 4) -> DataFrame:
     # offsets over the kept text + 1 separator char (helpers.py:164-175)
     dense = kept.withColumn(
         "utterance_index",
-        F.row_number().over(Window.partitionBy("case_id").orderBy("utterance_index"))
+        F.row_number().over(
+            Window.partitionBy("case_id", "oa_id").orderBy("utterance_index")
+        )
         - 1,
     )
     return (

@@ -117,8 +117,14 @@ def lang_id(text: Column | str) -> Column:
 
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
-    whitespace-normalized, lower-cased text — the exact-dedup key."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(_c(text))), WS, " "))
+    whitespace-normalized, lower-cased text — the exact-dedup key.
+
+    Edge-strips with a regex (all whitespace classes), not F.trim
+    (ASCII space only), so texts edged with tabs/newlines fingerprint
+    identically to their space-trimmed duplicates — same rationale as
+    tokens()."""
+    stripped = F.regexp_replace(F.lower(_c(text)), r"^\s+|\s+$", "")
+    return F.md5(F.regexp_replace(stripped, WS, " "))
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

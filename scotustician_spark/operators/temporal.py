@@ -31,6 +31,7 @@ from pyspark.sql.window import Window as W
 _SIDE = "__asof_side"
 _TIE = "__asof_tie"
 _TS = "__asof_ts_us"
+_PAY = "__asof_payload"
 _BIN = "__range_bin"
 
 
@@ -57,9 +58,20 @@ def asof_join(
     then keep the left rows. Right rows sort before left rows at the
     same timestamp, so an exact-timestamp match counts as "at or
     before" (standard ASOF <= semantics).
+
+    All payload columns travel as ONE struct (null only for left-tagged
+    rows), so the carried value is always a consistent snapshot of a
+    single right row — carrying columns independently would back-fill a
+    NULL field of the latest right row from an older right row, mixing
+    fields across rows (argmax semantics must surface that NULL).
     """
+    from pyspark.sql.types import StructField, StructType
+
     out_left = [c for c in left.columns]
     tie = tie_col if tie_col is not None else next(iter(right_payload))
+    pay_type = StructType(
+        [StructField(dst, right.schema[src].dataType) for src, dst in right_payload.items()]
+    )
 
     l_tagged = left.select(
         F.col(on),
@@ -67,10 +79,7 @@ def asof_join(
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(right.schema[tie].dataType).alias(_TIE),
         *[F.col(c) for c in out_left if c != on],
-        *[
-            F.lit(None).cast(right.schema[src].dataType).alias(dst)
-            for src, dst in right_payload.items()
-        ],
+        F.lit(None).cast(pay_type).alias(_PAY),
     )
     r_tagged = right.select(
         F.col(on),
@@ -78,7 +87,9 @@ def asof_join(
         F.lit(0).alias(_SIDE),
         F.col(tie).alias(_TIE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in out_left if c != on],
-        *[F.col(src).alias(dst) for src, dst in right_payload.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in right_payload.items()]
+        ).alias(_PAY),
     )
 
     w = (
@@ -87,16 +98,12 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(dst, ignorenulls=True).over(w).alias(f"__carried_{dst}")
-            for dst in right_payload.values()
-        ],
+        "*", F.last(_PAY, ignorenulls=True).over(w).alias("__carried")
     )
     return carried.filter(F.col(_SIDE) == 1).select(
         *[F.col(c) for c in out_left if c != on],
         F.col(on),
-        *[F.col(f"__carried_{dst}").alias(dst) for dst in right_payload.values()],
+        *[F.col(f"__carried.{dst}").alias(dst) for dst in right_payload.values()],
     )
 
 

@@ -159,14 +159,18 @@ def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles_by_group",
     """
     SELECT c_mktsegment,
-           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
     doc="A12 box-plot quartiles per group (visualization/helpers.py:253-268); "
-    "exact interpolated percentile so the oracle matches.",
+    "exact interpolated percentile so the oracle matches. Rounded at 4 "
+    "digits, not 2: at p in {.25,.5,.75} the interpolation fraction is a "
+    "multiple of 0.25, so exact quartiles of 2-decimal prices land ON the "
+    "1e-4 grid (tie-free), whereas 2-digit rounding hits exact .xx5 "
+    "half-way ties that round differently across engines.",
 )
 def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -175,9 +179,9 @@ def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
-            F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
         )
     )
 

@@ -162,7 +162,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_groups",
     """
-    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+    SELECT md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS keeper_id
     FROM documents

@@ -11,10 +11,25 @@ discipline for idempotency, and count gates as actions.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _has_data(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists and holds at least one non-metadata entry.
+
+    Uses the Hadoop FileSystem API (same as layout.py) so the sinks work
+    on any Hadoop-compatible store (s3a://, hdfs://, file://), not just
+    the driver-local filesystem that os.path can see.
+    """
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    return any(
+        not st.getPath().getName().startswith("_") for st in fs.listStatus(jpath)
+    )
 
 
 def write_partitioned(
@@ -63,9 +78,7 @@ def idempotent_append(
     spark = df.sparkSession
     incoming = df.dropDuplicates(key_cols)
     n_in = incoming.count()
-    if os.path.isdir(path) and any(
-        not f.startswith("_") for f in os.listdir(path)
-    ):
+    if _has_data(spark, path):
         existing = spark.read.parquet(path).select(*key_cols)
         fresh = incoming.join(existing, key_cols, "left_anti")
     else:
@@ -117,7 +130,11 @@ def merge_upsert(
     minus the file skipping. Returns updated/inserted counts.
     """
     incoming = updates.dropDuplicates(key_cols)
-    if os.path.isdir(path) and any(not f.startswith("_") for f in os.listdir(path)):
+    # count BEFORE the overwrite: if `updates` reads from `path`, any
+    # action on it after the rewrite would re-execute the plan against
+    # the new files (wrong counts, or failure on vanished files)
+    n_in = incoming.count()
+    if _has_data(spark, path):
         existing = spark.read.parquet(path)
         kept = existing.join(incoming.select(*key_cols), key_cols, "left_anti")
         n_existing = existing.count()
@@ -125,7 +142,6 @@ def merge_upsert(
         merged = kept.unionByName(incoming)
         # rewrite must not read its own output mid-plan: materialize first
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
-        n_in = incoming.count()
         return {"updated": n_existing - n_kept, "inserted": n_in - (n_existing - n_kept)}
     incoming.write.mode("overwrite").parquet(path)
-    return {"updated": 0, "inserted": incoming.count()}
+    return {"updated": 0, "inserted": n_in}

@@ -55,6 +55,34 @@ def test_flatten_matches_oracle(utterances):
             assert g[k] == e[k], f"{k} mismatch at {e['case_id']}#{e['utterance_index']}: {g[k]} != {e[k]}"
 
 
+def test_flatten_multiple_oa_per_case(spark, tmp_path):
+    # a case argued twice has two OA documents with the same case_id;
+    # indexes and char offsets must reset per document (oa_id), exactly
+    # like the reference's per-file triple loop — partitioning the
+    # windows by case_id alone made them nondeterministic here
+    from tests.fixtures_oa import make_doc
+    import random
+
+    rng = random.Random(11)
+    d1, d2 = make_doc(50, 3, rng), make_doc(51, 2, rng)
+    d2["case_id"] = d1["case_id"]
+    d2["term"] = d1["term"]
+    docs = [d1, d2]
+    path = str(tmp_path / "multi_oa")
+    write_corpus_json(docs, path)
+    valid, _ = split_quarantine(read_oa_json(spark, path))
+    got = {
+        (r["oa_id"], r["utterance_index"]): r
+        for r in flatten_utterances(valid).collect()
+    }
+    exp = oracle_flatten(docs)
+    assert len(got) == len(exp)
+    for e in exp:
+        g = got[(e["oa_id"], e["utterance_index"])]
+        for k in e:
+            assert g[k] == e[k], f"{k} @ {e['oa_id']}#{e['utterance_index']}"
+
+
 def test_flatten_plan_has_single_shuffle(spark, corpus_dir):
     # the fused HOF flatten must not shuffle; only the offset/index
     # windows exchange by case_id (shared partitioning → one Exchange)

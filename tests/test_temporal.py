@@ -58,6 +58,23 @@ def test_asof_join_semantics(spark):
     assert out.count() == 5  # left-outer: every left row exactly once
 
 
+def test_asof_join_null_payload_field_not_backfilled(spark):
+    # the latest right row has rv=NULL; argmax semantics must surface
+    # that NULL, not back-fill rv from the older right row (a torn row
+    # mixing fields of two right rows)
+    left = spark.createDataFrame([(1, 300, "x")], "k int, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 11, 0.5), (1, 200, 12, None)],
+        "k int, rts long, rid int, rv double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_payload={"rid": "prior_id", "rv": "prior_v"}, tie_col="rid",
+    )
+    [row] = out.collect()
+    assert (row["prior_id"], row["prior_v"]) == (12, None)
+
+
 def test_asof_join_single_exchange(spark):
     out = asof_join(
         _left(spark),
