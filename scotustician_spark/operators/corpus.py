@@ -1,0 +1,115 @@
+"""Corpus-assembly operators for training-data pipelines.
+
+Beyond-reference (the reference stops at embeddings + clustering);
+these are the standard last-mile steps between a cleaned document
+table and a training run, each a pure DataFrame plan with
+oracle-reproducible arithmetic (md5-derived buckets, never RNG — a
+resharded or re-run corpus assigns every document identically, which
+is what makes splits auditable):
+
+- ``hash_bucket``     — stable per-row bucket in [0, n) from md5 of
+  the id. The primitive under splits and sampling.
+- ``assign_splits``   — train/val/test by bucket threshold. No
+  sampling bias, no state, no join: a map-stage CASE.
+- ``stratified_sample`` — per-stratum keep rates (e.g. downsample a
+  dominant language) via per-mille bucket thresholds. Deterministic
+  twin of ``df.sampleBy`` (whose seed-dependent survivors differ by
+  partitioning).
+- ``pack_by_budget``  — concat-and-chunk sequence packing: shard the
+  corpus by hash, order each shard deterministically, running-sum the
+  cost column and cut bins every ``budget`` units. The window runs
+  per-shard, so parallelism is the shard count and no global sort
+  exists anywhere — the 100 TB-safe formulation of "pack documents
+  into ~N-token sequences".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def hash_bucket(id_col: Column | str, n: int, hex_off: int = 1) -> Column:
+    """Deterministic bucket in [0, n): 32 md5 bits (8 hex digits
+    starting at ``hex_off``) of the id's string form, mod n.
+
+    ``hex_off`` selects independent hash bits — use different offsets
+    for independent bucketings (split vs shard), so e.g. the test
+    split is not correlated with the pack shard.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), hex_off, 8), 16, 10).cast("long")
+    return h % F.lit(n)
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add a ``split`` column: 'train'/'val'/'test' by hash-bucket
+    percentile. Percentages are integers out of 100."""
+    b = hash_bucket(id_col, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates_permille: dict[str, int],
+    id_col: str = "doc_id",
+    default_permille: int = 1000,
+) -> DataFrame:
+    """Keep each row iff its per-mille bucket < its stratum's rate.
+
+    E.g. ``{"en": 300}`` keeps a deterministic 30% of English rows and
+    100% of everything else — corpus rebalancing that re-runs
+    identically (unlike seeded RNG sampling, whose survivors shift
+    with partitioning).
+    """
+    b = hash_bucket(id_col, 1000, hex_off=17)
+    rate = F.lit(default_permille)
+    for stratum, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(stratum_col) == stratum, permille).otherwise(rate)
+    return df.filter(b < rate)
+
+
+def pack_by_budget(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Concat-and-chunk packing: assign every row a (shard, seq_id) so
+    consecutive rows of a shard fill each sequence up to ~``budget``
+    cost units (a row starts a new sequence when the running total
+    before it crosses a budget boundary).
+
+    The running sum is windowed per shard — shards are hash-uniform,
+    so the heaviest partition carries ~1/n_shards of the corpus and
+    scale-out is a parameter, not a rewrite. Output adds ``shard``,
+    ``seq_id``, ``offset_in_seq`` (running cost before this row within
+    its sequence).
+    """
+    shard = hash_bucket(id_col, n_shards, hex_off=9)
+    w = W.partitionBy("shard").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    with_cum = df.withColumn("shard", shard).withColumn(
+        "__before", F.coalesce(F.sum(cost_col).over(w), F.lit(0)).cast("long")
+    )
+    return (
+        with_cum.withColumn(
+            "seq_id", F.floor(F.col("__before") / F.lit(budget)).cast("long")
+        )
+        .withColumn(
+            "offset_in_seq", (F.col("__before") % F.lit(budget)).cast("long")
+        )
+        .drop("__before")
+    )

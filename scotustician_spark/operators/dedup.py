@@ -23,7 +23,7 @@ SQL oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, word_shingles
@@ -62,13 +62,13 @@ def shingle_postings(
     cap drops shingles appearing in more than ``df_cap`` docs (hot-key
     skew guard — a shingle in 1M docs would otherwise create 1M² join
     rows)."""
-    posts = (
-        repartition_for_compute(df)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(text_col, n)).alias("shingle"),
-        )
-        .distinct()
+    # per-doc array_distinct BEFORE the explode: (doc_id, shingle)
+    # uniqueness is a per-document property, so deduping in-row replaces
+    # a full shuffle-distinct over the exploded postings with zero data
+    # movement
+    posts = repartition_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
     if df_cap is not None:
         hot = (
@@ -130,26 +130,66 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 1000003 * i + 17) for i in range(num_hashes)]
 
 
+def _let(bound: F.Column, body) -> F.Column:
+    """Let-binding for expression trees: evaluate ``bound`` ONCE and
+    pass it to ``body`` as a lambda variable.
+
+    ``transform(array(x), v -> body(v))[0]`` is the standard trick to
+    stop ProjectCollapse from inlining (and hence re-evaluating) an
+    expensive subexpression at every reference site — higher-order
+    functions are CodegenFallback, so codegen-level subexpression
+    elimination would not rescue the inlined copies.
+    """
+    return F.transform(F.array(bound), body).getItem(0)
+
+
+def minhash_signature_array(
+    text_col: Column | str, n: int = 3, num_hashes: int = 16
+) -> F.Column:
+    """MinHash signature as ONE in-row expression: array<long> of the
+    ``num_hashes`` minima — no explode, no shuffle, a pure map.
+
+    One md5 per distinct shingle (48-bit base hash H), then every
+    universal-family hash (a_i·H + b_i) mod P folds into a running
+    minima array via ``aggregate``+``zip_with``. At corpus scale this
+    replaces the postings explode (~|shingles| rows per doc through a
+    distinct AND a groupBy shuffle) with zero data movement: the only
+    thing that ever leaves the scan stage is the signature itself.
+    Identical arithmetic to the SQL-oracle formulation (min over the
+    same distinct-shingle hash set).
+    """
+    sh = F.array_distinct(word_shingles(text_col, n))
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    )
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    # per-coefficient array_min over the (let-bound, computed-once) base
+    # hashes — measured faster than folding a 16-wide minima array per
+    # shingle, which reallocates the accumulator at every step
+    return _let(
+        hs,
+        lambda H: F.transform(
+            ab,
+            lambda c: F.array_min(
+                F.transform(H, lambda h: (c["a"] * h + c["b"]) % F.lit(MINHASH_P))
+            ),
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """Wide MinHash signature per document: columns mh0..mh{k-1}.
-
-    One md5 per shingle (48-bit base hash H), then the k hashes come
-    from a universal family (a_i·H + b_i) mod P — pure int64 codegen
-    arithmetic, reproducible in any SQL engine. ALL k minima aggregate
-    in a single groupBy(doc_id): one shuffle carrying k longs per doc
-    (vs. the naive per-seed explode, which costs k× the hashing and a
-    k-times-larger shuffle).
-    """
-    posts = shingle_postings(df, id_col, text_col, n)
-    base = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
-    hashed = posts.withColumn("__h", base)
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    """Per-document MinHash signature: (doc_id, mh array<long>)."""
+    return repartition_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature_array(text_col, n, num_hashes).alias("mh"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -162,33 +202,44 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing any band signature.
 
-    Band signatures (md5 of the band's minhashes in seed order) derive
-    from the wide signature row directly — no second aggregation; the
-    per-band layout comes from an in-row explode. The candidate join is
-    an equi-join on (band, signature): documents that collide in no
-    band are never paired, which is the whole point of LSH at corpus
-    scale — pair cost tracks actual collisions, never n².
+    Signatures AND band signatures (md5 of the band's minhashes in seed
+    order) are computed in-row in the scan stage — the first shuffle in
+    the whole plan is the candidate equi-join on (band, band_sig),
+    moving ``n_bands`` short rows per document instead of one row per
+    shingle. Documents that collide in no band are never paired, which
+    is the point of LSH at corpus scale — pair cost tracks actual
+    collisions, never n².
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh{bi * band_size + j}").cast("string")
-                        for j in range(band_size)
-                    ],
+    mins = minhash_signature_array(text_col, n, num_hashes)
+    # bind the minima array once (_let), then derive every band sig
+    # from the bound variable — referencing `mins` n_bands×4 times
+    # directly would re-run the whole aggregate at each site
+    bands_arr = _let(
+        mins,
+        lambda M: F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                M.getItem(bi * band_size + j).cast("string")
+                                for j in range(band_size)
+                            ],
+                        )
+                    ).alias("band_sig"),
                 )
-            ).alias("band_sig"),
-        )
-        for bi in range(n_bands)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", "b.band", "b.band_sig")
+                for bi in range(n_bands)
+            ]
+        ),
+    )
+    bands = (
+        repartition_for_compute(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(bands_arr).alias("b"))
+        .select("doc_id", "b.band", "b.band_sig")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -202,30 +253,54 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16
-) -> DataFrame:
-    """SimHash: per-token md5 hex digits vote ±1 on each of ``bits``
-    bits (weighted by token multiplicity); the sign vector is the
-    signature, emitted as a bit-string so any SQL engine can reproduce
-    it. Near-duplicates differ in few bits (compare via hamming —
-    or band the bit-string for LSH-style candidate generation).
+def simhash_signature_expr(text_col: Column | str, bits: int = 16) -> F.Column:
+    """SimHash as ONE in-row expression (no explode, no shuffle).
+
+    Per-token md5 hex digits vote ±1 on each of ``bits`` bits (weighted
+    by token multiplicity, exactly like the exploded formulation); the
+    sign vector is the signature, emitted as a bit-string so any SQL
+    engine can reproduce it.
     """
     assert bits <= 32, "md5 hex provides 32 digit votes"
     from ..functions.text import tokens
 
-    df = repartition_for_compute(df)
-    toks = df.select(
+    odd = list("13579bdf")
+    positions = F.array(*[F.lit(j + 1) for j in range(bits)])
+    votes = F.aggregate(
+        tokens(F.lower(_colref(text_col))),
+        F.array(*[F.lit(0)] * bits),
+        # bind md5(tok) once per token; each bit reads one hex digit
+        lambda acc, t: _let(
+            F.md5(t),
+            lambda h: F.zip_with(
+                acc,
+                positions,
+                lambda v, j: v
+                + F.when(F.substr(h, j, F.lit(1)).isin(*odd), 1).otherwise(-1),
+            ),
+        ),
+    )
+    return _let(
+        votes,
+        lambda V: F.concat(
+            *[F.when(V.getItem(j) > 0, "1").otherwise("0") for j in range(bits)]
+        ),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash bit-string) — a pure map stage: the tokenize/
+    hash/vote pipeline never leaves the row, so at 100 TB this scales
+    with input splits and shuffles nothing. Near-duplicates differ in
+    few bits (compare via hamming — or band the bit-string for
+    LSH-style candidate generation)."""
+    return repartition_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.md5("tok"))
-    odd = "13579bdf"
-    votes = [
-        F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*list(odd)), 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
-    bit_cols = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(bits)]
-    return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+        simhash_signature_expr(text_col, bits).alias("simhash"),
+    )
+
+
+def _colref(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c

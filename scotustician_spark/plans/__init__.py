@@ -9,3 +9,4 @@ from . import events_windows  # noqa: E402,F401
 from . import multimodal_ann  # noqa: E402,F401
 from . import embedding_q  # noqa: E402,F401
 from . import temporal_q  # noqa: E402,F401
+from . import corpus_q  # noqa: E402,F401

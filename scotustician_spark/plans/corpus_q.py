@@ -1,0 +1,138 @@
+"""Corpus-assembly + dedup-resolution queries (beyond-reference
+training-data operators), each with a DuckDB oracle.
+
+All bucketing is md5-derived (see ``operators/corpus.py``) so the
+oracle reproduces every assignment bit-for-bit; the connected-
+components oracle is a recursive CTE over the same LSH pair SQL the
+``minhash_lsh_pairs`` gate uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import components as CC
+from ..operators import corpus as CP
+from ..operators import dedup as DD
+from .registry import register
+from .vectors_text import _minhash_oracle, _t
+
+# SQL twin of corpus.hash_bucket(id, n, hex_off)
+def _bucket_sql(n: int, hex_off: int = 1, id_expr: str = "doc_id") -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(CAST({id_expr} AS VARCHAR)), "
+        f"{hex_off}, 8)) AS BIGINT) % {n}"
+    )
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS u, doc_id AS comp FROM documents
+        UNION
+        SELECT e.v AS u, r.comp AS comp
+        FROM reach r JOIN edges e ON e.u = r.u),
+    comps AS (SELECT u AS doc_id, min(comp) AS component_id
+              FROM reach GROUP BY u)
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS component_size,
+           doc_id = component_id AS is_keeper
+    FROM comps
+    """,
+    doc="Duplicate-cluster resolution: MinHash-LSH candidate pairs → "
+    "connected components (hash-min label propagation, O(diameter) "
+    "join+groupBy rounds) → canonical keeper per cluster. The oracle "
+    "walks the same pair graph with a recursive CTE.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(docs, "doc_id", "text", n=3, num_hashes=16, band_size=4)
+    return CC.dedup_resolution(pairs, docs.select("doc_id"))
+
+
+@register(
+    "dataset_splits",
+    f"""
+    WITH s AS (
+        SELECT lang, n_chars,
+               CASE WHEN {_bucket_sql(100)} < 80 THEN 'train'
+                    WHEN {_bucket_sql(100)} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM s GROUP BY split, lang
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by md5 "
+    "bucket of doc_id — auditable, re-run-stable splits (no RNG, no "
+    "state); a pure map + one aggregation.",
+)
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = CP.assign_splits(_t(spark, sf_dir, "documents"))
+    return d.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_RATES = {"en": 300, "de": 700}
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_bucket_sql(1000, hex_off=17)} <
+          CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 700 ELSE 1000 END
+    """,
+    doc="Deterministic stratified downsampling (keep 30% of en, 70% of "
+    "de, all else) via per-mille md5 buckets — identical survivors at "
+    "any partitioning, unlike seeded sampleBy. Row-level oracle checks "
+    "exact membership.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = CP.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", _RATES, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH s AS (
+        SELECT doc_id, n_chars, {_bucket_sql(16, hex_off=9)} AS shard
+        FROM documents),
+    c AS (
+        SELECT shard, n_chars,
+               CAST(coalesce(sum(n_chars) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS bef
+        FROM s)
+    SELECT shard, bef // 4000 AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM c GROUP BY shard, seq_id
+    """,
+    doc="Concat-and-chunk sequence packing: hash-shard the corpus, "
+    "running-sum the per-doc cost within each shard, cut a sequence "
+    "every 4000 units. Per-shard windows — no global sort at any "
+    "scale; parallelism is the shard count.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = CP.pack_by_budget(
+        _t(spark, sf_dir, "documents"), "n_chars", budget=4000, n_shards=16
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.windows import sessionize, tumbling_agg
+from ..streaming.windows import hopping_agg, sessionize, tumbling_agg
 from .registry import register
 from .relational import _events
 
@@ -36,6 +36,36 @@ from .relational import _events
 )
 def event_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tumbling_agg(_events(spark, sf_dir), "1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
+@register(
+    "event_hopping_agg",
+    """
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+    k AS (SELECT unnest([0, 1]) AS k)
+    SELECT CAST((us // 1800000000 - k) * 1800000000 AS BIGINT) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM e CROSS JOIN k
+    GROUP BY 1, 2
+    """,
+    doc="Beyond-reference sliding (hopping) window: 1h windows every "
+    "30min — each event expands in-row to exactly window/slide = 2 "
+    "epoch-aligned windows (no self-join against a window table), one "
+    "hash aggregation with map-side partials; the oracle derives the "
+    "same two window starts by integer epoch arithmetic.",
+)
+def event_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = hopping_agg(_events(spark, sf_dir), "1 hour", "30 minutes")
     return out.select(
         F.unix_micros("window_start").alias("window_start_us"),
         "event_type",

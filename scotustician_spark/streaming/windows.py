@@ -44,6 +44,38 @@ def tumbling_agg(
     )
 
 
+def hopping_agg(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: every event lands in
+    ``window_len``/``slide`` overlapping windows, so the same per-
+    (window, event_type) stats are available at a finer cadence than a
+    tumbling window without halving the smoothing span. Spark expands
+    the windows in-row (no self-join against a window table), and with
+    a watermark the same plan is an incremental streaming agg."""
+    e = events
+    if watermark:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

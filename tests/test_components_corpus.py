@@ -1,0 +1,168 @@
+"""Connected components (vs a pure-Python union-find oracle) and
+corpus-assembly operators (splits / stratified sampling / packing)."""
+
+from __future__ import annotations
+
+import json
+import random
+
+from pyspark.sql import functions as F
+
+from scotustician_spark.operators.components import (
+    connected_components,
+    dedup_resolution,
+)
+from scotustician_spark.operators.corpus import (
+    assign_splits,
+    hash_bucket,
+    pack_by_budget,
+    stratified_sample,
+)
+from scotustician_spark.streaming.windows import hopping_agg
+
+
+def _union_find(n_vertices, edges):
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min vertex id reachable
+    comp = {}
+    for v in range(n_vertices):
+        r = find(v)
+        comp[v] = min(u for u in range(n_vertices) if find(u) == r)
+    return comp
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(13)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    exp = _union_find(n, edges)
+    e_df = spark.createDataFrame(edges, "id_a int, id_b int")
+    v_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(e_df, v_df).collect()
+    }
+    assert got == exp  # includes singletons labeled by themselves
+
+
+def test_connected_components_chain_diameter(spark):
+    # a path graph exercises multi-round propagation: 0-1-2-...-9
+    edges = [(i, i + 1) for i in range(9)]
+    e_df = spark.createDataFrame(edges, "id_a int, id_b int")
+    v_df = spark.createDataFrame([(i,) for i in range(10)], "doc_id int")
+    got = connected_components(e_df, v_df).collect()
+    assert all(r["component_id"] == 0 for r in got)
+
+
+def test_dedup_resolution_keeper_and_size(spark):
+    e_df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a int, id_b int")
+    v_df = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id int")
+    rows = {r["doc_id"]: r for r in dedup_resolution(e_df, v_df).collect()}
+    assert rows[1]["component_size"] == 3 and rows[1]["is_keeper"]
+    assert rows[3]["component_id"] == 1 and not rows[3]["is_keeper"]
+    assert rows[7]["component_size"] == 2 and rows[7]["is_keeper"]
+    assert rows[5]["component_size"] == 1 and rows[5]["is_keeper"]
+
+
+def _docs(spark, n=400):
+    rows = [(i, ["en", "de", "fr"][i % 3], 100 + (i * 37) % 900) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_assign_splits_deterministic_and_partitioning_invariant(spark):
+    d = _docs(spark)
+    a = {r["doc_id"]: r["split"] for r in assign_splits(d).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(d.repartition(13, "lang")).collect()
+    }
+    assert a == b  # same assignment at any partitioning
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.7 < frac_train < 0.9  # ~80% by hash
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    d = _docs(spark)
+    kept = stratified_sample(d, "lang", {"en": 0, "de": 500}).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += 1
+    assert "en" not in by_lang  # rate 0 drops the stratum entirely
+    assert by_lang["fr"] == len([r for r in d.collect() if r["lang"] == "fr"])
+    n_de = len([r for r in d.collect() if r["lang"] == "de"])
+    assert 0.3 * n_de < by_lang["de"] < 0.7 * n_de
+    again = stratified_sample(d, "lang", {"en": 0, "de": 500}).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+def test_pack_by_budget_invariants(spark):
+    d = _docs(spark)
+    budget = 2000
+    packed = pack_by_budget(d, "n_chars", budget, n_shards=4).collect()
+    assert len(packed) == d.count()  # packing never drops rows
+    by_shard = {}
+    for r in packed:
+        assert 0 <= r["offset_in_seq"] < budget
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # seq_id is non-decreasing in id order and offsets restate the
+        # running total: before_i = seq_id * budget + offset
+        before = 0
+        for r in rows:
+            assert r["seq_id"] == before // budget
+            assert r["offset_in_seq"] == before % budget
+            before += r["n_chars"]
+
+
+def test_hash_bucket_offsets_are_independent(spark):
+    d = _docs(spark)
+    out = d.select(
+        hash_bucket("doc_id", 2).alias("a"), hash_bucket("doc_id", 2, hex_off=9).alias("b")
+    ).collect()
+    # different hex windows must not produce the same bucketing
+    assert any(r["a"] != r["b"] for r in out)
+
+
+def test_hopping_agg_streaming_mode(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01T00:40:00", "user_id": 1, "event_type": "a", "value": 2.0},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        hopping_agg(stream, "1 hour", "30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("hopping_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM hopping_out").collect()
+    }
+    # 00:10 → windows [23:30, 00:00]; 00:40 → [00:00, 00:30]
+    assert got == {
+        ("2023-12-31T23:30:00", "a"): 1,
+        ("2024-01-01T00:00:00", "a"): 2,
+        ("2024-01-01T00:30:00", "a"): 1,
+    }
