@@ -127,6 +127,99 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk_onestep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    d2_round: int = 6,
+    sim_round: int = 6,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC one-step-Lloyd coarse quantizer —
+    the oracle-checkable sibling of ``ivf_topk`` (whose MLlib KMeans
+    quantizer is iterative and engine-specific).
+
+    Seeds are the vectors with the ``n_cells`` smallest ids; one Lloyd
+    refinement (assign to nearest seed, re-center as the element-wise
+    cell mean) gives data-adapted centroids that any SQL engine can
+    reproduce. Distances and similarities are rounded BEFORE ranking
+    (ties break by cell / id asc) so the argmin is stable across
+    engines despite last-ulp float-summation differences.
+
+    Same physical shape as ``ivf_topk``: the centroid table is tiny and
+    broadcast everywhere; corpus passes are map-side (assignment) plus
+    one equi-join on cell id for the probe — candidates scale with
+    inverted-list sizes, never corpus².
+    """
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    # the n_cells lowest-id vectors seed the cells (0-based, id order)
+    seeds = (
+        c.orderBy("cid")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(W.orderBy("cid")) - 1).cast("int").alias("cell"),
+            F.col("c_vec").alias("centroid"),
+        )
+    )
+
+    def _d2(v, ccol):
+        return F.aggregate(
+            F.zip_with(F.col(v), F.col(ccol), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        wp = W.partitionBy("cid").orderBy(F.asc("d2r"), F.asc("cell"))
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("d2r", F.round(_d2("c_vec", "centroid"), d2_round))
+            .withColumn("__r", F.row_number().over(wp))
+            .filter(F.col("__r") == 1)
+            .select("cid", "c_vec", "cell")
+        )
+
+    # one Lloyd step: element-wise mean per cell (long-form avg keeps
+    # the arithmetic SQL-reproducible: avg per (cell, pos))
+    a0 = _assign(c, seeds)
+    cents1 = (
+        a0.select("cell", F.posexplode("c_vec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select("cell", F.col("pm.m").alias("centroid"))
+    )
+
+    inverted = _assign(c, cents1).select(
+        F.col("cid").alias("neighbor_id"), "c_vec", "cell"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2r"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents1))
+        .withColumn("d2r", F.round(_d2("q_vec", "centroid"), d2_round))
+        .withColumn("p_rnk", F.row_number().over(wp))
+        .filter(F.col("p_rnk") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), sim_round))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def pairwise_cosine_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -157,16 +157,104 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", "rnk")
 
 
+def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+    seedvecs AS (
+        SELECT s.cell, e.pos, e.v FROM seeds s JOIN ex e ON e.vec_id = s.vec_id),
+    d0 AS (
+        SELECT e.vec_id, sv.cell,
+               round(sum((e.v - sv.v) * (e.v - sv.v)), 6) AS d2r
+        FROM ex e JOIN seedvecs sv ON sv.pos = e.pos
+        GROUP BY e.vec_id, sv.cell),
+    a0 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS r
+            FROM d0) WHERE r = 1),
+    cents AS (
+        SELECT a0.cell, e.pos, avg(e.v) AS m
+        FROM ex e JOIN a0 USING (vec_id) GROUP BY a0.cell, e.pos),
+    d1 AS (
+        SELECT e.vec_id, c.cell,
+               round(sum((e.v - c.m) * (e.v - c.m)), 6) AS d2r
+        FROM ex e JOIN cents c ON c.pos = e.pos
+        GROUP BY e.vec_id, c.cell),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS r
+            FROM d1) WHERE r = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS r
+            FROM d1 WHERE vec_id < 10) WHERE r <= {n_probe}),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cand AS (
+        SELECT p.query_id, a1.vec_id AS neighbor_id
+        FROM probes p JOIN a1 ON a1.cell = p.cell AND a1.vec_id <> p.query_id),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.query_id
+        JOIN ex b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
 @register(
     "ivf_ann_topk",
-    None,  # KMeans quantizer is not SQL-expressible -> rows-only gate;
-    # tests/test_ml_clustering.py pins exactness at n_probe == n_cells
-    doc="Third ANN family (brute force / LSH / IVF): KMeans coarse "
-    "quantizer shards the corpus into inverted lists; queries probe "
-    "their 2 nearest cells and re-rank exactly. Data-adaptive cells vs "
-    "LSH's data-independent planes; probe is an equi-join on cell id.",
+    _ivf_oracle(),
+    doc="Third ANN family (brute force / LSH / IVF), oracle-gated via a "
+    "deterministic one-step-Lloyd quantizer: seed cells from the "
+    "lowest-id vectors, one assign+re-center refinement, probe the 2 "
+    "nearest cells, re-rank exactly. Distances/sims round before "
+    "ranking so the argmin is engine-stable. ivf_kmeans_topk is the "
+    "MLlib-quantizer sibling (rows-only).",
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.ivf_topk_onestep(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_cells=8,
+        n_probe=2,
+    )
+    return out.select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@register(
+    "ivf_kmeans_topk",
+    None,  # KMeans quantizer is not SQL-expressible -> rows-only gate;
+    # tests/test_ml_clustering.py pins exactness at n_probe == n_cells
+    doc="IVF with a learned MLlib KMeans coarse quantizer (the "
+    "production quantizer; ivf_ann_topk is the oracle-checkable "
+    "one-step-Lloyd sibling): cells adapt to the data distribution, "
+    "queries probe their 2 nearest cells and re-rank exactly; probe is "
+    "an equi-join on cell id.",
+)
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.ivf_topk(
         e,

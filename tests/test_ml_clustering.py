@@ -136,3 +136,29 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     exact_pairs = {(q_, n) for (q_, _), n in exact.items()}
     hits = sum(1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact_pairs)
     assert len(approx) > 0 and hits / len(exact_pairs) >= 0.2
+
+
+def test_ivf_onestep_full_probe_equals_brute_force(spark, sf_dir):
+    from scotustician_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_onestep,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    # the deterministic quantizer must also degrade to exact brute
+    # force at n_probe == n_cells (sims rounded at 6 on both sides, so
+    # compare neighbor sets per rank)
+    exact = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in brute_force_topk(e, q, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivf_topk_onestep(e, q, k=3, n_cells=4, n_probe=4).collect()
+    }
+    assert full == exact
+    # determinism: two runs produce identical rows
+    a = sorted(map(tuple, ivf_topk_onestep(e, q, k=3, n_cells=4, n_probe=2).collect()))
+    b = sorted(map(tuple, ivf_topk_onestep(e, q, k=3, n_cells=4, n_probe=2).collect()))
+    assert a == b

@@ -49,3 +49,19 @@ def test_weighted_vec_avg_shuffles_scalars_not_vectors(spark, sf_dir):
 def test_asof_join_single_exchange_full_query(spark, sf_dir):
     plan = _final_plan(QUERY_REGISTRY["asof_prior_purchase"].fn(spark, sf_dir))
     assert plan.count("Exchange") == 1, plan  # one shuffle on user_id, ever
+
+
+def test_simhash_is_pure_map(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["simhash_signatures"].fn(spark, sf_dir))
+    # signature is one in-row expression: no aggregation anywhere, and
+    # the only exchange is the parallelism repartition of the scan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert plan.count("Exchange") == 1 and "REPARTITION" in plan, plan
+
+
+def test_minhash_lsh_first_shuffle_is_the_band_join(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir))
+    # in-row signatures: no aggregate before the candidate join — the
+    # only HashAggregate is the final pair distinct
+    assert plan.count("HashAggregate") == 2, plan  # partial+final distinct
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
