@@ -4,13 +4,20 @@ from scotustician_spark.streaming.incremental import (
     run_available_now,
     stream_json_corpus,
 )
-from scotustician_spark.streaming.windows import sessionize, tumbling_agg
+from scotustician_spark.streaming.joins import (
+    stream_interval_join,
+    stream_static_enrich,
+)
+from scotustician_spark.streaming.windows import hopping_agg, sessionize, tumbling_agg
 
 __all__ = [
     "dedup_stream",
+    "hopping_agg",
     "incremental_filter",
     "run_available_now",
     "sessionize",
+    "stream_interval_join",
     "stream_json_corpus",
+    "stream_static_enrich",
     "tumbling_agg",
 ]

@@ -50,3 +50,39 @@ def test_write_range_sorted_disjoint_rowgroups(spark, sf_dir, tmp_path):
         assert hi <= lo  # disjoint (boundary key may touch)
     # rows survive the rewrite
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    from scotustician_spark.sources.layout import write_zordered
+
+    # uniform 2-D grid: z-order must localize BOTH x and y per file,
+    # where a plain x-sort localizes only x
+    rows = [(x, y, x * 256 + y) for x in range(128) for y in range(128)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+
+    def file_coverage(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((max(maxs) - min(mins)) / 127.0)
+        return sum(spans) / len(spans)
+
+    zdst = str(tmp_path / "zorder")
+    write_zordered(df, zdst, ["x", "y"], bits=7, num_files=16)
+    assert spark.read.parquet(zdst).count() == df.count()
+    # 16 files over a 128x128 grid -> each file is a ~32x32 tile:
+    # both dimensions localized (coverage well under the full range)
+    assert file_coverage(zdst, "x") < 0.5
+    assert file_coverage(zdst, "y") < 0.5
+
+    xdst = str(tmp_path / "xsort")
+    write_range_sorted(df, xdst, "x", num_files=16)
+    # the single-key sort localizes x tightly but leaves y unclustered
+    assert file_coverage(xdst, "x") < 0.2
+    assert file_coverage(xdst, "y") > 0.9

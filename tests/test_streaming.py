@@ -155,3 +155,58 @@ def test_dedup_stream_bounded_state_across_runs(spark, tmp_path):
     assert len(rows) == 3
     got = {r["doc_key"]: r["payload"] for r in rows}
     assert got == {"a": "first", "b": "first", "c": "first"}
+
+
+def test_stream_interval_join(spark, tmp_path):
+    from scotustician_spark.streaming.joins import stream_interval_join
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    lrows = [
+        {"ts": "2024-01-01T00:00:00", "k": 1, "lid": 10},
+        {"ts": "2024-01-01T01:00:00", "k": 1, "lid": 11},
+        {"ts": "2024-01-01T00:00:00", "k": 2, "lid": 12},
+    ]
+    rrows = [
+        {"rts": "2024-01-01T00:05:00", "k": 1, "rid": 20},  # joins lid 10
+        {"rts": "2024-01-01T00:20:00", "k": 1, "rid": 21},  # outside upper
+        {"rts": "2024-01-01T01:05:00", "k": 1, "rid": 22},  # joins lid 11
+        {"rts": "2024-01-01T00:05:00", "k": 3, "rid": 23},  # key mismatch
+    ]
+    (lsrc / "l.json").write_text("\n".join(json.dumps(r) for r in lrows))
+    (rsrc / "r.json").write_text("\n".join(json.dumps(r) for r in rrows))
+    l = spark.readStream.schema("ts timestamp, k long, lid long").json(str(lsrc))
+    r = spark.readStream.schema("rts timestamp, k long, rid long").json(str(rsrc))
+    q = (
+        stream_interval_join(l, r, on="k", upper="10 minutes")
+        .select("lid", "rid")
+        .writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(row["lid"], row["rid"]) for row in spark.sql("SELECT * FROM sj_out").collect()}
+    assert got == {(10, 20), (11, 22)}
+
+
+def test_stream_static_enrich_broadcasts(spark, tmp_path):
+    from scotustician_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "s"
+    src.mkdir()
+    (src / "s.json").write_text(json.dumps({"k": 1, "v": 5}))
+    dim = spark.createDataFrame([(1, "gold")], "k long, tier string")
+    stream = spark.readStream.schema("k long, v long").json(str(src))
+    q = (
+        stream_static_enrich(stream, dim, "k")
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM enrich_out").collect()
+    assert [(r["k"], r["v"], r["tier"]) for r in rows] == [(1, 5, "gold")]
