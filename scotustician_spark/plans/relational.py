@@ -156,6 +156,38 @@ def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_unpivot",
+    """
+    WITH wide AS (
+        SELECT o_orderstatus,
+               CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT)  AS urgent_orders,
+               CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT)    AS high_orders,
+               CAST(count(CASE WHEN o_orderpriority IN ('3-MEDIUM','4-NOT SPECIFIED') THEN 1 END) AS BIGINT) AS mid_orders,
+               CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT)     AS low_orders
+        FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, 'urgent_orders' AS priority_class, urgent_orders AS n_orders FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'high_orders', high_orders FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'mid_orders', mid_orders FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'low_orders', low_orders FROM wide
+    """,
+    doc="Native unpivot/melt (wide→long, the inverse of the A4 "
+    "conditional pivot): Spark's unpivot is a zero-shuffle in-row "
+    "Expand — the oracle states the same op as a 4-way UNION ALL.",
+)
+def priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = conditional_counts(spark, sf_dir)
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["urgent_orders", "high_orders", "mid_orders", "low_orders"],
+        "priority_class",
+        "n_orders",
+    )
+
+
+@register(
     "percentiles_by_group",
     """
     SELECT c_mktsegment,

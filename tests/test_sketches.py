@@ -1,0 +1,59 @@
+"""Re-aggregatable distinct-count sketches (HLL / Theta family).
+
+The 100 TB pattern these pin: precompute ONE tiny sketch per partition
+/ day / shard, persist it, and answer any later distinct-count rollup
+by MERGING sketches — no re-scan of raw data, and (unlike plain
+``approx_count_distinct`` results) the partials compose: estimates
+over unions come from unions of sketches. ``approx_distinct`` in the
+registry is the query-time path; these tests pin the mergeability
+contract Spark's Datasketches-backed functions provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hll_sketch_merge_equals_global(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # per-group sketches merged across groups == one global sketch:
+    # the property that makes sketches precomputable per partition
+    merged = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = (
+        li.agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged == direct  # same sketch state, not merely close
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    est = (
+        li.agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - exact) / exact < 0.05  # default lgK=12 → ~1.6% rse
+
+
+def test_hll_sketches_survive_persistence(spark, sf_dir, tmp_path):
+    # sketches are binary columns: write the partials, read them back,
+    # merge — the "sketch per day, roll up later" lifecycle
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = str(tmp_path / "sketches")
+    li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk")).write.parquet(p)
+    roundtrip = (
+        spark.read.parquet(p)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = (
+        li.agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert roundtrip == direct
