@@ -103,3 +103,29 @@ def test_tfidf_top_terms_matches_pure_python(spark):
         for rank, w in enumerate(scored[:2], 1):
             expected[(d, rank)] = (w, tf[w], dfreq[w])
     assert got == expected
+
+
+def test_split_with_offsets_udtf(spark):
+    from scotustician_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "One two. Three!  Four? five"), (2, None), (3, "")],
+        "id long, text string",
+    )
+    df.createOrReplaceTempView("udtf_in")
+    rows = spark.sql(
+        "SELECT id, piece_idx, piece, char_start, char_end "
+        "FROM udtf_in, LATERAL split_with_offsets(text)"
+    ).collect()
+    got = [(r["id"], r["piece_idx"], r["piece"]) for r in rows]
+    assert got == [
+        (1, 0, "One two."),
+        (1, 1, "Three!"),
+        (1, 2, "Four?"),
+        (1, 3, "five"),
+    ]  # null/empty rows emit nothing
+    # offsets index into the ORIGINAL string (double space preserved)
+    text = "One two. Three!  Four? five"
+    for r in rows:
+        assert text[r["char_start"] : r["char_end"]] == r["piece"]
