@@ -155,6 +155,66 @@ def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (column, numeric expr for Spark, numeric expr for the DuckDB oracle) —
+# dates profile as epoch days, each engine's own spelling
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)", "CAST(o_custkey AS DOUBLE)"),
+    ("o_totalprice", "o_totalprice", "o_totalprice"),
+    (
+        "o_orderdate",
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS DOUBLE)",
+        "CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)",
+    ),
+    ("o_orderstatus", None, None),
+    ("o_orderpriority", None, None),
+]
+
+
+@register(
+    "table_profile",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {f"CAST(min({duck}) AS DOUBLE)" if duck else "CAST(NULL AS DOUBLE)"} AS min_val,
+           {f"CAST(max({duck}) AS DOUBLE)" if duck else "CAST(NULL AS DOUBLE)"} AS max_val
+    FROM orders
+    """
+        for c, _num, duck in _PROFILE_COLS
+    ),
+    doc="Data-profiling pass (the ANALYZE/summary capability): per-column "
+    "null count, exact distinct count, numeric/date min-max — ONE scan, "
+    "long-form output. Exact multi-column distinct costs an Expand "
+    "(row per profiled column); the 100 TB swap is hll_sketch_agg per "
+    "column (tests/test_sketches.py pins that family), trading the "
+    "Expand for fixed-size mergeable sketch state.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    stack_parts = []
+    for c, num, _duck in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            (F.min(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"mn_{c}"),
+            (F.max(F.expr(num)) if num else F.lit(None).cast("double")).alias(f"mx_{c}"),
+        ]
+        stack_parts.append(
+            f"'{c}', n_rows, CAST(n_rows - nn_{c} AS BIGINT), nd_{c}, mn_{c}, mx_{c}"
+        )
+    wide = o.agg(*aggs)
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_parts)}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
+
+
 @register(
     "priority_unpivot",
     """
@@ -329,7 +389,16 @@ def case_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The reference declares two CTEs over the same scan; Spark-first we fuse
     # them into ONE aggregation (one scan, one shuffle) — same result columns.
-    return o.join(line_stats, o.o_orderkey == line_stats.l_orderkey, "left").select(
+    #
+    # shuffle_hash, not sort-merge: both sides already exchange on the
+    # order key, and SMJ would additionally SORT 150k+150k rows per
+    # partition. The build side is the pre-aggregated stats (exactly one
+    # bounded-width row per order), so per-partition build memory is
+    # |orders| / shuffle.partitions — a knob that scales with the data.
+    # Measured 3x faster at sf0.1.
+    return o.join(
+        line_stats.hint("shuffle_hash"), o.o_orderkey == line_stats.l_orderkey, "left"
+    ).select(
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
