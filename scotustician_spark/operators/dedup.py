@@ -214,25 +214,33 @@ def minhash_lsh_candidates(
     mins = minhash_signature_array(text_col, n, num_hashes)
     # bind the minima array once (_let), then derive every band sig
     # from the bound variable — referencing `mins` n_bands×4 times
-    # directly would re-run the whole aggregate at each site
+    # directly would re-run the whole aggregate at each site.
+    # NULL text → null minima ELEMENTS (the array itself exists) →
+    # NULL bands → explode drops the doc: without the guard, concat_ws
+    # would skip the null minima and give every null-text document the
+    # SAME band signature — an n² pair bomb the moment nulls are
+    # common (they are, at corpus scale).
     bands_arr = _let(
         mins,
-        lambda M: F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                M.getItem(bi * band_size + j).cast("string")
-                                for j in range(band_size)
-                            ],
-                        )
-                    ).alias("band_sig"),
-                )
-                for bi in range(n_bands)
-            ]
+        lambda M: F.when(
+            M.getItem(0).isNotNull(),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    M.getItem(bi * band_size + j).cast("string")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            ),
         ),
     )
     bands = (

@@ -166,3 +166,21 @@ def test_hopping_agg_streaming_mode(spark, tmp_path):
         ("2024-01-01T00:00:00", "a"): 2,
         ("2024-01-01T00:30:00", "a"): 1,
     }
+
+
+def test_minhash_lsh_null_text_never_pairs(spark):
+    from scotustician_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here okay"), (4, "")],
+        "doc_id int, text string",
+    )
+    # null-text docs must not collide with each other (concat_ws over
+    # null minima would give them all one band signature — an n² pair
+    # bomb at corpus scale); empty-string docs still dedup normally
+    assert minhash_lsh_candidates(df, "doc_id", "text").collect() == []
+    df2 = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "")], "doc_id int, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df2, "doc_id", "text").collect()}
+    assert pairs == {(2, 3)}
