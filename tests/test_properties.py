@@ -107,3 +107,71 @@ def test_blocked_pairwise_cosine_matches_numpy(spark, vecs):
     assert set(got) == exp_pairs
     for (i, j), sim in got.items():
         assert sim == pytest.approx(S[i, j], abs=1e-9)
+
+
+asof_data = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right: (key, ts, value-or-null)
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@SLOW
+@given(asof_data)
+def test_asof_join_matches_argmax_oracle(spark, data):
+    from scotustician_spark.operators.temporal import asof_join
+
+    lrows, rrows = data
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    rrows = [(k, t, i, v) for i, (k, t, v) in enumerate(rrows)]
+    left = spark.createDataFrame(lrows, "k int, ts long, lid int")
+    right = spark.createDataFrame(rrows, "k int, rts long, rid int, rv double")
+    got = {
+        r["lid"]: (r["prior_id"], r["prior_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_payload={"rid": "prior_id", "rv": "prior_v"}, tie_col="rid",
+        ).collect()
+    }
+    assert len(got) == len(lrows)  # left-outer: every left row once
+    for k, t, lid in lrows:
+        cands = [(rt, rid, rv) for rk, rt, rid, rv in rrows if rk == k and rt <= t]
+        exp = max(cands)[1:] if cands else (None, None)
+        # argmax row's value comes through verbatim — including None
+        assert got[lid] == exp, (lid, got[lid], exp)
+
+
+@SLOW
+@given(texts)
+def test_minhash_signature_matches_python(spark, docs):
+    import hashlib
+
+    from scotustician_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+        minhash_signatures,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: list(r["mh"]) for r in minhash_signatures(df, "doc_id", "text", n=3, num_hashes=8).collect()}
+    for i, t in rows:
+        toks = t.lower().split()
+        if len(toks) >= 3:
+            sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        else:
+            sh = {" ".join(toks)}
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in sh]
+        exp = [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_coeffs(8)]
+        assert got[i] == exp, i

@@ -114,3 +114,23 @@ def test_merge_upsert(spark, tmp_path):
     assert stats == {"updated": 2, "inserted": 0}
     got2 = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # corpus schemas evolve across ingest runs (the reference's JSON
+    # gained fields across terms); the parquet contract: old files keep
+    # reading, new columns backfill null, mergeSchema unions the schema
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, text string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+    # without mergeSchema the footer of one file wins — pin that the
+    # option is what guarantees the union, so readers must opt in
+    plain_cols = set(spark.read.parquet(p).columns)
+    assert plain_cols <= {"id", "text", "lang"}
