@@ -248,15 +248,30 @@ def minhash_lsh_candidates(
         .select(F.col(id_col).alias("doc_id"), F.explode(bands_arr).alias("b"))
         .select("doc_id", "b.band", "b.band_sig")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # group each (band, band_sig) bucket ONCE and emit its id pairs
+    # in-row, instead of a self-join: the signature map runs a single
+    # time (Spark does not reuse the exchange across self-join sides),
+    # and the plan is 3 exchanges (repartition, bucket groupBy, pair
+    # distinct) instead of 5. Bucket membership lists are small by
+    # LSH's design — pair cost tracks actual collisions; a degenerate
+    # hot bucket would need a size cap, the analog of the shingle
+    # document-frequency guard.
+    ids = F.array_sort(F.collect_list("doc_id"))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return (
+        bands.groupBy("band", "band_sig")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

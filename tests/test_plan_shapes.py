@@ -59,9 +59,15 @@ def test_simhash_is_pure_map(spark, sf_dir):
     assert plan.count("Exchange") == 1 and "REPARTITION" in plan, plan
 
 
-def test_minhash_lsh_first_shuffle_is_the_band_join(spark, sf_dir):
+def test_minhash_lsh_single_signature_pass(spark, sf_dir):
     plan = _final_plan(QUERY_REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir))
-    # in-row signatures: no aggregate before the candidate join — the
-    # only HashAggregate is the final pair distinct
-    assert plan.count("HashAggregate") == 2, plan  # partial+final distinct
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # in-row signatures + in-row bucket pair generation: NO join
+    # anywhere (a self-join would compute the signature map twice —
+    # Spark does not reuse the exchange across self-join sides), and
+    # exactly 3 exchanges: compute repartition, bucket groupBy, pair
+    # distinct
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 3, plan
+    # one md5 per shingle: the signature expression appears in ONE
+    # projection (the let-binding blocks ProjectCollapse duplication)
+    assert plan.count("conv(substring(md5") <= 1, plan
