@@ -96,14 +96,39 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. One shuffle keyed on shingle + one on pair.
     """
     posts = shingle_postings(df, id_col, text_col, n, df_cap)
-    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = posts.alias("a")
-    b = posts.alias("b")
+    # |A∩B| WITHOUT the postings self-join (which would compute the
+    # postings twice — exchanges are not reused across self-join
+    # sides): group each shingle's posting list once, emit its doc-id
+    # pairs in-row, count per pair. The df_cap guard above bounds the
+    # per-shingle pair expansion exactly like it bounded the join.
+    ids = F.array_sort(F.collect_list("doc_id"))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        posts.groupBy("shingle")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs_expr).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    # |A| as an in-row expression on the scan — no postings re-use, no
+    # extra shuffle source. With a df_cap the dropped hot shingles must
+    # leave the sizes too, so only the capped postings can supply them.
+    if df_cap is None:
+        sizes = repartition_for_compute(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.array_distinct(word_shingles(text_col, n))).cast("long").alias("sz"),
+        )
+    else:
+        sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (

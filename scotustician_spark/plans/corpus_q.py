@@ -136,3 +136,86 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_FP_SQL = (
+    "md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+_TOKS_SQL = (
+    "regexp_split_to_array("
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+)
+
+
+@register(
+    "corpus_clean_decisions",
+    f"""
+    WITH RECURSIVE
+    q AS (
+        SELECT doc_id, text,
+               coalesce(len({_TOKS_SQL}) >= 10, FALSE) AS qok
+        FROM documents),
+    ek AS (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS keeper
+        FROM q WHERE qok),
+    s1 AS (SELECT doc_id, text FROM ek WHERE keeper = doc_id),
+    pairs AS ({_minhash_oracle(src="s1")}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS u, doc_id AS comp FROM s1
+        UNION
+        SELECT e.v AS u, r.comp AS comp
+        FROM reach r JOIN edges e ON e.u = r.u),
+    comps AS (SELECT u AS doc_id, min(comp) AS component_id
+              FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CASE WHEN NOT q.qok THEN 'quality'
+                WHEN ek.keeper <> d.doc_id THEN 'exact_dup'
+                WHEN c.component_id <> d.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS decision
+    FROM documents d
+    LEFT JOIN q USING (doc_id)
+    LEFT JOIN ek USING (doc_id)
+    LEFT JOIN comps c USING (doc_id)
+    """,
+    doc="Flagship end-to-end training-corpus cleaning: quality gate "
+    "(≥10 whitespace tokens) → exact dedup (normalized-fingerprint "
+    "min-id keeper) → near-dup resolution (MinHash-LSH pairs over the "
+    "exact survivors → connected components → min-id keeper). One "
+    "decision per document with the drop reason; every stage is the "
+    "already-gated operator, composed. The oracle replays the whole "
+    "cascade in SQL, recursive CTE included.",
+)
+def corpus_clean_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import fingerprint, tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = docs.withColumn(
+        "qok",
+        F.coalesce(F.size(tokens("text")) >= 10, F.lit(False)),
+    )
+    ek = (
+        q.filter("qok")
+        .withColumn("keeper", F.min("doc_id").over(W.partitionBy(fingerprint("text"))))
+    )
+    s1 = ek.filter(F.col("keeper") == F.col("doc_id")).select("doc_id", "text")
+    pairs = DD.minhash_lsh_candidates(s1, "doc_id", "text", n=3, num_hashes=16, band_size=4)
+    comps = CC.connected_components(pairs, s1.select("doc_id"))
+    return (
+        q.select("doc_id", "qok")
+        .join(ek.select("doc_id", "keeper"), "doc_id", "left")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("qok"), "quality")
+            .when(F.col("keeper") != F.col("doc_id"), "exact_dup")
+            .when(F.col("component_id") != F.col("doc_id"), "near_dup")
+            .otherwise("kept")
+            .alias("decision"),
+        )
+    )

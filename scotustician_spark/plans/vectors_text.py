@@ -203,9 +203,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
+def _minhash_oracle(num_hashes: int = 16, band_size: int = 4, src: str = "documents") -> str:
     from ..operators.dedup import MINHASH_P, minhash_coeffs
 
+    shingles = _SHINGLES if src == "documents" else _SHINGLES.replace(
+        "FROM documents", f"FROM {src}"
+    )
     mins = ", ".join(
         f"min(({a} * H + {b}) % {MINHASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -221,7 +224,7 @@ def _minhash_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
         for bi in range(n_bands)
     )
     return f"""
-    WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+    WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({shingles})),
     hashed AS (
         SELECT doc_id,
                CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT) AS H
