@@ -24,7 +24,11 @@ def xml_escape(c: Column | str) -> Column:
 
 
 def transcript_to_xml(utterances: DataFrame) -> DataFrame:
-    """flatten.py output → (case_id, term, xml) one row per case."""
+    """flatten.py output → (case_id, oa_id, term, xml), one row per OA
+    document (the reference serializes per transcript file; a case
+    argued twice yields two XML rows — grouping by case alone would
+    interleave the two documents' utterance indexes, which reset per
+    oa_id)."""
     utt_xml = F.format_string(
         '  <utterance index="%s" section="%s" speaker="%s" start_ms="%s" stop_ms="%s">%s</utterance>',
         F.col("utterance_index").cast("string"),
@@ -35,7 +39,7 @@ def transcript_to_xml(utterances: DataFrame) -> DataFrame:
         xml_escape("text"),
     )
     return (
-        utterances.groupBy("case_id", "term")
+        utterances.groupBy("case_id", "oa_id", "term")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -45,6 +49,7 @@ def transcript_to_xml(utterances: DataFrame) -> DataFrame:
         )
         .select(
             "case_id",
+            "oa_id",
             "term",
             F.concat(
                 F.format_string('<transcript case_id="%s">\n', xml_escape("case_id")),

@@ -81,6 +81,11 @@ def test_flatten_multiple_oa_per_case(spark, tmp_path):
         g = got[(e["oa_id"], e["utterance_index"])]
         for k in e:
             assert g[k] == e[k], f"{k} @ {e['oa_id']}#{e['utterance_index']}"
+    # XML serializes per OA document: the twice-argued case yields two
+    # rows, each internally ordered by its own utterance indexes
+    xml_rows = transcript_to_xml(flatten_utterances(valid)).collect()
+    assert sorted(r["oa_id"] for r in xml_rows) == sorted(d["id"] for d in docs)
+    assert all(r["case_id"] == d1["case_id"] for r in xml_rows)
 
 
 def test_flatten_plan_has_single_shuffle(spark, corpus_dir):
