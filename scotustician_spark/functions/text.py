@@ -130,8 +130,13 @@ def fingerprint(text: Column | str) -> Column:
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (MinHash/Jaccard input).
 
-    Documents with fewer than n words yield a single shingle of the
-    whole text so they still participate in dedup.
+    Documents with 1..n-1 words yield a single shingle of the whole
+    text so they still participate in dedup. Zero-token documents
+    (NULL or whitespace-only text) yield an EMPTY array — they have no
+    content to dedup on, and letting them through would pair every
+    null/blank document with every other at similarity 1.0: an n²
+    pair bomb at corpus scale, and a divergence from any SQL oracle
+    whose unnest drops them.
     """
     toks = tokens(F.lower(_c(text)))
     k = F.size(toks)
@@ -139,4 +144,8 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(0), k - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        F.when(k >= n, grams)
+        .when(k > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )

@@ -15,8 +15,12 @@ near-dup clusters are dense and tiny (diameter ≲ 3-4), so 3-5 rounds
 in practice. Each round is one equi-join + one groupBy, both keyed on
 the vertex id, so AQE can coalesce/skew-split them; lineage is cut
 per round with localCheckpoint, or the loop would replan a 2^k-deep
-DAG. Convergence is detected by the (monotonically non-increasing)
-sum of labels — one tiny agg action, no extra join.
+DAG. Convergence is detected by a type-agnostic label checksum
+(sum of xxhash64(comp), accumulated in decimal so it cannot
+overflow) — one tiny agg action, no extra join, and it works for
+string vertex ids (docket numbers like '80-1538') exactly as for
+numeric ones; a numeric cast would crash under ANSI mode or go NULL
+silently otherwise.
 
 At extreme scale (billions of edges, high-diameter graphs) the
 two-phase large-star/small-star variant (Kiveris et al., "Connected
@@ -52,12 +56,17 @@ def connected_components(
         F.col(id_col).alias("u"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
 
-    def _label_sum(lbl: DataFrame) -> int:
+    def _label_checksum(lbl: DataFrame):
+        # hash-min labels only ever decrease, so the label multiset is
+        # stable iff its hash-sum is; xxhash64 works on any id type
+        # (string doc ids included) and the decimal accumulator cannot
+        # overflow or go NULL, so checksum equality ⇔ convergence
+        # (modulo a 2^-64 collision).
         return lbl.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            F.sum(F.xxhash64("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_checksum(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "comp")
         labels = (
@@ -66,8 +75,8 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:  # min-labels only ever decrease
+        cur_sum = _label_checksum(labels)
+        if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     return labels.select(F.col("u").alias(id_col), F.col("comp").alias("component_id"))

@@ -65,10 +65,18 @@ def shingle_postings(
     # per-doc array_distinct BEFORE the explode: (doc_id, shingle)
     # uniqueness is a per-document property, so deduping in-row replaces
     # a full shuffle-distinct over the exploded postings with zero data
-    # movement
-    posts = repartition_for_compute(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+    # movement. word_shingles yields [] for null/blank text, so those
+    # docs never reach the postings; the isNotNull filter is insurance
+    # against any upstream producing literal null shingles — one null
+    # bucket would pair every such doc with every other (n² at corpus
+    # scale, where nulls are common).
+    posts = (
+        repartition_for_compute(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
     if df_cap is not None:
         hot = (
@@ -101,7 +109,12 @@ def ngram_jaccard_pairs(
     # sides): group each shingle's posting list once, emit its doc-id
     # pairs in-row, count per pair. The df_cap guard above bounds the
     # per-shingle pair expansion exactly like it bounded the join.
-    ids = F.array_sort(F.collect_list("doc_id"))
+    # collect_SET, not list: a doc_id appearing twice in the input (dup
+    # rows) would repeat in the bucket, pair with itself, AND double-
+    # count the intersection (n_inter = 2×|A∩B| drives the union-size
+    # denominator to zero). The set dedupes in the partial agg, so the
+    # old self-join's strict a.id < b.id guarantee holds by construction.
+    ids = F.array_sort(F.collect_set("doc_id"))
     pairs_expr = F.flatten(
         F.transform(
             F.col("ids"),
@@ -281,7 +294,10 @@ def minhash_lsh_candidates(
     # LSH's design — pair cost tracks actual collisions; a degenerate
     # hot bucket would need a size cap, the analog of the shingle
     # document-frequency guard.
-    ids = F.array_sort(F.collect_list("doc_id"))
+    # collect_SET: dup doc_id rows in the input would repeat in the
+    # bucket list and emit a self-pair (the old self-join's a.id < b.id
+    # excluded equal ids); the set restores that by construction.
+    ids = F.array_sort(F.collect_set("doc_id"))
     pairs_expr = F.flatten(
         F.transform(
             F.col("ids"),
@@ -314,25 +330,36 @@ def simhash_signature_expr(text_col: Column | str, bits: int = 16) -> F.Column:
 
     odd = list("13579bdf")
     positions = F.array(*[F.lit(j + 1) for j in range(bits)])
-    votes = F.aggregate(
-        tokens(F.lower(_colref(text_col))),
-        F.array(*[F.lit(0)] * bits),
-        # bind md5(tok) once per token; each bit reads one hex digit
-        lambda acc, t: _let(
-            F.md5(t),
-            lambda h: F.zip_with(
-                acc,
-                positions,
-                lambda v, j: v
-                + F.when(F.substr(h, j, F.lit(1)).isin(*odd), 1).otherwise(-1),
+
+    def _sig(toks: F.Column) -> F.Column:
+        votes = F.aggregate(
+            toks,
+            F.array(*[F.lit(0)] * bits),
+            # bind md5(tok) once per token; each bit reads one hex digit
+            lambda acc, t: _let(
+                F.md5(t),
+                lambda h: F.zip_with(
+                    acc,
+                    positions,
+                    lambda v, j: v
+                    + F.when(F.substr(h, j, F.lit(1)).isin(*odd), 1).otherwise(-1),
+                ),
             ),
-        ),
-    )
+        )
+        return _let(
+            votes,
+            lambda V: F.concat(
+                *[F.when(V.getItem(j) > 0, "1").otherwise("0") for j in range(bits)]
+            ),
+        )
+
+    # Zero-token (null/blank) documents get a NULL signature, not the
+    # all-zeros string: an all-zeros signature would collide every
+    # empty document onto one bucket (and diverge from SQL oracles
+    # whose token unnest simply drops such docs).
     return _let(
-        votes,
-        lambda V: F.concat(
-            *[F.when(V.getItem(j) > 0, "1").otherwise("0") for j in range(bits)]
-        ),
+        tokens(F.lower(_colref(text_col))),
+        lambda T: F.when(F.size(T) > 0, _sig(T)),
     )
 
 
@@ -343,10 +370,16 @@ def simhash_signatures(
     hash/vote pipeline never leaves the row, so at 100 TB this scales
     with input splits and shuffles nothing. Near-duplicates differ in
     few bits (compare via hamming — or band the bit-string for
-    LSH-style candidate generation)."""
-    return repartition_for_compute(df).select(
-        F.col(id_col).alias("doc_id"),
-        simhash_signature_expr(text_col, bits).alias("simhash"),
+    LSH-style candidate generation). Zero-token documents are absent
+    from the output (NULL signature filtered), matching the oracle's
+    unnest semantics."""
+    return (
+        repartition_for_compute(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash_signature_expr(text_col, bits).alias("simhash"),
+        )
+        .filter(F.col("simhash").isNotNull())
     )
 
 

@@ -32,11 +32,19 @@ _TOKS = (
     "regexp_split_to_array("
     "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 )
+# NB: unnest must wrap the WHOLE CASE — DuckDB's unnest-inside-a-CASE-
+# branch silently drops every row that takes the other branch (verified
+# empirically), which would lose all docs with < n tokens. Zero-token
+# docs (NULL text, or blank text, where DuckDB splits '' to ['']) emit
+# no shingles, matching Spark word_shingles' empty array.
 _SHINGLES = f"""
-    SELECT doc_id, CASE WHEN len(l) >= 3
-                THEN unnest(list_transform(range(1, len(l)-1),
-                            i -> array_to_string(l[i:i+2], ' ')))
-                ELSE array_to_string(l, ' ') END AS shingle
+    SELECT doc_id, unnest(CASE
+                WHEN l IS NULL OR len(l) = 0 OR (len(l) = 1 AND l[1] = '')
+                    THEN CAST([] AS VARCHAR[])
+                WHEN len(l) >= 3
+                    THEN list_transform(range(1, len(l)-1),
+                                        i -> array_to_string(l[i:i+2], ' '))
+                ELSE [array_to_string(l, ' ')] END) AS shingle
     FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
 """
 _SW = {
@@ -262,8 +270,12 @@ def _simhash_oracle(bits: int = 16) -> str:
         for j in range(bits)
     )
     concat = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits))
+    # WHERE drops blank docs (DuckDB splits '' to [''], one phantom
+    # token); NULL text is dropped by the unnest itself. Matches the
+    # Spark side's NULL-signature filter for zero-token documents.
     return f"""
-    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+                  WHERE length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) > 0),
     h AS (SELECT doc_id, md5(tok) AS h FROM toks),
     votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
     SELECT doc_id, {concat} AS simhash FROM votes

@@ -82,12 +82,19 @@ def zorder_value(cols: list[str], mins: list, maxs: list, bits: int = 8):
     z = F.lit(0).cast("long")
     for ci, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
         span = float(hi) - float(lo)
-        cell = F.least(
-            F.lit((1 << bits) - 1),
-            F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * (1 << bits)).cast(
-                "long"
-            ),
-        )
+        if span <= 0.0:
+            # constant column: every row is the same cell; dividing by
+            # a zero span would yield NULL (or raise under ANSI) and
+            # least() would silently map every row to the top cell
+            cell = F.lit(0).cast("long")
+        else:
+            cell = F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * (1 << bits)
+            ).cast("long")
+            cell = F.least(F.lit((1 << bits) - 1), cell)
+        # NULL column values get an explicit cell of their own (the top
+        # one) instead of riding on least()'s null-skipping
+        cell = F.coalesce(cell, F.lit((1 << bits) - 1).cast("long"))
         for i in range(bits):
             bit = F.shiftright(cell, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * n + ci))

@@ -66,6 +66,60 @@ def test_connected_components_chain_diameter(spark):
     assert all(r["component_id"] == 0 for r in got)
 
 
+def test_connected_components_string_ids(spark):
+    # real domain keys are strings (docket numbers like '80-1538'); the
+    # convergence checksum must not assume numeric labels, and a path
+    # graph (diameter > 1) catches a loop that bails after one round
+    edges = [("80-1538", "81-0003"), ("81-0003", "79-0442"), ("02-102", "02-241")]
+    verts = [(v,) for v in ["80-1538", "81-0003", "79-0442", "02-102", "02-241", "solo-1"]]
+    e_df = spark.createDataFrame(edges, "id_a string, id_b string")
+    v_df = spark.createDataFrame(verts, "doc_id string")
+    got = {r["doc_id"]: r["component_id"] for r in connected_components(e_df, v_df).collect()}
+    assert got["80-1538"] == got["81-0003"] == got["79-0442"] == "79-0442"
+    assert got["02-102"] == got["02-241"] == "02-102"
+    assert got["solo-1"] == "solo-1"
+
+
+def test_ngram_jaccard_zero_token_docs_never_pair(spark):
+    from scotustician_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "  "), (5, "dup text here"), (6, "dup text here")],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs == {(5, 6)}
+
+
+def test_ngram_jaccard_duplicate_rows_no_self_pairs(spark):
+    from scotustician_spark.operators.dedup import ngram_jaccard_pairs
+
+    # same doc_id appearing twice must not pair with itself
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_simhash_zero_token_docs_absent(spark):
+    from scotustician_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real content")], "doc_id int, text string"
+    )
+    out = simhash_signatures(df, "doc_id", "text").collect()
+    assert [r["doc_id"] for r in out] == [4]
+    assert out[0]["simhash"] != "0" * len(out[0]["simhash"])
+
+
 def test_dedup_resolution_keeper_and_size(spark):
     e_df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a int, id_b int")
     v_df = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id int")
@@ -175,12 +229,14 @@ def test_minhash_lsh_null_text_never_pairs(spark):
         [(1, None), (2, None), (3, "real text here okay"), (4, "")],
         "doc_id int, text string",
     )
-    # null-text docs must not collide with each other (concat_ws over
-    # null minima would give them all one band signature — an n² pair
-    # bomb at corpus scale); empty-string docs still dedup normally
+    # zero-token docs (null OR whitespace-only) yield no shingles and
+    # must never pair — with each other or anything else: one shared
+    # bucket for them is an n² pair bomb at corpus scale, and SQL
+    # oracles' unnest drops them entirely
     assert minhash_lsh_candidates(df, "doc_id", "text").collect() == []
     df2 = spark.createDataFrame(
-        [(1, None), (2, ""), (3, "")], "doc_id int, text string"
+        [(1, None), (2, ""), (3, ""), (4, "same words"), (5, "same words")],
+        "doc_id int, text string",
     )
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df2, "doc_id", "text").collect()}
-    assert pairs == {(2, 3)}
+    assert pairs == {(4, 5)}

@@ -52,6 +52,24 @@ def test_write_range_sorted_disjoint_rowgroups(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dst).count() == li.count()
 
 
+def test_zorder_value_constant_and_null_columns(spark):
+    from scotustician_spark.sources.layout import zorder_value
+
+    # constant column (span 0) must not divide by zero; NULL values get
+    # an explicit cell instead of least()'s null-skip mapping them to 255
+    df = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, None)], "c long, x int"
+    )
+    z = zorder_value(["c", "x"], [5, 1], [5, 3], bits=4)
+    rows = df.withColumn("z", z).collect()
+    assert all(r["z"] is not None for r in rows)
+    # constant column contributes cell 0: rows differ only via x
+    z_by_x = {r["x"]: r["z"] for r in rows}
+    assert z_by_x[1] != z_by_x[2]
+    # the NULL x row maps to the top cell, distinct from interior values
+    assert z_by_x[None] not in (z_by_x[1], z_by_x[2])
+
+
 def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     from scotustician_spark.sources.layout import write_zordered
 

@@ -67,8 +67,10 @@ def test_shingles_match_python(spark, docs):
         toks = t.strip().lower().split()
         if len(toks) >= 3:
             exp = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
-        else:
+        elif toks:
             exp = [" ".join(toks)]
+        else:
+            exp = []  # zero-token docs yield no shingles
         assert got[i] == exp, (i, t)
 
 
@@ -170,8 +172,13 @@ def test_minhash_signature_matches_python(spark, docs):
         toks = t.lower().split()
         if len(toks) >= 3:
             sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
-        else:
+        elif toks:
             sh = {" ".join(toks)}
-        hs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in sh]
-        exp = [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_coeffs(8)]
+        else:
+            sh = set()  # zero-token docs: no shingles → null minima
+        if not sh:
+            exp = [None] * 8
+        else:
+            hs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in sh]
+            exp = [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_coeffs(8)]
         assert got[i] == exp, i
