@@ -26,19 +26,30 @@ from .registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Parquet written with isAdjustedToUTC=false loads as TIMESTAMP_NTZ
+    # under Spark 4's NTZ inference; normalize to TIMESTAMP so the
+    # timestamp function surface (unix_micros, window, …) applies. The
+    # session timezone is pinned to UTC (session.py), so the cast is a
+    # pure re-tag — identical wall-clock micros, and identical to the
+    # DuckDB oracle's naive-timestamp-as-UTC semantics.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table loader.
 
-    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read nanos as long and convert to a
-    micros timestamp. (A production dataset would be written with
-    micros; this keeps the conversion in one place.)
+    Driver testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — read nanos as long, convert)
+    and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (NTZ — re-tagged in
+    ``_t``); this keeps every variant converging on one micros
+    TIMESTAMP column.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _t(spark, sf_dir, "events")
     if dict(df.dtypes).get("ts") == "bigint":
         # integer division: `/` would round-trip through double and lose
         # sub-microsecond-exactness above 2^53 ns (~1970+104 days)
