@@ -1,0 +1,192 @@
+"""Corpus-quality operators: repetition scoring, PII redaction,
+eval-set contamination.
+
+Beyond-reference training-data ops (the reference's only quality gate
+is the >3-word filter at helpers.py:149 and the junk quarantine at
+helpers.py:239-246). These are the standard pretraining corpus filters
+(Gopher/C4-family):
+
+- ``repetition_stats`` — repeated-token / repeated-bigram / top-bigram
+  fractions. Everything is an in-row higher-order-function expression:
+  per-document cost only, a pure map stage — no shuffle at any scale.
+- ``pii_redact`` — regex redaction (emails, phone-ish digit runs) with
+  match counts. Patterns are restricted to the syntax Java regex and
+  RE2 share, so a SQL oracle reproduces them byte-for-byte.
+- ``contamination_pairs`` — documents sharing any word n-gram with a
+  (small) eval/benchmark set: the decontamination join every training
+  pipeline runs before shipping data. Eval-side postings are tiny by
+  construction, so the join broadcasts — the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from ..session import repartition_for_compute
+
+
+def _lower_tokens(text: Column | str) -> Column:
+    # NULL text tokenizes to the EMPTY array (n_tokens = 0, like blank
+    # text), not NULL — word_shingles already lands there via its
+    # otherwise() branch; tokens() alone propagates the NULL
+    return F.coalesce(
+        tokens(F.lower(F.col(text) if isinstance(text, str) else text)),
+        F.array().cast("array<string>"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals, one row per document:
+
+    - ``rep_token_frac``  = 1 − |distinct tokens| / |tokens|
+    - ``rep_bigram_frac`` = 1 − |distinct bigrams| / |bigrams|
+    - ``top_bigram_frac`` = occurrences of the modal bigram / |bigrams|
+
+    Zero-token documents yield NULL fractions (no content to score —
+    same policy as the dedup family's null handling). The modal-bigram
+    count is an O(d²)-per-document expression (d = distinct bigrams);
+    that cost rides the scan and parallelizes with input splits, which
+    at 100 TB beats any formulation that explodes bigrams into a
+    shuffle by orders of magnitude.
+    """
+    toks = _lower_tokens(text_col)
+    bigrams = word_shingles(F.lower(F.col(text_col)), 2)
+
+    def _stats(t: Column, bg: Column) -> Column:
+        n_tok = F.size(t)
+        n_bg = F.size(bg)
+        dbg = F.array_distinct(bg)
+        # modal-bigram count = longest run of equal elements in the
+        # SORTED bigram array — an O(d log d) fold, vs the textbook
+        # O(d²) count-per-distinct-element formulation (the oracle
+        # keeps that one; identical result, incomparable cost)
+        top = F.aggregate(
+            F.array_sort(bg),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.transform(
+                F.array(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                ),
+                lambda run: F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run).alias("best"),
+                ),
+            ).getItem(0),
+            lambda acc: acc["best"],
+        )
+        # every ratio is guarded on its denominator: ANSI mode (Spark 4
+        # default) turns x/0 into an error, not a NULL
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            F.when(
+                n_tok > 0,
+                F.lit(1.0) - F.size(F.array_distinct(t)) / n_tok.cast("double"),
+            ).alias("rep_token_frac"),
+            F.when(
+                n_bg > 0, F.lit(1.0) - F.size(dbg) / n_bg.cast("double")
+            ).alias("rep_bigram_frac"),
+            F.when(n_bg > 0, top / n_bg.cast("double")).alias("top_bigram_frac"),
+        )
+
+    # let-binding via transform(array(...))[0] (see dedup._let) so the
+    # token/bigram arrays are computed once, not once per output column
+    stats = F.transform(
+        F.array(F.struct(toks.alias("t"), bigrams.alias("bg"))),
+        lambda s: _stats(s["t"], s["bg"]),
+    ).getItem(0)
+    return repartition_for_compute(df).select(
+        F.col(id_col).alias("doc_id"), stats.alias("s")
+    ).select(
+        # ratios stay UNROUNDED: single-division row-level expressions
+        # are IEEE-identical across engines (float-parity policy in
+        # plans/relational.py)
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.rep_token_frac").alias("rep_token_frac"),
+        F.col("s.rep_bigram_frac").alias("rep_bigram_frac"),
+        F.col("s.top_bigram_frac").alias("top_bigram_frac"),
+    )
+
+
+# Patterns restricted to the Java-regex ∩ RE2 common syntax (no
+# backrefs, no lookaround) so Spark and any RE2-based oracle agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails and phone-shaped digit runs; emit match counts and
+    the md5 of the redacted text (the full redacted text stays in the
+    pipeline — the hash keeps *this* audit output narrow).
+
+    Order matters and is fixed: emails first (a phone-shaped run inside
+    an address must not be half-redacted), then phones on the
+    email-redacted text. Pure regexp codegen — a map stage.
+    """
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return repartition_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per corpus document: how many of its word ``n``-grams appear in
+    ANY eval-set document, and the flag a decontamination filter keys
+    on. Documents sharing nothing with the eval set are reported with
+    zero counts (left side preserved — the filter needs every doc's
+    verdict).
+
+    Plan shape: the eval side is distilled to its DISTINCT shingle set
+    (tiny — eval suites are KBs where the corpus is TBs) and broadcast;
+    the corpus-side postings join hash-side against it with NO shuffle
+    of corpus data, then collapse back to one row per document. The
+    corpus is touched exactly once.
+    """
+    eval_shingles = (
+        eval_set.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    posts = (
+        repartition_for_compute(corpus)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    hits = (
+        posts.join(F.broadcast(eval_shingles), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    sizes = repartition_for_compute(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(word_shingles(text_col, n))).alias("n_shingles"),
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("is_contaminated"),
+    )

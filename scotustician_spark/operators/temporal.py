@@ -107,6 +107,46 @@ def asof_join(
     )
 
 
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel mining: per user, the earliest time each stage of
+    ``stages`` was reached IN ORDER (stage k counts only at-or-after
+    the user's stage-k−1 time). Returns one row per user who reached
+    stage 0, with ``t_0 … t_{k}`` timestamps (NULL once the user falls
+    out of the funnel) — the standard event-sequence analysis
+    (view → click → purchase) over an events stream.
+
+    Plan: one filtered min-aggregation per stage, each keyed on the
+    user — k small hash aggregates + k−1 equi-joins on ``user_col``,
+    no window over the raw event stream and no per-user event
+    collection, so per-user event skew never concentrates memory.
+    """
+    assert len(stages) >= 1
+    reach = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    out = reach
+    for k, st in enumerate(stages[1:], start=1):
+        ev_k = events.filter(F.col(type_col) == st).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        reach = (
+            ev_k.join(reach.select(user_col, f"t_{k-1}"), user_col)
+            .filter(F.col("__ts") >= F.col(f"t_{k-1}"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t_{k}"))
+        )
+        out = out.join(reach.select(user_col, f"t_{k}"), user_col, "left")
+    return out
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,195 @@
+"""Corpus-quality + event-funnel queries (beyond-reference
+training-data operators), each with a DuckDB oracle.
+
+Spark implementations live in ``operators/quality.py`` and
+``operators/temporal.py``; this module binds them to the driver's
+synthetic tables and supplies the SQL twins. The PII query derives a
+deterministic contact string from existing columns (same expression on
+both engines) so the redaction path is verified against non-degenerate
+matches — the raw synthetic text contains no PII-shaped spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import (
+    EMAIL_RE,
+    PHONE_RE,
+    contamination_pairs,
+    pii_redact,
+    repetition_stats,
+)
+from ..operators.temporal import funnel_stages
+from .registry import register
+from .relational import _events
+
+# Lower-cased whitespace tokens with python-str.split() semantics, and
+# the zero-token guard (DuckDB splits '' into [''], Spark tokens()
+# yields []) — shared shape with vectors_text._TOKS / _SHINGLES.
+_TOKS = (
+    "regexp_split_to_array("
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+)
+_TOKS_GUARDED = (
+    f"CASE WHEN text IS NULL OR length(regexp_replace(lower(text), "
+    f"'^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE {_TOKS} END"
+)
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB expression: word n-grams of column ``l`` (token list),
+    with word_shingles' k<n fallback (whole text as one shingle) and
+    [] for zero tokens."""
+    return (
+        f"CASE WHEN len(l) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"WHEN len(l) >= {n} THEN list_transform(range(1, len(l)-{n}+2), "
+        f"i -> array_to_string(l[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string(l, ' ')] END"
+    )
+
+
+def _d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@register(
+    "doc_repetition",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_GUARDED} AS l FROM documents),
+    g AS (SELECT doc_id, l AS t, {_ngrams_sql(2)} AS bg FROM base)
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CASE WHEN len(t) > 0
+                THEN 1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE) END
+               AS rep_token_frac,
+           CASE WHEN len(bg) > 0
+                THEN 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) END
+               AS rep_bigram_frac,
+           CASE WHEN len(bg) > 0
+                THEN list_max(list_transform(list_distinct(bg),
+                         b -> len(list_filter(bg, x -> x = b))))
+                     / CAST(len(bg) AS DOUBLE) END
+               AS top_bigram_frac
+    FROM g
+    """,
+    doc="Gopher-style repetition scoring (repeated-token / repeated-bigram / "
+    "modal-bigram fractions) — pure in-row HOF expressions, a map stage at "
+    "any scale.",
+    bench=True,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_d(spark, sf_dir), "doc_id", "text")
+
+
+# Deterministic contact-string augmentation, same expression both
+# engines: '<text> contact <source>.<doc_id>@example.com tel 555-NNNN'
+_AUG_SQL = (
+    "text || ' contact ' || source || '.' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com tel 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')"
+)
+
+
+def _aug_spark() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("."),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+    r1 AS (SELECT doc_id, t,
+                  regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+           FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INTEGER)  AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g'))      AS redacted_md5
+    FROM r1
+    """,
+    doc="PII redaction (emails then phone-shaped runs, fixed order) with "
+    "match counts and the md5 of the redacted text; regexes restricted to "
+    "the Java-regex ∩ RE2 shared syntax so both engines agree byte-for-byte.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _d(spark, sf_dir).select("doc_id", _aug_spark().alias("text"))
+    return pii_redact(aug, "doc_id", "text")
+
+
+@register(
+    "contamination_ngrams",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_GUARDED} AS l FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_ngrams_sql(5)}) AS s FROM base),
+    eval_sh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 20 <> 0),
+    hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+             FROM corpus WHERE shingle IN (SELECT shingle FROM eval_sh)
+             GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(len(s.s) AS INTEGER) AS n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
+    FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % 20 <> 0
+    """,
+    doc="Benchmark decontamination: 5-gram overlap of every corpus document "
+    "against the eval split (doc_id %% 20 = 0). Eval shingles broadcast; the "
+    "corpus is scanned once and never shuffled on the join.",
+    bench=True,
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _d(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    eval_set = d.filter(F.col("doc_id") % 20 == 0)
+    return contamination_pairs(corpus, eval_set, "doc_id", "text", n=5)
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+           JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY e.user_id)
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+    """,
+    doc="Ordered funnel (view → click → purchase): users reaching each stage "
+    "in sequence. One filtered min-agg per stage keyed on user — no window "
+    "over the raw stream, no per-user event collection, skew-immune.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    reached = funnel_stages(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    counts = reached.agg(
+        F.count("t_0").alias("c0"), F.count("t_1").alias("c1"), F.count("t_2").alias("c2")
+    )
+    stages = ["view", "click", "purchase"]
+    return counts.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{i}, '{s}', c{i}" for i, s in enumerate(stages))
+            + ") AS (stage_idx, stage, n_users)"
+        )
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+    )

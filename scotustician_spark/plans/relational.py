@@ -925,6 +925,64 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT)         AS n_orders,
+           round(sum(o_totalprice), 2)      AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form — rollup_revenue and "
+    "cube_revenue cover the shorthands): one Expand feeding one hash "
+    "aggregation, map-side partials intact. Keys are never NULL in the "
+    "data, so coalesce labels the rollup levels unambiguously.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@register(
+    "above_customer_avg",
+    """
+    WITH ca AS (SELECT o_custkey, round(avg(o_totalprice), 6) AS cust_avg
+                FROM orders GROUP BY o_custkey)
+    SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
+    FROM orders o JOIN ca USING (o_custkey)
+    WHERE o_totalprice > cust_avg
+    """,
+    doc="Correlated-subquery shape (orders above their customer's average), "
+    "decorrelated Spark-first into ONE window pass over the orders scan — "
+    "no second scan, no self-join; the oracle keeps the textbook correlated "
+    "formulation. The average is rounded identically on both sides before "
+    "the comparison so engine-specific summation order cannot flip rows at "
+    "the boundary.",
+)
+def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.round(F.avg("o_totalprice").over(w), 6))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+@register(
     "skew_salted_agg",
     """
     SELECT l_returnflag,

@@ -1,0 +1,111 @@
+"""Corpus-quality operators (repetition, PII redaction, contamination)
+and the event funnel: hand-computed oracles on tiny frames, edge
+cases (null/blank text), and the plan shapes the operators promise."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from scotustician_spark.operators.quality import (
+    contamination_pairs,
+    pii_redact,
+    repetition_stats,
+)
+from scotustician_spark.operators.temporal import funnel_stages
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # tokens: [a, a, b] -> distinct 2; bigrams: [a a, a b]
+            (1, "a a b"),
+            # tokens: [x, x, x, x] -> bigrams [x x]*3, distinct 1, modal 3
+            (2, "x x x x"),
+            (3, None),
+            (4, "   "),
+            (5, "single"),  # 1 token: bigram fallback = whole text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 3
+    assert abs(r1["rep_token_frac"] - (1 - 2 / 3)) < 1e-12
+    assert r1["rep_bigram_frac"] == 0.0
+    assert abs(r1["top_bigram_frac"] - 0.5) < 1e-12
+    r2 = rows[2]
+    assert abs(r2["rep_bigram_frac"] - (1 - 1 / 3)) < 1e-12
+    assert r2["top_bigram_frac"] == 1.0
+    # zero-token docs: present, but NULL fractions (nothing to score)
+    for d in (3, 4):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["rep_token_frac"] is None
+        assert rows[d]["top_bigram_frac"] is None
+    # single token: the whole-text fallback is one bigram occurring once
+    assert rows[5]["top_bigram_frac"] == 1.0
+
+
+def test_pii_redact_counts_and_hash(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith@corp.example.org and jo@x.io tel 555-0134 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert rows[1]["n_emails"] == 2
+    assert rows[1]["n_phones"] == 1
+    expected = "mail <EMAIL> and <EMAIL> tel <PHONE> now"
+    assert rows[1]["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+
+
+def test_contamination_pairs_and_broadcast_plan(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),  # shares a 5-gram with eval
+            (2, "alpha beta gamma delta epsilon zeta"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "zzz one two three four five")], "doc_id long, text string"
+    )
+    out = contamination_pairs(corpus, eval_set, "doc_id", "text", n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["is_contaminated"] and rows[1]["n_contaminated"] == 1
+    assert not rows[2]["is_contaminated"] and rows[2]["n_contaminated"] == 0
+    # the corpus side must NOT shuffle for the eval join
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_stages_order_sensitive(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order: view@10, click@20, purchase@30
+            (1, 10, "view"),
+            (1, 20, "click"),
+            (1, 30, "purchase"),
+            # u2: purchase BEFORE click -> stops at click stage
+            (2, 10, "view"),
+            (2, 15, "purchase"),
+            (2, 20, "click"),
+            # u3: click without view -> never enters the funnel
+            (3, 5, "click"),
+            (3, 6, "purchase"),
+        ],
+        "user_id long, ts long, event_type string",
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_stages(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1]["t_0"], out[1]["t_1"], out[1]["t_2"]) == (10, 20, 30)
+    assert (out[2]["t_0"], out[2]["t_1"]) == (10, 20)
+    assert out[2]["t_2"] is None  # purchase happened before the click
