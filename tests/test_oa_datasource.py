@@ -1,0 +1,114 @@
+"""Python DataSource (PySpark 4 API): batch read with term-partition
+pruning via filter pushdown, quarantine-not-fail on bad files, and
+streaming new-file discovery with checkpointed offsets."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from scotustician_spark.sources.oa_datasource import OaDocsDataSource
+
+
+def _write_corpus(root: str, terms: dict[str, dict[str, dict]]) -> None:
+    for term, docs in terms.items():
+        d = os.path.join(root, f"term={term}")
+        os.makedirs(d, exist_ok=True)
+        for key, doc in docs.items():
+            with open(os.path.join(d, f"{key}.json"), "w") as fh:
+                json.dump(doc, fh)
+
+
+def _registered(spark):
+    # runtime set as well, so the test is independent of session tuning
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OaDocsDataSource)
+    return spark
+
+
+def test_batch_read_all_terms(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write_corpus(
+        root,
+        {
+            "2023": {"a": {"id": 1}, "b": {"id": 2}},
+            "2024": {"c": {"id": 3}},
+        },
+    )
+    df = _registered(spark).read.format("oa_docs").option("path", root).load()
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r["term"] for r in rows} == {"2023", "2024"}
+    payload = json.loads([r for r in rows if r["source_key"] == "a.json"][0]["payload"])
+    assert payload == {"id": 1}
+    assert all(r["error"] is None for r in rows)
+
+
+def test_term_filter_prunes_partitions(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write_corpus(root, {"2023": {"a": {"id": 1}}, "2024": {"b": {"id": 2}}})
+    df = (
+        _registered(spark)
+        .read.format("oa_docs")
+        .option("path", root)
+        .load()
+        .filter(F.col("term") == "2024")
+    )
+    # pushFilters accepted the term filter -> only term=2024 is listed;
+    # 1 partition means 1 task
+    assert df.rdd.getNumPartitions() == 1
+    assert [r["source_key"] for r in df.collect()] == ["b.json"]
+
+
+def test_unreadable_file_quarantines(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write_corpus(root, {"2023": {"ok": {"id": 1}}})
+    # a directory named *.json is unreadable as a file -> error row
+    os.makedirs(os.path.join(root, "term=2023", "bad.json"))
+    rows = {
+        r["source_key"]: r
+        for r in _registered(spark)
+        .read.format("oa_docs")
+        .option("path", root)
+        .option("max_retries", "2")
+        .load()
+        .collect()
+    }
+    assert rows["ok.json"]["error"] is None
+    assert rows["bad.json"]["payload"] is None
+    assert "Error" in rows["bad.json"]["error"]
+
+
+def test_stream_discovers_only_new_files(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_corpus(root, {"2023": {"a": {"id": 1}}})
+    _registered(spark)
+
+    def run_batch():
+        q = (
+            spark.readStream.format("oa_docs")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    first = spark.read.parquet(out).collect()
+    assert [r["source_key"] for r in first] == ["a.json"]
+
+    # second file arrives; a new run picks up ONLY the new key
+    _write_corpus(root, {"2023": {"z": {"id": 9}}})
+    run_batch()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["source_key"] for r in rows) == ["a.json", "z.json"]
+    # no duplicates: 'a.json' was not re-fetched (offset watermark held)
+    assert len(rows) == 2
