@@ -879,6 +879,39 @@ def json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)  AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSONB columns via Spark 4 VARIANT (§1.1 "
+    "speaker_list/raw_json/metadata JSONB → parse_json once, typed "
+    "variant_get paths after): the binary variant encoding replaces "
+    "re-parsing the JSON string at every access, which is the difference "
+    "between one parse and N parses per row at 100 TB. Oracle uses plain "
+    "JSON extraction — identical values.",
+)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+@register(
     "partition_slice",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus
