@@ -244,6 +244,90 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", "rnk")
 
 
+def _pq_oracle(
+    dim: int = 64, m: int = 4, n_codes: int = 8, k: int = 5, r: int = 6
+) -> str:
+    sub = dim // m
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    sub AS (
+        SELECT vec_id, pos // {sub} AS j, pos % {sub} AS spos, v FROM ex),
+    seed_ids AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_codes})),
+    seeds AS (
+        SELECT s.j, si.code, s.spos, s.v
+        FROM sub s JOIN seed_ids si ON s.vec_id = si.vec_id),
+    d0 AS (
+        SELECT s.vec_id, s.j, sd.code,
+               round(sum((s.v - sd.v) * (s.v - sd.v)), {r}) AS d2r
+        FROM sub s JOIN seeds sd ON sd.j = s.j AND sd.spos = s.spos
+        GROUP BY s.vec_id, s.j, sd.code),
+    a0 AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2r, code) AS rr
+            FROM d0) WHERE rr = 1),
+    cb AS (
+        SELECT a0.j, a0.code, s.spos, avg(s.v) AS mv
+        FROM sub s JOIN a0 ON a0.vec_id = s.vec_id AND a0.j = s.j
+        GROUP BY a0.j, a0.code, s.spos),
+    d1 AS (
+        SELECT s.vec_id, s.j, c.code,
+               round(sum((s.v - c.mv) * (s.v - c.mv)), {r}) AS d2r
+        FROM sub s JOIN cb c ON c.j = s.j AND c.spos = s.spos
+        GROUP BY s.vec_id, s.j, c.code),
+    codes AS (
+        SELECT vec_id AS neighbor_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2r, code) AS rr
+            FROM d1) WHERE rr = 1),
+    lut AS (
+        SELECT vec_id AS query_id, j, code, d2r AS lut_d2
+        FROM d1 WHERE vec_id < 10),
+    approx AS (
+        SELECT l.query_id, c.neighbor_id,
+               round(sum(l.lut_d2), {r}) AS approx_d2
+        FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        WHERE l.query_id <> c.neighbor_id
+        GROUP BY l.query_id, c.neighbor_id)
+    SELECT query_id, neighbor_id, approx_d2, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2, neighbor_id) AS rnk
+          FROM approx)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "pq_ann_topk",
+    _pq_oracle(),
+    doc="Fourth ANN family — product quantization: vectors compress to "
+    "m=4 one-byte codes (one-step-Lloyd codebooks per 16-dim subspace, "
+    "same deterministic quantizer as ivf_ann_topk), queries rank by "
+    "asymmetric distance summed from a broadcast lookup table. The "
+    "compressed-domain scan is the 100 TB path: m bytes per vector "
+    "instead of dim floats, distances are table lookups.",
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.pq_topk_onestep(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        m=4,
+        n_codes=8,
+    ).select("query_id", "neighbor_id", "approx_d2", "rnk")
+
+
 @register(
     "ivf_kmeans_topk",
     None,  # KMeans quantizer is not SQL-expressible -> rows-only gate;
