@@ -141,6 +141,61 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-self-trained bigram language-model score per document —
+    the CCNet/Wikipedia-LM perplexity filter of pretraining pipelines,
+    here with the model estimated from the corpus itself:
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)      (add-one)
+        avg_logprob(doc) = mean over the doc's bigrams of ln p
+        ppl(doc) = exp(-avg_logprob)
+
+    ``c(w1 ·)`` is the prefix count (occurrences of w1 as a bigram
+    start) and ``V`` the corpus vocabulary size. Documents with < 2
+    tokens have no bigrams and are absent from the output.
+
+    Plan: one explode pass builds the bigram relation; counts are two
+    hash aggregations on it; scoring joins the (small, one row per
+    DISTINCT bigram/prefix) count tables back — both joins are
+    equi-joins Catalyst can hash-partition, and the count tables scale
+    with observed vocabulary, not corpus size, so at 100 TB they are
+    the broadcast-or-bucket side while the corpus streams through.
+    """
+    toks = _lower_tokens(text_col)
+    bigrams = F.when(F.size(toks) >= 2, word_shingles(F.lower(F.col(text_col)), 2))
+    doc_bg = (
+        repartition_for_compute(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    )
+    c_bg = doc_bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    c_w1 = doc_bg.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    vocab = (
+        repartition_for_compute(df)
+        .select(F.explode(_lower_tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    logp = F.log(
+        (F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v"))
+    )
+    return (
+        doc_bg.join(c_bg, "bg")
+        .join(c_w1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
+        )
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     eval_set: DataFrame,

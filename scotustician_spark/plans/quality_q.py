@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.quality import (
     EMAIL_RE,
     PHONE_RE,
+    bigram_lm_scores,
     contamination_pairs,
     pii_redact,
     repetition_stats,
@@ -153,6 +154,40 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     eval_set = d.filter(F.col("doc_id") % 20 == 0)
     return contamination_pairs(corpus, eval_set, "doc_id", "text", n=5)
+
+
+@register(
+    "doc_lm_score",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_GUARDED} AS l FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(l) >= 2
+                         THEN list_transform(range(1, len(l)),
+                                             i -> array_to_string(l[i:i+1], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS bg
+           FROM base),
+    w AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+    c_bg AS (SELECT bg, count(*) AS c_bg FROM w GROUP BY bg),
+    c_w1 AS (SELECT w1, count(*) AS c_w1 FROM w GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest(l) AS t FROM base)),
+    scored AS (
+        SELECT w.doc_id,
+               ln((c_bg.c_bg + 1) / CAST(c_w1.c_w1 + vocab.v AS DOUBLE)) AS lp
+        FROM w JOIN c_bg USING (bg) JOIN c_w1 USING (w1) CROSS JOIN vocab)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob,
+           round(exp(-round(avg(lp), 6)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram-LM quality score (CCNet-style perplexity filter), model "
+    "estimated from the corpus itself with add-one smoothing. Count "
+    "tables scale with observed vocabulary, not corpus size — the "
+    "broadcast-or-bucket side of the scoring joins at scale.",
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_scores(_d(spark, sf_dir), "doc_id", "text")
 
 
 @register(

@@ -109,3 +109,26 @@ def test_funnel_stages_order_sensitive(spark):
     assert (out[1]["t_0"], out[1]["t_1"], out[1]["t_2"]) == (10, 20, 30)
     assert (out[2]["t_0"], out[2]["t_1"]) == (10, 20)
     assert out[2]["t_2"] is None  # purchase happened before the click
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    from scotustician_spark.operators.quality import bigram_lm_scores
+
+    # corpus: "a b", "a b", "a c" -> bigrams: (a b)x2, (a c)x1
+    # prefix counts: c(a .) = 3 ; vocab V = {a, b, c} = 3
+    # p(b|a) = (2+1)/(3+3) = 0.5 ; p(c|a) = (1+1)/(3+3) = 1/3
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    # zero-bigram docs are absent
+    assert set(rows) == {1, 2, 3}
+    # vocab includes 'solo' -> V = 4, so recompute:
+    # p(b|a) = 3/(3+4) ; p(c|a) = 2/(3+4)
+    assert rows[1]["n_bigrams"] == 1
+    assert abs(rows[1]["avg_logprob"] - round(math.log(3 / 7), 6)) < 1e-9
+    assert abs(rows[3]["avg_logprob"] - round(math.log(2 / 7), 6)) < 1e-9
+    assert abs(rows[1]["ppl"] - round(math.exp(-round(math.log(3 / 7), 6)), 4)) < 1e-9
