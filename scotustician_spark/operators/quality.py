@@ -210,38 +210,38 @@ def contamination_pairs(
     verdict).
 
     Plan shape: the eval side is distilled to its DISTINCT shingle set
-    (tiny — eval suites are KBs where the corpus is TBs) and broadcast;
-    the corpus-side postings join hash-side against it with NO shuffle
-    of corpus data, then collapse back to one row per document. The
-    corpus is touched exactly once.
+    (tiny — eval suites are KBs where the corpus is TBs), collected to
+    ONE array row and broadcast; each corpus document counts the
+    intersection IN-ROW (``array_intersect`` builds a per-row hash set
+    over the broadcast array). The whole query is a single map pass
+    over the corpus — no explode, no groupBy, no shuffle of corpus
+    data at all (an earlier postings-explode + broadcast-semi-join +
+    re-group formulation scanned the corpus twice and was ~2x slower).
     """
-    eval_shingles = (
-        eval_set.select(
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    eval_arr = eval_set.select(
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
+    ).filter(F.col("shingle").isNotNull()).agg(
+        F.collect_set("shingle").alias("__eval_shingles")
     )
-    posts = (
+    # let-bind the shingle array (transform(array(x))[0], see
+    # dedup._let) so it is computed once per row, not once per use
+    stats = F.transform(
+        F.array(F.array_distinct(word_shingles(text_col, n))),
+        lambda sh: F.struct(
+            F.size(sh).alias("n"),
+            F.size(F.array_intersect(sh, F.col("__eval_shingles")))
+            .cast("long")
+            .alias("inter"),
+        ),
+    ).getItem(0)
+    return (
         repartition_for_compute(corpus)
+        .crossJoin(F.broadcast(eval_arr))
+        .select(F.col(id_col).alias("doc_id"), stats.alias("s"))
         .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+            "doc_id",
+            F.col("s.n").alias("n_shingles"),
+            F.col("s.inter").alias("n_contaminated"),
+            (F.col("s.inter") > 0).alias("is_contaminated"),
         )
-        .filter(F.col("shingle").isNotNull())
-    )
-    hits = (
-        posts.join(F.broadcast(eval_shingles), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    sizes = repartition_for_compute(corpus).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.array_distinct(word_shingles(text_col, n))).alias("n_shingles"),
-    )
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
-        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("is_contaminated"),
     )

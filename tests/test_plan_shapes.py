@@ -71,3 +71,31 @@ def test_minhash_lsh_single_signature_pass(spark, sf_dir):
     # one md5 per shingle: the signature expression appears in ONE
     # projection (the let-binding blocks ProjectCollapse duplication)
     assert plan.count("conv(substring(md5") <= 1, plan
+
+
+def test_doc_repetition_is_pure_map(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["doc_repetition"].fn(spark, sf_dir))
+    # repetition stats are in-row HOF expressions: no aggregation, no
+    # join; the only exchange is the parallelism repartition
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1 and "REPARTITION" in plan, plan
+
+
+def test_contamination_corpus_never_shuffles_for_eval_join(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["contamination_ngrams"].fn(spark, sf_dir))
+    # the eval shingle set rides in as ONE broadcast row; the corpus
+    # side is a single map pass — no aggregation over corpus data, no
+    # sort-merge join, and the only exchange beyond the eval-side agg
+    # is the parallelism repartition
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_pq_codebooks_and_lut_broadcast(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["pq_ann_topk"].fn(spark, sf_dir))
+    # every codebook/LUT join is broadcast; the corpus-side code table
+    # is never the shuffled side of a sort-merge join
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan

@@ -78,8 +78,11 @@ def test_contamination_pairs_and_broadcast_plan(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["is_contaminated"] and rows[1]["n_contaminated"] == 1
     assert not rows[2]["is_contaminated"] and rows[2]["n_contaminated"] == 0
-    # the corpus side must NOT shuffle for the eval join
-    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must NOT shuffle for the eval join: the eval
+    # shingle set arrives as one broadcast row, intersected in-row
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_funnel_stages_order_sensitive(spark):
