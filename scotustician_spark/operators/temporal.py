@@ -43,21 +43,27 @@ def asof_join(
     right_ts: str,
     right_payload: dict[str, str],
     tie_col: str | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Left as-of join: attach the most recent right row at-or-before
-    each left row's timestamp, per key. Left rows with no prior right
-    row keep nulls (left-outer semantics).
+    """Left as-of join: attach the nearest right row at-or-before
+    (``direction='backward'``, the default) or at-or-after
+    (``'forward'``) each left row's timestamp, per key. Left rows with
+    no matching right row keep nulls (left-outer semantics) — the
+    pandas ``merge_asof`` surface, distributed.
 
-    ``right_payload`` maps right column -> output alias. Ties on the
-    right timestamp are broken by ``tie_col`` (max wins), making the
-    result deterministic at any parallelism.
+    ``right_payload`` maps right column -> output alias. Backward ties
+    on the right timestamp break by ``tie_col`` max (latest state
+    wins); forward ties by min. ``tolerance`` (same units as the ts
+    columns) nulls the match when the right row is further than that
+    from the left timestamp.
 
-    Single shuffle: union the two sides tagged 0 (right) / 1 (left),
-    one window ``partitionBy(on).orderBy(ts, side, tie)`` with
-    ``last(payload, ignorenulls=True)`` rows-unbounded-to-current,
-    then keep the left rows. Right rows sort before left rows at the
-    same timestamp, so an exact-timestamp match counts as "at or
-    before" (standard ASOF <= semantics).
+    Single shuffle either way: union the two sides tagged, ONE window
+    ``partitionBy(on).orderBy(ts, side, tie)`` carrying the payload
+    struct (``last`` over the preceding frame for backward, ``first``
+    over the following frame for forward), then keep the left rows.
+    Side ordering puts right rows inside the frame at an equal
+    timestamp, so exact matches count in both directions.
 
     All payload columns travel as ONE struct (null only for left-tagged
     rows), so the carried value is always a consistent snapshot of a
@@ -67,40 +73,66 @@ def asof_join(
     """
     from pyspark.sql.types import StructField, StructType
 
+    assert direction in ("backward", "forward"), direction
+    backward = direction == "backward"
     out_left = [c for c in left.columns]
     tie = tie_col if tie_col is not None else next(iter(right_payload))
-    pay_type = StructType(
-        [StructField(dst, right.schema[src].dataType) for src, dst in right_payload.items()]
-    )
+    pay_fields = [
+        StructField(dst, right.schema[src].dataType)
+        for src, dst in right_payload.items()
+    ]
+    # the right ts rides INSIDE the struct so tolerance checks see the
+    # matched row's own timestamp
+    pay_type = StructType(pay_fields + [StructField("__rts", right.schema[right_ts].dataType)])
 
+    # backward: right(0) sorts before left(1) at equal ts -> inside the
+    # preceding frame; forward: left(0) before right(1) -> inside the
+    # following frame. Exact-ts matches count in both directions.
+    l_side, r_side = (1, 0) if backward else (0, 1)
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias(_TS),
-        F.lit(1).alias(_SIDE),
+        F.lit(l_side).alias(_SIDE),
         F.lit(None).cast(right.schema[tie].dataType).alias(_TIE),
         *[F.col(c) for c in out_left if c != on],
         F.lit(None).cast(pay_type).alias(_PAY),
     )
+    # backward wants the LATEST prior right row -> at equal (ts, side),
+    # bigger tie must sort later in the preceding frame (tie asc, last
+    # picks it); forward wants the EARLIEST following right row -> tie
+    # asc again (first picks the smallest). One ordering serves both.
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias(_TS),
-        F.lit(0).alias(_SIDE),
+        F.lit(r_side).alias(_SIDE),
         F.col(tie).alias(_TIE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in out_left if c != on],
         F.struct(
-            *[F.col(src).alias(dst) for src, dst in right_payload.items()]
+            *[F.col(src).alias(dst) for src, dst in right_payload.items()],
+            F.col(right_ts).alias("__rts"),
         ).alias(_PAY),
     )
 
-    w = (
-        W.partitionBy(on)
-        .orderBy(F.col(_TS), F.col(_SIDE), F.col(_TIE))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    order = [F.col(_TS), F.col(_SIDE), F.col(_TIE)]
+    if backward:
+        w = W.partitionBy(on).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+        carry = F.last(_PAY, ignorenulls=True)
+    else:
+        w = W.partitionBy(on).orderBy(*order).rowsBetween(W.currentRow, W.unboundedFollowing)
+        carry = F.first(_PAY, ignorenulls=True)
     carried = l_tagged.unionByName(r_tagged).select(
-        "*", F.last(_PAY, ignorenulls=True).over(w).alias("__carried")
+        "*", carry.over(w).alias("__carried")
     )
-    return carried.filter(F.col(_SIDE) == 1).select(
+    if tolerance is not None:
+        gap = (
+            (F.col(_TS) - F.col("__carried.__rts"))
+            if backward
+            else (F.col("__carried.__rts") - F.col(_TS))
+        )
+        carried = carried.withColumn(
+            "__carried", F.when(gap <= tolerance, F.col("__carried"))
+        )
+    return carried.filter(F.col(_SIDE) == l_side).select(
         *[F.col(c) for c in out_left if c != on],
         F.col(on),
         *[F.col(f"__carried.{dst}").alias(dst) for dst in right_payload.values()],

@@ -126,3 +126,72 @@ def test_range_join_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the range predicate must NOT degrade the join to nested-loop
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (1, 900, "c"), (2, 10, "d")],
+        "k int, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 205, 11, 1.0), (1, 300, 12, 2.0), (1, 205, 13, 3.0)],
+        "k int, ts long, rid int, val double",
+    )
+    fwd = {
+        r["tag"]: r
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload={"rid": "rid", "val": "val"},
+            tie_col="rid",
+            direction="forward",
+        ).collect()
+    }
+    # at-or-after: exact ts 205 matches; ties (two right rows @205)
+    # break by MIN rid for forward
+    assert fwd["a"]["rid"] == 11  # next right after 100 is @205, min rid
+    assert fwd["b"]["rid"] == 11  # exact-ts match counts
+    assert fwd["c"]["rid"] is None  # nothing at-or-after 900
+    assert fwd["d"]["rid"] is None  # key with no right rows
+    # payload consistency: val belongs to the matched rid's row
+    assert fwd["a"]["val"] == 1.0
+
+    tol = {
+        r["tag"]: r
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload={"rid": "rid"},
+            tie_col="rid",
+            direction="forward",
+            tolerance=50,
+        ).collect()
+    }
+    # 100 -> 205 is 105 away: outside tolerance 50 -> null
+    assert tol["a"]["rid"] is None
+    assert tol["b"]["rid"] == 11  # distance 0
+
+    back_tol = {
+        r["tag"]: r
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload={"rid": "rid"},
+            tie_col="rid",
+            direction="backward",
+            tolerance=100,
+        ).collect()
+    }
+    # backward @900: latest prior is @300 (gap 600) -> outside tolerance
+    assert back_tol["c"]["rid"] is None
+    # backward @205: exact match, ties break by MAX rid
+    assert back_tol["b"]["rid"] == 13
