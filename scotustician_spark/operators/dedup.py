@@ -237,6 +237,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing any band signature.
 
@@ -292,8 +293,11 @@ def minhash_lsh_candidates(
     # and the plan is 3 exchanges (repartition, bucket groupBy, pair
     # distinct) instead of 5. Bucket membership lists are small by
     # LSH's design — pair cost tracks actual collisions; a degenerate
-    # hot bucket would need a size cap, the analog of the shingle
-    # document-frequency guard.
+    # hot bucket (e.g. boilerplate-dominated corpora where one band
+    # signature captures millions of docs) is dropped via
+    # ``max_bucket_size``, the analog of the shingle document-frequency
+    # guard: a bucket that big is no longer evidence of similarity,
+    # and its |bucket|² pairs would dominate the whole job.
     # collect_SET: dup doc_id rows in the input would repeat in the
     # bucket list and emit a self-pair (the old self-join's a.id < b.id
     # excluded equal ids); the set restores that by construction.
@@ -307,11 +311,15 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    return (
+    buckets = (
         bands.groupBy("band", "band_sig")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pairs_expr).alias("p"))
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.select(F.explode(pairs_expr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )

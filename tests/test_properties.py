@@ -182,3 +182,22 @@ def test_minhash_signature_matches_python(spark, docs):
             hs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in sh]
             exp = [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_coeffs(8)]
         assert got[i] == exp, i
+
+
+def test_lsh_hot_bucket_cap_drops_degenerate_buckets(spark):
+    from scotustician_spark.operators.dedup import minhash_lsh_candidates
+
+    # 6 identical boilerplate docs (one degenerate bucket of 6) plus a
+    # genuine near-dup pair
+    rows = [(i, "common boilerplate text repeated everywhere always") for i in range(6)]
+    rows += [(10, "a unique document about spark and data"),
+             (11, "a unique document about spark and data")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_candidates(df, "doc_id", "text").collect()
+    capped = minhash_lsh_candidates(
+        df, "doc_id", "text", max_bucket_size=5
+    ).collect()
+    # uncapped: 15 boilerplate pairs + the near-dup pair
+    assert len(uncapped) == 16
+    # capped at 5: the 6-doc bucket is dropped, the pair survives
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(10, 11)}
