@@ -23,7 +23,7 @@ from ..operators.quality import (
     repetition_stats,
 )
 from ..operators.temporal import funnel_stages
-from .registry import register
+from .registry import QUERY_REGISTRY, register
 from .relational import _events
 
 # Lower-cased whitespace tokens with python-str.split() semantics, and
@@ -227,4 +227,66 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage_idx").cast("int").alias("stage_idx"),
         "stage",
         F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def _report_oracle() -> str:
+    """Compose the report oracle from the four registered oracles as
+    CTEs — the SQL twin is literally the composition of the verified
+    parts, so a drift in any constituent surfaces in both gates."""
+    q = QUERY_REGISTRY
+    return f"""
+    WITH dq AS ({q["doc_quality"].oracle}),
+    dr AS ({q["doc_repetition"].oracle}),
+    lm AS ({q["doc_lm_score"].oracle}),
+    ct AS ({q["contamination_ngrams"].oracle})
+    SELECT ct.doc_id,
+           dq.quality,
+           dr.rep_token_frac,
+           lm.ppl,
+           ct.is_contaminated,
+           CASE WHEN ct.is_contaminated           THEN 'drop_contaminated'
+                WHEN dr.rep_token_frac > 0.6      THEN 'drop_repetition'
+                WHEN lm.ppl > 33.0                THEN 'drop_lm'
+                WHEN dq.quality < 1.0             THEN 'drop_quality'
+                ELSE 'keep' END AS decision
+    FROM ct
+    JOIN dq USING (doc_id)
+    JOIN dr USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+    """
+
+
+@register(
+    "corpus_quality_report",
+    _report_oracle(),
+    doc="Composed per-document quality verdict: decontamination, "
+    "repetition, LM-perplexity and heuristic-quality gates in one "
+    "cascade (first matching drop wins). The Spark plan joins the four "
+    "constituent map-stage outputs on doc_id; the oracle is the "
+    "composition of the four registered oracles as CTEs.",
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = QUERY_REGISTRY
+    dq = q["doc_quality"].fn(spark, sf_dir).select("doc_id", "quality")
+    dr = q["doc_repetition"].fn(spark, sf_dir).select("doc_id", "rep_token_frac")
+    lm = q["doc_lm_score"].fn(spark, sf_dir).select("doc_id", "ppl")
+    ct = q["contamination_ngrams"].fn(spark, sf_dir).select(
+        "doc_id", "is_contaminated"
+    )
+    j = ct.join(dq, "doc_id").join(dr, "doc_id").join(lm, "doc_id", "left")
+    decision = (
+        F.when(F.col("is_contaminated"), "drop_contaminated")
+        .when(F.col("rep_token_frac") > 0.6, "drop_repetition")
+        .when(F.col("ppl") > 33.0, "drop_lm")
+        .when(F.col("quality") < 1.0, "drop_quality")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id",
+        "quality",
+        "rep_token_frac",
+        "ppl",
+        "is_contaminated",
+        decision.alias("decision"),
     )
