@@ -196,6 +196,91 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_boilerplate_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 8,
+    df_cap: int = 2,
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document boilerplate removal: split
+    every document into fixed-size word chunks, drop chunks whose
+    document frequency exceeds ``df_cap`` (navigation bars, license
+    headers, cookie banners — text repeated across unrelated pages),
+    and reassemble each document from its surviving chunks in order.
+
+    Returns (doc_id, n_chunks, n_dropped, clean_text); documents whose
+    every chunk is boilerplate keep an empty string. Zero-token
+    documents are reported with 0/0 and empty text.
+
+    Plan shape: chunking is IN-ROW (slice over the token array — the
+    chunk relation is born from a single explode, never a join);
+    the only wide stages are the chunk-frequency count and the ordered
+    reassembly, both keyed well (md5 of chunk text / doc id). The hot
+    set (df > cap) is by construction small relative to the corpus —
+    the same skew economics as the shingle df-cap in dedup — and is
+    broadcast against the chunk relation, so corpus text crosses the
+    wire at most twice at any scale.
+    """
+    toks = _lower_tokens(text_col)
+    # sequence(0, -1) would DESCEND ([0, -1]) — guard the zero-token
+    # case to an explicit empty array instead
+    chunks_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int") - 1
+            ),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_words + 1, chunk_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = (
+        repartition_for_compute(df)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(chunks_arr).alias("chunk_idx", "chunk"))
+    )
+    hot = (
+        chunks.groupBy(F.md5("chunk").alias("fp"))
+        .agg(F.countDistinct("doc_id").alias("chunk_df"))
+        .filter(F.col("chunk_df") > df_cap)
+        .select("fp")
+    )
+    kept = chunks.join(
+        F.broadcast(hot), F.md5(chunks["chunk"]) == hot["fp"], "left_anti"
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = repartition_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(toks) > 0, F.size(chunks_arr))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -18,6 +18,7 @@ from ..operators.quality import (
     EMAIL_RE,
     PHONE_RE,
     bigram_lm_scores,
+    chunk_boilerplate_removal,
     contamination_pairs,
     pii_redact,
     repetition_stats,
@@ -188,6 +189,42 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_d(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "boilerplate_chunks",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_GUARDED} AS l FROM documents),
+    nc AS (SELECT doc_id, l, CAST(ceil(len(l) / 8.0) AS INT) AS n FROM base),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, n)) AS chunk_idx,
+               unnest(list_transform(range(0, n),
+                      i -> array_to_string(l[i*8+1 : i*8+8], ' '))) AS chunk
+        FROM nc WHERE n > 0
+    ),
+    hot AS (SELECT md5(chunk) AS fp FROM chunks
+            GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) > 2),
+    kept AS (SELECT * FROM chunks WHERE md5(chunk) NOT IN (SELECT fp FROM hot)),
+    re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT nc.doc_id,
+           CAST(nc.n AS BIGINT) AS n_chunks,
+           CAST(nc.n - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(re.clean_text, '') AS clean_text
+    FROM nc LEFT JOIN re USING (doc_id)
+    """,
+    doc="C4/RefinedWeb-style cross-document boilerplate removal: fixed-size "
+    "word chunks whose document frequency exceeds the cap are dropped from "
+    "every document and the survivors reassembled in order. Chunking is "
+    "in-row; the hot set is broadcast — corpus text shuffles at most twice.",
+    bench=True,
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_boilerplate_removal(
+        _d(spark, sf_dir), "doc_id", "text", chunk_words=8, df_cap=2
+    )
 
 
 @register(

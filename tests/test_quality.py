@@ -135,3 +135,53 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert abs(rows[1]["avg_logprob"] - round(math.log(3 / 7), 6)) < 1e-9
     assert abs(rows[3]["avg_logprob"] - round(math.log(2 / 7), 6)) < 1e-9
     assert abs(rows[1]["ppl"] - round(math.exp(-round(math.log(3 / 7), 6)), 4)) < 1e-9
+
+
+def test_chunk_boilerplate_removal_hand_computed(spark):
+    from scotustician_spark.operators.quality import chunk_boilerplate_removal
+
+    # chunk_words=2, df_cap=2: "x y" appears in docs 1,2,3 (df=3 > 2)
+    # -> dropped everywhere; "a b" (docs 1,2) survives (df=2 <= cap).
+    df = spark.createDataFrame(
+        [
+            (1, "x y a b"),       # chunks: "x y", "a b"
+            (2, "a b x y"),       # chunks: "a b", "x y"
+            (3, "x y"),           # only boilerplate -> empty clean_text
+            (4, "unique words here"),  # chunks: "unique words", "here"
+            (5, None),            # zero tokens -> 0 chunks, empty text
+            (6, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_boilerplate_removal(df, "doc_id", "text", chunk_words=2, df_cap=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_dropped"] == 1
+    assert rows[1]["clean_text"] == "a b"
+    assert rows[2]["clean_text"] == "a b"
+    assert rows[3]["n_dropped"] == 1 and rows[3]["clean_text"] == ""
+    # ragged tail chunk + chunk-order preservation
+    assert rows[4]["n_chunks"] == 2 and rows[4]["n_dropped"] == 0
+    assert rows[4]["clean_text"] == "unique words here"
+    for d in (5, 6):
+        assert rows[d]["n_chunks"] == 0
+        assert rows[d]["n_dropped"] == 0
+        assert rows[d]["clean_text"] == ""
+    # every document is present in the output exactly once
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6]
+
+
+def test_chunk_boilerplate_within_doc_repeat_counts_once(spark):
+    from scotustician_spark.operators.quality import chunk_boilerplate_removal
+
+    # "p q" twice in doc 1 but df counts DISTINCT docs -> df=2 <= cap=2
+    df = spark.createDataFrame(
+        [(1, "p q p q"), (2, "p q")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in chunk_boilerplate_removal(
+            df, "doc_id", "text", chunk_words=2, df_cap=2
+        ).collect()
+    }
+    assert rows[1]["n_dropped"] == 0 and rows[1]["clean_text"] == "p q p q"
+    assert rows[2]["n_dropped"] == 0
