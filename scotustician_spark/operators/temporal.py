@@ -179,6 +179,52 @@ def funnel_stages(
     return out
 
 
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse a change log
+    (one row per observation of ``key``'s attributes) into validity
+    intervals — one row per *state change*, with ``valid_from`` /
+    ``valid_to`` (NULL = still current), ``is_current`` and a per-key
+    ``version`` counter. The standard dimension-history table a
+    warehouse maintains from CDC feeds; the reference's closest
+    relative is the idempotent keyed upsert (helpers.py:287-296),
+    which keeps only latest state — this keeps full history.
+
+    Consecutive observations with identical attributes collapse into
+    one interval (they are re-observations, not changes).
+
+    Plan: ONE shuffle on ``key_col`` serves both window passes — the
+    change-detection lag and the interval lead run over the same
+    partitioning/ordering, and Catalyst plans them over a single
+    Exchange+Sort. No self-join, no per-key collection: safe for keys
+    with millions of observations.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        changes.withColumn("__prev", F.lag(state).over(w))
+        # IS DISTINCT FROM semantics: first row per key (prev NULL) and
+        # genuine attribute changes survive; NULL-safe so an attribute
+        # flipping to/from NULL registers as a change
+        .filter(~state.eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = W.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.temporal import asof_join, range_join_binned
+from ..operators.temporal import asof_join, range_join_binned, scd2_intervals
 from .registry import register
 from .relational import _events
 
@@ -126,4 +126,55 @@ def range_join_follow_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.coalesce("n", F.lit(0)).cast("long").alias("n_follow_clicks"),
         F.coalesce("v", F.lit(0.0)).alias("follow_click_value"),
+    )
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH e AS (SELECT user_id, event_type AS state, ts, event_id FROM events),
+    marked AS (
+        SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS prev_state
+        FROM e),
+    changes AS (
+        SELECT * FROM marked
+        WHERE prev_state IS NULL OR state <> prev_state),
+    iv AS (
+        SELECT user_id, state, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS version
+        FROM changes)
+    SELECT user_id, state,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us,
+           CAST(version AS INTEGER) AS version,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+    doc="SCD Type-2 dimension build from a change log: consecutive "
+    "re-observations of the same state collapse, each state change opens "
+    "a validity interval closed by the next change (NULL = current). One "
+    "shuffle on the key serves both window passes.",
+    bench=True,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    out = scd2_intervals(
+        ev, "user_id", "ts_us", ["state"], tie_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
     )

@@ -195,3 +195,55 @@ def test_asof_join_forward_and_tolerance(spark):
     assert back_tol["c"]["rid"] is None
     # backward @205: exact match, ties break by MAX rid
     assert back_tol["b"]["rid"] == 13
+
+
+def test_scd2_intervals_collapse_and_versions(spark):
+    from scotustician_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        # key A: x, x (re-observation, collapses), y, x again (new interval)
+        ("A", 10, "x", 1),
+        ("A", 20, "x", 2),
+        ("A", 30, "y", 3),
+        ("A", 40, "x", 4),
+        # key B: single observation -> one open interval
+        ("B", 15, "z", 5),
+        # key C: attr flips to NULL and back -> NULL-safe change detection
+        ("C", 1, "s", 6),
+        ("C", 2, None, 7),
+        ("C", 3, None, 8),
+        ("C", 4, "s", 9),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, attr string, eid long")
+    out = scd2_intervals(df, "k", "ts", ["attr"], tie_col="eid").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    a = sorted(by_key["A"], key=lambda r: r["version"])
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in a] == [
+        ("x", 10, 30),
+        ("y", 30, 40),
+        ("x", 40, None),
+    ]
+    assert [r["is_current"] for r in a] == [False, False, True]
+    assert [r["version"] for r in a] == [1, 2, 3]
+    b = by_key["B"]
+    assert len(b) == 1 and b[0]["is_current"] and b[0]["valid_from"] == 15
+    c = sorted(by_key["C"], key=lambda r: r["version"])
+    # s -> NULL (change), NULL re-observed (collapse), NULL -> s (change)
+    assert [(r["attr"], r["valid_from"]) for r in c] == [
+        ("s", 1),
+        (None, 2),
+        ("s", 4),
+    ]
+
+
+def test_scd2_single_shuffle_plan(spark):
+    from scotustician_spark.operators.temporal import scd2_intervals
+
+    df = spark.createDataFrame(
+        [("A", 1, "x", 1), ("A", 2, "y", 2)], "k string, ts long, attr string, eid long"
+    )
+    plan = scd2_intervals(df, "k", "ts", ["attr"], tie_col="eid")._jdf.queryExecution().executedPlan().toString()
+    # both window passes ride ONE exchange on the key
+    assert plan.count("Exchange hashpartitioning") == 1, plan
