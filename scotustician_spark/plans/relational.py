@@ -1060,3 +1060,40 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price"
         ),
     )
+
+
+@register(
+    "bloom_semi_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = lineitem.l_orderkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="Semi join with an explicit bloom pre-filter: the dim key set is "
+    "distilled to an array<long> bit set (one aggregation, never leaves the "
+    "cluster), broadcast to the fact scan, and non-matching fact rows die "
+    "before the exchange; the exact semi join settles false positives. "
+    "Identical results to the plain semi join at any bloom size.",
+    bench=True,
+)
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -1,0 +1,58 @@
+"""Bloom-filter semi-join pruning: zero false negatives by
+construction, exact-result equivalence to a plain semi join, and the
+pre-filter genuinely dropping rows before the exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scotustician_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_num_bits,
+    bloom_semi_join,
+)
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    dim = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    bits = bloom_num_bits(500, fpp=0.01)
+    bloom = bloom_build(dim, "k", bits)
+    probe = spark.range(0, 20000).select(F.col("id").alias("k")).join(
+        F.broadcast(bloom)
+    )
+    hits = probe.filter(bloom_might_contain(F.col("__bloom"), F.col("k"), bits))
+    hit_keys = {r["k"] for r in hits.collect()}
+    member = {i * 7 + 3 for i in range(500) if i * 7 + 3 < 20000}
+    # every true member passes the filter — bloom never false-negatives
+    assert member <= hit_keys
+    # false-positive rate lands near the sizing target (generous bound)
+    fp = len(hit_keys - member) / (20000 - len(member))
+    assert fp < 0.05, fp
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("fk"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 200).select((F.col("id") * 5).alias("dk"))
+    out = bloom_semi_join(fact, dim, "fk", "dk", num_bits=1 << 12)
+    plain = fact.join(
+        dim.select(F.col("dk").alias("fk")).distinct(), "fk", "left_semi"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bloom_prefilter_drops_rows_before_join(spark):
+    fact = spark.range(0, 10000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 50).select((F.col("id") * 100).alias("dk"))
+    bits = bloom_num_bits(50, fpp=0.001)
+    bloom = bloom_build(dim, "dk", bits)
+    pre = fact.join(F.broadcast(bloom)).filter(
+        bloom_might_contain(F.col("__bloom"), F.col("fk"), bits)
+    )
+    n_pre = pre.count()
+    # 50 members out of 10000 — the pre-filter must kill almost all
+    # non-members before any join happens
+    assert n_pre < 200, n_pre
+    assert bloom_semi_join(fact, dim, "fk", "dk", num_bits=bits).count() == 50
