@@ -1097,3 +1097,51 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "incremental_mv_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(sum(o_totalprice) / count(o_totalprice), 4) AS avg_price,
+           max(o_totalprice) AS max_price,
+           min(o_orderdate) AS first_order
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="Incremental materialized-view maintenance: the orders table is "
+    "processed as a base batch plus a later increment; each batch becomes "
+    "algebraic partial state (sum/count/min/max per group) and the states "
+    "MERGE without rescanning the base — the oracle is the full recompute, "
+    "so the gate proves merge(partial(base), partial(delta)) == full.",
+    bench=True,
+)
+def incremental_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mv import mv_finalize, mv_merge, mv_partial
+
+    o = _t(spark, sf_dir, "orders")
+    specs = {
+        "n_orders": ("count", "*"),
+        "total_price": ("sum", "o_totalprice"),
+        "avg_price": ("avg", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+        "first_order": ("min", "o_orderdate"),
+    }
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cutoff = "1997-01-01"
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    delta = o.filter(F.col("o_orderdate") >= cutoff)
+    state = mv_merge(
+        keys, specs, mv_partial(base, keys, specs), mv_partial(delta, keys, specs)
+    )
+    out = mv_finalize(state, keys, specs, round_avg=4)
+    return out.select(
+        *keys,
+        "n_orders",
+        F.round("total_price", 2).alias("total_price"),
+        "avg_price",
+        "max_price",
+        "first_order",
+    )
