@@ -230,25 +230,20 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: documents sharing any band signature.
-
-    Signatures AND band signatures (md5 of the band's minhashes in seed
-    order) are computed in-row in the scan stage — the first shuffle in
-    the whole plan is the candidate equi-join on (band, band_sig),
-    moving ``n_bands`` short rows per document instead of one row per
-    shingle. Documents that collide in no band are never paired, which
-    is the point of LSH at corpus scale — pair cost tracks actual
-    collisions, never n².
-    """
+    """(doc_id, band, band_sig) LSH band relation — the persistable
+    *index* side of MinHash LSH: computed entirely in-row on the scan
+    (one md5 per distinct shingle, k universal hashes, md5 per band),
+    ``n_bands`` short rows per document. Store this next to the corpus
+    and new batches can be deduped against it without re-reading the
+    base text (see ``incremental_dedup``)."""
     n_bands = num_hashes // band_size
     mins = minhash_signature_array(text_col, n, num_hashes)
     # bind the minima array once (_let), then derive every band sig
@@ -282,11 +277,33 @@ def minhash_lsh_candidates(
             ),
         ),
     )
-    bands = (
+    return (
         repartition_for_compute(df)
         .select(F.col(id_col).alias("doc_id"), F.explode(bands_arr).alias("b"))
         .select("doc_id", "b.band", "b.band_sig")
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing any band signature.
+
+    Signatures AND band signatures (md5 of the band's minhashes in seed
+    order) are computed in-row in the scan stage — the first shuffle in
+    the whole plan is the candidate equi-join on (band, band_sig),
+    moving ``n_bands`` short rows per document instead of one row per
+    shingle. Documents that collide in no band are never paired, which
+    is the point of LSH at corpus scale — pair cost tracks actual
+    collisions, never n².
+    """
+    bands = minhash_bands(df, id_col, text_col, n, num_hashes, band_size)
     # group each (band, band_sig) bucket ONCE and emit its id pairs
     # in-row, instead of a self-join: the signature map runs a single
     # time (Spark does not reuse the exchange across self-join sides),
@@ -322,6 +339,69 @@ def minhash_lsh_candidates(
         buckets.select(F.explode(pairs_expr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def incremental_dedup(
+    delta: DataFrame,
+    base_fps: DataFrame,
+    base_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus without
+    touching the base text — the scheduled-ingest twin of the one-shot
+    dedup family (the reference's incremental anti-join,
+    processors.py:86-116, generalized from exact keys to near-dup):
+
+    - ``base_fps``   — (fp) exact fingerprints of the base corpus
+      (``exact_duplicates``'s group keys, persisted);
+    - ``base_bands`` — (doc_id, band, band_sig) LSH index
+      (``minhash_bands`` output, persisted).
+
+    Per delta document: ``is_exact_dup`` (fingerprint already in base),
+    ``n_near_candidates`` (DISTINCT base docs sharing ≥1 band
+    signature), and the triage ``decision``
+    (drop_exact / review_near / keep).
+
+    Both probes are equi-joins against index relations that scale with
+    the BASE's size, never rescans of it; the delta (typically ≪ base)
+    is the streamed side. At 100 TB the fp and band indexes are the
+    things you keep sorted/bucketed on disk between runs.
+    """
+    d = repartition_for_compute(delta).select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(text_col).alias("fp"),
+    )
+    exact = d.join(
+        base_fps.select("fp").distinct().withColumn("__hit", F.lit(1)), "fp", "left"
+    ).select("doc_id", (F.col("__hit") == 1).alias("is_exact_dup"))
+    delta_bands = minhash_bands(delta, id_col, text_col, n, num_hashes, band_size)
+    near = (
+        delta_bands.join(
+            base_bands.select(
+                F.col("doc_id").alias("base_id"), "band", "band_sig"
+            ),
+            ["band", "band_sig"],
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("base_id").alias("n_near_candidates"))
+    )
+    out = exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
+        F.coalesce("n_near_candidates", F.lit(0)).cast("long").alias(
+            "n_near_candidates"
+        ),
+    )
+    return out.withColumn(
+        "decision",
+        F.when(F.col("is_exact_dup"), "drop_exact")
+        .when(F.col("n_near_candidates") > 0, "review_near")
+        .otherwise("keep"),
     )
 
 

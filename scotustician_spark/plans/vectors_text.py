@@ -263,6 +263,84 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
+    """Bands CTE shared with _minhash_oracle; delta = doc_id % 5 = 0,
+    base = the rest. The fp/band 'indexes' are just CTE filters here —
+    in the Spark plan they are separate persisted relations."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    mins = ", ".join(
+        f"min(({a} * H + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    n_bands = num_hashes // band_size
+    band_rows = ", ".join(
+        "({bi}, md5({cat}))".format(
+            bi=bi,
+            cat=" || '|' || ".join(
+                f"CAST(mh{bi * band_size + j} AS VARCHAR)" for j in range(band_size)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    norm = (
+        "md5(regexp_replace(regexp_replace(lower(text), "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+    WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT) AS H
+        FROM posts),
+    sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band, b.band_sig
+        FROM sigs, LATERAL (VALUES {band_rows}) AS b(band, band_sig)),
+    fp AS (SELECT doc_id, {norm} AS fp FROM documents),
+    exact AS (
+        SELECT doc_id,
+               fp IN (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0)
+                   AS is_exact_dup
+        FROM fp WHERE doc_id % 5 = 0),
+    near AS (
+        SELECT d.doc_id, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n
+        FROM bands d JOIN bands b
+          ON d.band = b.band AND d.band_sig = b.band_sig
+         AND b.doc_id % 5 <> 0
+        WHERE d.doc_id % 5 = 0
+        GROUP BY d.doc_id)
+    SELECT e.doc_id, e.is_exact_dup,
+           coalesce(near.n, 0) AS n_near_candidates,
+           CASE WHEN e.is_exact_dup THEN 'drop_exact'
+                WHEN coalesce(near.n, 0) > 0 THEN 'review_near'
+                ELSE 'keep' END AS decision
+    FROM exact e LEFT JOIN near ON e.doc_id = near.doc_id
+    """
+
+
+@register(
+    "incremental_dedup_delta",
+    _incremental_dedup_oracle(),
+    doc="Incremental dedup of a new batch (doc_id %% 5 = 0) against the "
+    "already-indexed base corpus: exact-fingerprint probe + LSH-band probe, "
+    "both equi-joins against persisted index relations — the base text is "
+    "never rescanned. Triage decision per delta document.",
+    bench=True,
+)
+def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    base_fps = base.select(fingerprint("text").alias("fp"))
+    base_bands = DD.minhash_bands(base, "doc_id", "text", n=3, num_hashes=16, band_size=4)
+    return DD.incremental_dedup(
+        delta, base_fps, base_bands, "doc_id", "text", n=3, num_hashes=16, band_size=4
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     odd = "('1','3','5','7','9','b','d','f')"
     votes = ", ".join(

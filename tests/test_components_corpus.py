@@ -240,3 +240,44 @@ def test_minhash_lsh_null_text_never_pairs(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df2, "doc_id", "text").collect()}
     assert pairs == {(4, 5)}
+
+
+def test_incremental_dedup_triage(spark):
+    from scotustician_spark.functions.text import fingerprint
+    from scotustician_spark.operators.dedup import incremental_dedup, minhash_bands
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "completely different base content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            # exact dup of base 1 modulo whitespace/case normalization
+            (10, "  The quick   brown fox jumps over the lazy dog every day "),
+            # near dup of base 1 (one word changed -> shares bands)
+            (11, "the quick brown fox jumps over the lazy cat every day"),
+            # novel
+            (12, "nothing like anything in the base at all whatsoever"),
+            # zero-token: no bands, no fp match -> keep
+            (13, None),
+        ],
+        "doc_id long, text string",
+    )
+    base_fps = base.select(fingerprint("text").alias("fp"))
+    base_bands = minhash_bands(base, "doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            delta, base_fps, base_bands, "doc_id", "text"
+        ).collect()
+    }
+    assert out[10]["is_exact_dup"] and out[10]["decision"] == "drop_exact"
+    assert not out[11]["is_exact_dup"]
+    assert out[11]["n_near_candidates"] >= 1
+    assert out[11]["decision"] == "review_near"
+    assert out[12]["decision"] == "keep" and out[12]["n_near_candidates"] == 0
+    assert out[13]["decision"] == "keep"
+    assert sorted(out) == [10, 11, 12, 13]
