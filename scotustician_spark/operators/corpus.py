@@ -113,3 +113,60 @@ def pack_by_budget(
         )
         .drop("__before")
     )
+
+
+def stable_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    name: str = "global_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered 0-based row index WITHOUT the single-partition
+    trap: ``row_number().over(Window.orderBy(...))`` with no
+    partitionBy collapses the whole dataset onto ONE task — the
+    classic unscalable plan. This computes the identical index as
+    range-partition + in-partition row_number + per-partition offset:
+
+    1. ``repartitionByRange(order_cols)`` — sampled boundaries give
+       balanced, globally-ordered partitions (one shuffle);
+    2. per-partition ``row_number`` over a window keyed on the
+       partition id (no second exchange — data is already placed);
+    3. partition row-counts (one tiny agg: #partitions rows) become
+       cumulative offsets, broadcast back.
+
+    ``order_cols`` must end in a tiebreaker that is unique per row —
+    with ties at a range boundary the per-partition numbering would
+    otherwise disagree with the global ordering (and the index itself
+    would be nondeterministic under any formulation).
+
+    The 100 TB use: deterministic corpus sequencing (shard manifests,
+    resumable training order) where sort order matters — where it
+    doesn't, ``hash_bucket``/``pack_by_budget`` stay shuffle-lighter.
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).sortWithinPartitions(*order_cols)
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    counts = (
+        with_pid.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("__pid", "__offset")
+    )
+    w = W.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn("__rn", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(counts), "__pid")
+        .withColumn(name, F.col("__rn") + F.col("__offset"))
+        .drop("__pid", "__rn", "__offset")
+    )

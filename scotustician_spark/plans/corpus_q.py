@@ -219,3 +219,24 @@ def corpus_clean_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@register(
+    "global_row_index",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+                AS BIGINT) AS global_idx
+    FROM orders
+    """,
+    doc="Globally-ordered row index WITHOUT the single-partition window "
+    "trap: range-repartition on the order key, per-partition row_number, "
+    "per-partition counts cumulated into broadcast offsets. The oracle is "
+    "the naive global window — identical indexes, incomparable scaling.",
+    bench=True,
+)
+def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return CP.stable_global_index(o, ["o_orderdate", "o_orderkey"])

@@ -281,3 +281,37 @@ def test_incremental_dedup_triage(spark):
     assert out[12]["decision"] == "keep" and out[12]["n_near_candidates"] == 0
     assert out[13]["decision"] == "keep"
     assert sorted(out) == [10, 11, 12, 13]
+
+
+def test_stable_global_index_matches_naive_window(spark):
+    from pyspark.sql.window import Window as W
+
+    from scotustician_spark.operators.corpus import stable_global_index
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("uid")
+    )
+    out = stable_global_index(df, ["k", "uid"], num_partitions=8)
+    naive = df.withColumn(
+        "global_idx", F.row_number().over(W.orderBy("k", "uid")).cast("long") - 1
+    )
+    assert sorted(map(tuple, out.select("k", "uid", "global_idx").collect())) == sorted(
+        map(tuple, naive.select("k", "uid", "global_idx").collect())
+    )
+
+
+def test_stable_global_index_no_single_partition_exchange_on_data(spark):
+    from scotustician_spark.operators.corpus import stable_global_index
+
+    df = spark.range(0, 100).select(F.col("id").alias("uid"))
+    plan = (
+        stable_global_index(df, ["uid"], num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the data path must be range-partitioned; the only SinglePartition
+    # exchange allowed is the tiny per-partition-counts side (broadcast)
+    assert "rangepartitioning" in plan.lower(), plan
+    data_side = plan.split("BroadcastExchange")[0]
+    assert "SinglePartition" not in data_side, data_side
