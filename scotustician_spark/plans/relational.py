@@ -1145,3 +1145,82 @@ def incremental_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price",
         "first_order",
     )
+
+
+@register(
+    "rolling_7d_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS ts_s,
+           o_totalprice,
+           round(sum(o_totalprice) OVER w, 2) AS rolling_7d_total,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_7d_orders
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-frame window (time-based sliding aggregate): per customer, "
+    "revenue and order count over the trailing 7 days including peers at "
+    "the same timestamp — the frame the reference's row-offset windows "
+    "cannot express (SURVEY §2.6 'not present' row).",
+    bench=True,
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    ts = F.unix_timestamp("o_orderdate").alias("ts_s")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("ts_s"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select("o_orderkey", "o_custkey", ts, "o_totalprice").select(
+        "o_orderkey",
+        "o_custkey",
+        "ts_s",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_total"),
+        F.count("*").over(w).cast("long").alias("rolling_7d_orders"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="True pivot (groupBy().pivot() with explicit values — one pass, no "
+    "per-value scans; values pinned so the schema is static and no "
+    "distinct-values pre-query runs). A4's pivot alternative surfaced as "
+    "its own operator.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).cast("long").alias("n_p"),
+        F.coalesce("F_total", F.lit(0.0)).alias("total_f"),
+        F.coalesce("O_total", F.lit(0.0)).alias("total_o"),
+        F.coalesce("P_total", F.lit(0.0)).alias("total_p"),
+    )
