@@ -145,3 +145,49 @@ def merge_upsert(
         return {"updated": n_existing - n_kept, "inserted": n_in - (n_existing - n_kept)}
     incoming.write.mode("overwrite").parquet(path)
     return {"updated": 0, "inserted": n_in}
+
+
+def merge_apply_cdc(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> dict[str, int]:
+    """Apply a CDC change batch (``op`` ∈ {'I','U','D'}) to a keyed
+    parquet table: upserts replace/insert, deletes remove the key —
+    the Debezium/DMS-feed apply step, and the full-generality sibling
+    of ``merge_upsert``. ``seq_col`` (e.g. the source LSN / change
+    timestamp) picks the LAST change per key within the batch; without
+    it the batch must carry at most one change per key.
+
+    Same copy-on-write plan a Delta/Iceberg MERGE executes (minus file
+    skipping): one window (or dropDuplicates) to collapse the batch,
+    one anti-join to retire matched keys, one union of the surviving
+    upserts. Returns upserted/deleted counts.
+    """
+    from pyspark.sql.window import Window as W
+
+    if seq_col is not None:
+        w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        latest = changes.dropDuplicates(key_cols)
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, *( [seq_col] if seq_col else [] ))
+    deletes = latest.filter(F.col(op_col) == "D").select(*key_cols)
+    n_up = upserts.count()
+    n_del = deletes.count()
+    if _has_data(spark, path):
+        existing = spark.read.parquet(path)
+        touched = latest.select(*key_cols)
+        kept = existing.join(touched, key_cols, "left_anti")
+        merged = kept.unionByName(upserts)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        return {"upserted": n_up, "deleted": n_del}
+    upserts.write.mode("overwrite").parquet(path)
+    return {"upserted": n_up, "deleted": n_del}

@@ -134,3 +134,34 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # option is what guarantees the union, so readers must opt in
     plain_cols = set(spark.read.parquet(p).columns)
     assert plain_cols <= {"id", "text", "lang"}
+
+
+def test_merge_apply_cdc(spark, tmp_path):
+    from scotustician_spark.sources.sinks import merge_apply_cdc
+
+    p = str(tmp_path / "cdc_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    )
+    base.write.parquet(p)
+    # batch: update k=1 twice (seq picks the later), delete k=2, insert k=4,
+    # and an insert-then-delete of k=5 (net effect: absent)
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 11, "U", 100),
+            (1, "a3", 12, "U", 200),
+            (2, None, None, "D", 150),
+            (4, "d", 40, "I", 120),
+            (5, "e", 50, "I", 110),
+            (5, None, None, "D", 130),
+        ],
+        "k int, name string, v int, op string, seq long",
+    )
+    counts = merge_apply_cdc(spark, p, changes, ["k"], seq_col="seq")
+    assert counts == {"upserted": 2, "deleted": 2}
+    rows = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert rows == {1: ("a3", 12), 3: ("c", 30), 4: ("d", 40)}
+    # replay of the same batch is a no-op on content (idempotent apply)
+    merge_apply_cdc(spark, p, changes, ["k"], seq_col="seq")
+    rows2 = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert rows2 == rows
