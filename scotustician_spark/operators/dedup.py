@@ -471,5 +471,82 @@ def simhash_signatures(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs from banded SimHash: signatures band into
+    ``n_bands`` sub-signatures; documents sharing ANY band are
+    candidates (two docs within hamming distance < n_bands are
+    guaranteed to share a band — pigeonhole), then the exact hamming
+    distance filters to ``<= max_hamming``.
+
+    Completes the SimHash path (``simhash_signatures`` emits the
+    fingerprint; this resolves it to pairs) with the same scale shape
+    as MinHash LSH: signatures and bands in-row on the scan, ONE
+    shuffle on (band, sub_sig), in-row pair expansion per bucket, pair
+    distinct. The signature rides through the bucket so hamming is
+    computed in-row — no join back to the signature table.
+    """
+    assert bits % n_bands == 0
+    width = bits // n_bands
+    sig = simhash_signature_expr(text_col, bits)
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.substring(F.col("__sig"), F.lit(1) + bi * width, width).alias(
+                "sub_sig"
+            ),
+        ),
+    )
+    bands = (
+        repartition_for_compute(df)
+        .select(F.col(id_col).alias("doc_id"), sig.alias("__sig"))
+        .filter(F.col("__sig").isNotNull())
+        .select("doc_id", "__sig", F.explode(bands_arr).alias("b"))
+        .select("doc_id", "__sig", "b.band", "b.sub_sig")
+    )
+    # same in-row bucket pair expansion as the LSH path; the struct
+    # sorts by doc_id first, so a.doc_id < b.doc_id by construction
+    members = F.array_sort(F.collect_set(F.struct("doc_id", "__sig")))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    x["__sig"].alias("sig_a"),
+                    y["__sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        bands.groupBy("band", "sub_sig")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.conv("sig_a", 2, 10).cast("long").bitwiseXOR(
+            F.conv("sig_b", 2, 10).cast("long")
+        )
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
+    )
+
+
 def _colref(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c

@@ -315,3 +315,31 @@ def test_stable_global_index_no_single_partition_exchange_on_data(spark):
     assert "rangepartitioning" in plan.lower(), plan
     data_side = plan.split("BroadcastExchange")[0]
     assert "SinglePartition" not in data_side, data_side
+
+
+def test_simhash_near_pairs_recall_and_hamming(spark):
+    from scotustician_spark.operators.dedup import simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical -> hamming 0, must be found
+            (3, base.replace("dog", "cat")),  # near variant
+            (4, "entirely unrelated text about query engines and shuffles"),
+            (5, None),  # zero-token: absent from signatures, never pairs
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = simhash_near_pairs(df, "doc_id", "text", bits=32, n_bands=4, max_hamming=3)
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (1, 2) in rows
+    r12 = rows[(1, 2)]
+    assert r12["hamming"] == 0 and r12["sig_a"] == r12["sig_b"]
+    assert len(r12["sig_a"]) == 32
+    # ordering invariant + no self/null pairs
+    for (a, b), r in rows.items():
+        assert a < b
+        assert a in (1, 2, 3, 4) and b in (1, 2, 3, 4)
+        assert r["hamming"] <= 3
