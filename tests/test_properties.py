@@ -201,3 +201,46 @@ def test_lsh_hot_bucket_cap_drops_degenerate_buckets(spark):
     assert len(uncapped) == 16
     # capped at 5: the 6-doc bucket is dropped, the pair survives
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(10, 11)}
+
+
+scd2_data = st.lists(
+    # (key, ts, state) — few keys/timestamps so ties and re-observations
+    # are common; states from a 3-value set incl. None
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 20),
+        st.sampled_from(["a", "b", None]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(scd2_data)
+def test_scd2_intervals_match_python_oracle(spark, rows):
+    from scotustician_spark.operators.temporal import scd2_intervals
+
+    rows = [(k, t, s, i) for i, (k, t, s) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k int, ts long, state string, eid int")
+    got = sorted(
+        (r["k"], r["version"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(df, "k", "ts", ["state"], tie_col="eid").collect()
+    )
+    # oracle: per key, order by (ts, eid), collapse repeats, build intervals
+    exp = []
+    bykey: dict[int, list] = {}
+    for k, t, s, i in rows:
+        bykey.setdefault(k, []).append((t, i, s))
+    for k, obs in bykey.items():
+        obs.sort()
+        changes = []
+        prev = object()
+        for t, _i, s in obs:
+            if s != prev:
+                changes.append((t, s))
+                prev = s
+        for v, (t, s) in enumerate(changes, start=1):
+            nxt = changes[v][0] if v < len(changes) else None
+            exp.append((k, v, s, t, nxt, nxt is None))
+    assert got == sorted(exp)
