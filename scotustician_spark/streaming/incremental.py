@@ -67,3 +67,35 @@ def run_available_now(
         .start()
         .awaitTermination()
     )
+
+
+def run_cdc_apply(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> None:
+    """Streaming CDC apply: each micro-batch of change rows
+    (op ∈ {'I','U','D'} + optional source sequence) merges into the
+    keyed parquet table via ``merge_apply_cdc`` — the
+    Debezium-feed-to-table pattern with AvailableNow semantics. The
+    checkpoint makes redelivered files no-ops at the batch level; the
+    per-key sequence collapse makes re-sent changes no-ops at the row
+    level. Blocks until the trigger drains.
+    """
+    from ..sources.sinks import merge_apply_cdc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_apply_cdc(
+            batch_df.sparkSession, table_path, batch_df, key_cols, op_col, seq_col
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -210,3 +210,39 @@ def test_stream_static_enrich_broadcasts(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT * FROM enrich_out").collect()
     assert [(r["k"], r["v"], r["tier"]) for r in rows] == [(1, 5, "gold")]
+
+
+def test_run_cdc_apply_two_batches(spark, tmp_path):
+    from scotustician_spark.streaming.incremental import run_cdc_apply
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k INT, name STRING, v INT, op STRING, seq LONG"
+
+    def feed(rows):
+        import uuid
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(
+            str(src / uuid.uuid4().hex)
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src) + "/*")
+
+    # batch 1: two inserts
+    feed([(1, "a", 10, "I", 1), (2, "b", 20, "I", 2)])
+    run_cdc_apply(stream(), table, ckpt, ["k"], seq_col="seq")
+    assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == {1: 10, 2: 20}
+
+    # batch 2: update k=1, delete k=2, insert k=3
+    feed([(1, "a2", 11, "U", 3), (2, None, None, "D", 4), (3, "c", 30, "I", 5)])
+    run_cdc_apply(stream(), table, ckpt, ["k"], seq_col="seq")
+    rows = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert rows == {1: ("a2", 11), 3: ("c", 30)}
+
+    # re-running with nothing new is a no-op (checkpoint dedupes files)
+    run_cdc_apply(stream(), table, ckpt, ["k"], seq_col="seq")
+    rows2 = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert rows2 == rows
