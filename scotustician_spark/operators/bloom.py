@@ -161,3 +161,37 @@ def bloom_semi_join(
     )
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return pre.join(keys, fact_key, "left_semi")
+
+
+def bloom_anti_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int | None = None,
+    num_hashes: int = 3,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact anti join with a bloom short-circuit: a bloom MISS proves
+    the key is NOT in the dim (no false negatives), so bloom-negative
+    fact rows are emitted directly from the scan stage — only the
+    bloom-positive sliver (~|matches| + fpp·|fact| rows) pays the
+    exact anti join that settles false positives. Identical results to
+    ``fact.join(dim, ..., "left_anti")``; at 100 TB the exchange under
+    the join carries the sliver, not the fact table.
+    """
+    if num_bits is None:
+        num_bits = bloom_num_bits(max(dim.count(), 1), fpp)
+    bloom = bloom_build(dim, dim_key, num_bits, num_hashes)
+    probed = fact.join(F.broadcast(bloom)).withColumn(
+        "__maybe",
+        bloom_might_contain(F.col("__bloom"), F.col(fact_key), num_bits, num_hashes),
+    ).drop("__bloom")
+    definite_out = probed.filter(~F.col("__maybe")).drop("__maybe")
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    survivors = (
+        probed.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .join(keys, fact_key, "left_anti")
+    )
+    return definite_out.unionByName(survivors)

@@ -56,3 +56,20 @@ def test_bloom_prefilter_drops_rows_before_join(spark):
     # non-members before any join happens
     assert n_pre < 200, n_pre
     assert bloom_semi_join(fact, dim, "fk", "dk", num_bits=bits).count() == 50
+
+
+def test_bloom_anti_join_equals_plain_anti(spark):
+    from scotustician_spark.operators.bloom import bloom_anti_join
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("fk"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 200).select((F.col("id") * 5).alias("dk"))
+    out = bloom_anti_join(fact, dim, "fk", "dk", num_bits=1 << 12)
+    plain = fact.join(
+        dim.select(F.col("dk").alias("fk")).distinct(), "fk", "left_anti"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # and with an undersized (high-fpp) bloom, results are STILL exact
+    tiny = bloom_anti_join(fact, dim, "fk", "dk", num_bits=256)
+    assert sorted(map(tuple, tiny.collect())) == sorted(map(tuple, plain.collect()))
