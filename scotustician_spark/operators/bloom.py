@@ -59,6 +59,11 @@ def bloom_build(
     O(m) total, where a per-slot map lookup would be O(m²) (maps have
     linear-scan element_at; measured 17 s vs 0.3 s at m = 2^20).
     """
+    assert num_bits % 64 == 0, (
+        "num_bits must be a multiple of 64: a ragged final word would "
+        "make probes of the top positions read past the dense array "
+        "(NULL word -> silent false negatives)"
+    )
     n_words = num_bits // 64
     key = F.col(key_col)
     pos = F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("pos")

@@ -129,8 +129,12 @@ def stable_global_index(
 
     1. ``repartitionByRange(order_cols)`` — sampled boundaries give
        balanced, globally-ordered partitions (one shuffle);
-    2. per-partition ``row_number`` over a window keyed on the
-       partition id (no second exchange — data is already placed);
+    2. within-partition position WITHOUT a window:
+       ``monotonically_increasing_id()`` encodes (partition id << 33)
+       + row index in task order, so pid/row-index are two bit-ops on
+       the sorted stage itself — a window keyed on the partition id
+       would make Catalyst re-Exchange the whole dataset on that key
+       (a second full-data shuffle for data already placed);
     3. partition row-counts (one tiny agg: #partitions rows) become
        cumulative offsets, broadcast back.
 
@@ -148,9 +152,14 @@ def stable_global_index(
         if num_partitions
         else df.repartitionByRange(*order_cols)
     ).sortWithinPartitions(*order_cols)
-    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    mid = F.monotonically_increasing_id()
+    with_pos = part.select(
+        "*",
+        F.shiftright(mid, 33).alias("__pid"),
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("__rn"),
+    )
     counts = (
-        with_pid.groupBy("__pid")
+        with_pos.groupBy("__pid")
         .agg(F.count("*").alias("__n"))
         .withColumn(
             "__offset",
@@ -163,10 +172,8 @@ def stable_global_index(
         )
         .select("__pid", "__offset")
     )
-    w = W.partitionBy("__pid").orderBy(*order_cols)
     return (
-        with_pid.withColumn("__rn", F.row_number().over(w).cast("long") - 1)
-        .join(F.broadcast(counts), "__pid")
+        with_pos.join(F.broadcast(counts), "__pid")
         .withColumn(name, F.col("__rn") + F.col("__offset"))
         .drop("__pid", "__rn", "__offset")
     )
