@@ -202,6 +202,7 @@ def chunk_boilerplate_removal(
     text_col: str,
     chunk_words: int = 8,
     df_cap: int = 2,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """C4/RefinedWeb-style cross-document boilerplate removal: split
     every document into fixed-size word chunks, drop chunks whose
@@ -216,11 +217,14 @@ def chunk_boilerplate_removal(
     Plan shape: chunking is IN-ROW (slice over the token array — the
     chunk relation is born from a single explode, never a join);
     the only wide stages are the chunk-frequency count and the ordered
-    reassembly, both keyed well (md5 of chunk text / doc id). The hot
-    set (df > cap) is by construction small relative to the corpus —
-    the same skew economics as the shingle df-cap in dedup — and is
-    broadcast against the chunk relation, so corpus text crosses the
-    wire at most twice at any scale.
+    reassembly, both keyed well (md5 of chunk text / doc id). With
+    ``broadcast_hot`` the hot set (df > cap) joins broadcast — right
+    when the cap keeps it small relative to the corpus (the same skew
+    economics as the shingle df-cap in dedup). A low cap over a
+    boilerplate-heavy 100 TB corpus can make the hot set itself
+    large — set ``broadcast_hot=False`` there and the anti-join
+    becomes a plain shuffle join on the fingerprint, which AQE can
+    still convert back to broadcast if the runtime size allows.
     """
     toks = _lower_tokens(text_col)
     # sequence(0, -1) would DESCEND ([0, -1]) — guard the zero-token
@@ -246,8 +250,9 @@ def chunk_boilerplate_removal(
         .filter(F.col("chunk_df") > df_cap)
         .select("fp")
     )
+    hot_side = F.broadcast(hot) if broadcast_hot else hot
     kept = chunks.join(
-        F.broadcast(hot), F.md5(chunks["chunk"]) == hot["fp"], "left_anti"
+        hot_side, F.md5(chunks["chunk"]) == hot["fp"], "left_anti"
     )
     reassembled = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
