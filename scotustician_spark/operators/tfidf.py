@@ -57,3 +57,73 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    (the retrieval scorer behind corpus search / hard-negative mining):
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+
+    Plan shape — NOTHING ever explodes: per-term tf is an in-row
+    ``size(filter(tokens, = term))`` (query terms are a handful of
+    literals), so the per-term flags ride the scan; N/avgdl/df(t) come
+    from ONE global aggregation broadcast back as a single row. The
+    whole query is scan → tiny-agg → broadcast → map, at any corpus
+    size. Every input to the row formula (tf, dl, N, df, exact
+    long-sum avgdl) is integer-exact, so scores are bit-identical
+    across engines.
+    """
+    # NULL text scores like empty text (dl = 0, no matches), not NULL
+    toks = F.coalesce(
+        tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
+    base = repartition_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda t: t == F.lit(term)))
+            .cast("long")
+            .alias(f"__tf_{i}")
+            for i, term in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+        )
+        tf = F.col(f"__tf_{i}")
+        part = idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            (sum(F.col(f"__tf_{i}") for i in range(len(query_terms)))).alias(
+                "n_matches"
+            ),
+            score.alias("bm25"),
+        )
+    )

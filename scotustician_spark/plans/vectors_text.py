@@ -596,3 +596,58 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("tfidf", 6).alias("tfidf"),
         F.col("rank").alias("term_rank"),
     )
+
+
+_BM25_TERMS = ["spark", "query", "table"]
+
+# guarded tokens: NULL/blank text -> empty list (DuckDB splits '' to [''])
+_TOKS_G = (
+    f"CASE WHEN text IS NULL OR length(regexp_replace(lower(text), "
+    f"'^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE {_TOKS} END"
+)
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    tfs = ", ".join(
+        f"CAST(len(list_filter(l, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({k1} + 1)) / (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    n_matches = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+    WITH base AS (
+        SELECT doc_id, CAST(len({_TOKS_G}) AS BIGINT) AS dl, {tfs}
+        FROM (SELECT doc_id, {_TOKS_G} AS l, text FROM documents)),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(dl) / count(*) AS avgdl, {dfs}
+        FROM base)
+    SELECT doc_id, dl, CAST({n_matches} AS BIGINT) AS n_matches,
+           {score} AS bm25
+    FROM base CROSS JOIN stats
+    """
+
+
+@register(
+    "bm25_relevance",
+    _bm25_oracle(_BM25_TERMS),
+    doc="Okapi BM25 relevance of every document against a fixed query-term "
+    "set: per-term tf as in-row filter counts (no explode anywhere), "
+    "N/avgdl/df from ONE global aggregation broadcast back — "
+    "scan → tiny-agg → broadcast → map at any corpus size. Integer-exact "
+    "inputs make scores bit-identical across engines.",
+    bench=True,
+)
+def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)

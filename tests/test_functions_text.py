@@ -129,3 +129,35 @@ def test_split_with_offsets_udtf(spark):
     text = "One two. Three!  Four? five"
     for r in rows:
         assert text[r["char_start"] : r["char_end"]] == r["piece"]
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from scotustician_spark.operators.tfidf import bm25_scores
+
+    # corpus: 3 docs + a null; term "cat": df=2, N=4
+    df = spark.createDataFrame(
+        [
+            (1, "cat sat on the mat"),   # dl=5, tf(cat)=1
+            (2, "cat cat everywhere"),   # dl=3, tf=2
+            (3, "dogs only here"),       # dl=3, tf=0
+            (4, None),                   # dl=0 -> score 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(df, ["cat"]).collect()}
+    n, k1, b = 4, 1.2, 0.75
+    avgdl = (5 + 3 + 3 + 0) / 4
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[1]["bm25"] - s(1, 5)) < 1e-12
+    assert abs(out[2]["bm25"] - s(2, 3)) < 1e-12
+    assert out[3]["bm25"] == 0.0
+    assert out[4]["bm25"] == 0.0 and out[4]["dl"] == 0
+    assert out[2]["n_matches"] == 2
+    # higher term frequency at shorter length must outrank
+    assert out[2]["bm25"] > out[1]["bm25"]
