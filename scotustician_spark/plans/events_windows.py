@@ -108,3 +108,51 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "session_paths",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL
+                              OR ts - prev >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk FROM o),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, sid)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+    doc="Event-path mining: per session (native session_window, 30-min gap) "
+    "the ordered event-type path, then the global top-20 paths by "
+    "frequency. Ordered assembly via array_sort(collect_list(struct)) — "
+    "deterministic at any parallelism; top-n compiles to "
+    "TakeOrderedAndProject.",
+    bench=True,
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    paths = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
