@@ -99,3 +99,40 @@ def test_pq_codebooks_and_lut_broadcast(spark, sf_dir):
     # is never the shuffled side of a sort-merge join
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_bloom_semi_prefilters_fact_before_join(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["bloom_semi_revenue"].fn(spark, sf_dir))
+    # the bloom probe (xxhash64 positions + bit tests) must sit in a
+    # Filter on the fact side, upstream of the exact semi join
+    semi_at = plan.find("LeftSemi")
+    assert semi_at > 0, plan
+    assert "xxhash64" in plan[semi_at:], plan
+    # the one-row bloom rides a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_boilerplate_hot_set_joins_broadcast_anti(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["boilerplate_chunks"].fn(spark, sf_dir))
+    # the hot-chunk set anti-joins as a broadcast (default config):
+    # corpus chunk rows never shuffle for the boilerplate filter
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_incremental_mv_merge_single_final_exchange(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["incremental_mv_orders"].fn(spark, sf_dir))
+    # base partial + delta partial + merge: partial aggregation is
+    # map-side (HashAggregate before every exchange), and the merge
+    # re-aggregation introduces no extra full-data exchange beyond the
+    # per-batch group-by shuffles
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_bm25_single_tiny_agg_then_broadcast(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["bm25_relevance"].fn(spark, sf_dir))
+    # no explode anywhere; global stats come back as a broadcast, and
+    # the corpus itself never hash-shuffles
+    assert "Generate" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
