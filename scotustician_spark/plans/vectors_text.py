@@ -348,13 +348,16 @@ def _simhash_oracle(bits: int = 16) -> str:
         for j in range(bits)
     )
     concat = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits))
+    # votes 33-64 come from a second, salt-suffixed md5 — mirrors
+    # simhash_signature_expr/pandas exactly
+    h_expr = "md5(tok)" if bits <= 32 else "md5(tok) || md5(tok || '#')"
     # WHERE drops blank docs (DuckDB splits '' to [''], one phantom
     # token); NULL text is dropped by the unnest itself. Matches the
     # Spark side's NULL-signature filter for zero-token documents.
     return f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
                   WHERE length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) > 0),
-    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    h AS (SELECT doc_id, {h_expr} AS h FROM toks),
     votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
     SELECT doc_id, {concat} AS simhash FROM votes
     """
@@ -398,21 +401,24 @@ def _simhash_pairs_oracle(bits: int = 16, n_bands: int = 4, max_hamming: int = 2
 
 @register(
     "simhash_near_pairs",
-    _simhash_pairs_oracle(bits=32, n_bands=4, max_hamming=3),
+    _simhash_pairs_oracle(bits=64, n_bands=4, max_hamming=3),
     doc="Banded-SimHash near-dup pairs: 4 sub-signature bands generate "
     "candidates (pigeonhole guarantees recall for hamming < 4), exact "
     "hamming <= 3 filters — signatures/bands in-row, one shuffle on "
-    "(band, sub_sig), signature rides through the bucket so hamming "
-    "needs no join back. 32-bit signatures: 8-bit bands give 256 bucket "
-    "values per band — a 16-bit/4-bit parameterization measured 40x "
-    "slower on this corpus because 16-value bands bucket ~6% of all "
-    "doc pairs together (bucket pair expansion is quadratic in bucket "
-    "size; signature width is the knob that keeps buckets sparse).",
+    "(band, sub_sig), signature rides through the bucket AS A LONG so "
+    "hamming is one xor+popcount and the pair-distinct runs AFTER the "
+    "hamming filter (near-dups are rare; candidates are not). "
+    "64-bit signatures / 16-bit bands: 65k bucket values per band keep "
+    "buckets sparse, so candidate volume tracks true collisions — the "
+    "32-bit/8-bit parameterization bucketed ~2M candidate pairs on this "
+    "corpus (256 values per band force dense buckets; pair expansion is "
+    "quadratic in bucket size), measured 4x slower end-to-end. "
+    "Signature width is the knob that buys bucket sparsity.",
     bench=True,
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=32, n_bands=4,
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=64, n_bands=4,
         max_hamming=3,
     )
 

@@ -120,6 +120,37 @@ def test_simhash_zero_token_docs_absent(spark):
     assert out[0]["simhash"] != "0" * len(out[0]["simhash"])
 
 
+def test_simhash_pandas_kernel_matches_expr(spark):
+    """The Arrow-batched kernel must be bit-identical to the Catalyst
+    expression — including nulls, blanks, Unicode whitespace (ASCII-only
+    tokenizer classes), repeated tokens, and sub-n-token docs."""
+    from scotustician_spark.operators.dedup import (
+        simhash_signature_expr,
+        simhash_signature_pandas,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "  \t\n "),
+        (4, "real content here"),
+        (5, "the the the quick brown fox"),
+        (6, "MiXeD Case TOKENS"),
+        (7, "a"),
+        (8, "nbsp joined tokens"),  #   is NOT ASCII \s — one token
+        (9, "tab\tand\nnewline  edges\t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for bits in (16, 32, 64):
+        a = df.select(
+            "doc_id", simhash_signature_expr("text", bits).alias("s")
+        ).collect()
+        b = df.select(
+            "doc_id", simhash_signature_pandas("text", bits).alias("s")
+        ).collect()
+        assert {r["doc_id"]: r["s"] for r in a} == {r["doc_id"]: r["s"] for r in b}
+
+
 def test_dedup_resolution_keeper_and_size(spark):
     e_df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a int, id_b int")
     v_df = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id int")
