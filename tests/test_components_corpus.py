@@ -151,6 +151,40 @@ def test_simhash_pandas_kernel_matches_expr(spark):
         assert {r["doc_id"]: r["s"] for r in a} == {r["doc_id"]: r["s"] for r in b}
 
 
+def test_minhash_pandas_kernel_matches_expr(spark):
+    """Arrow MinHash kernel must be element-identical to the HOF
+    expression — null text → null row value, blank → null-element
+    array, sub-n-token docs → whole-text shingle."""
+    from scotustician_spark.operators.dedup import (
+        minhash_signature_array,
+        minhash_signature_pandas,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, " \t "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (7, "Tab\tseparated\ntokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = {
+        r["doc_id"]: r["mh"]
+        for r in df.select(
+            "doc_id", minhash_signature_array("text").alias("mh")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["mh"]
+        for r in df.select(
+            "doc_id", minhash_signature_pandas("text").alias("mh")
+        ).collect()
+    }
+    assert a == b
+
+
 def test_dedup_resolution_keeper_and_size(spark):
     e_df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a int, id_b int")
     v_df = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id int")
