@@ -1,0 +1,101 @@
+"""Heavy-hitter (frequent-item) mining at corpus scale.
+
+The naive plan — explode every token, groupBy(token), filter by
+frequency — shuffles the ENTIRE token stream to find the handful of
+items that matter. At 100 TB the token relation is orders of magnitude
+larger than the corpus itself, and almost all of it is singletons that
+the final HAVING discards.
+
+``heavy_hitters`` instead runs Misra-Gries summaries per partition
+(bounded state: at most ``k`` counters each, pure map-side — nothing
+shuffles), unions the tiny candidate sets, and exactly recounts ONLY
+the candidates with a broadcast semi-join on the scan. The MG
+guarantee makes this exact, not approximate: any item with global
+frequency > n/k survives every per-partition summary (each decrement
+step retires k+1 occurrences, so an item's counter can be decremented
+at most n_p/(k+1) times within a partition), hence the union of
+candidates is a superset of the true heavy hitters and the recount
+returns exactly the items with freq >= threshold — same rows as the
+oracle's full GROUP BY, with only |candidates| × partitions rows ever
+moving.
+
+Reference had nothing like this (its frequency analysis is Postgres
+GROUP BY); this is the standard first pass of corpus vocabulary /
+boilerplate-token analysis in a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..session import repartition_for_compute
+
+
+def misra_gries_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Distinct candidate items from per-partition Misra-Gries
+    summaries with ``k`` counters. Superset of every item whose global
+    frequency exceeds n/k (n = total item count)."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf[item_col]:
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    # decrement-all: retires k+1 occurrences at once
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    out_schema = f"{item_col} {dict(items.dtypes)[item_col]}"
+    return items.mapInPandas(summarize, schema=out_schema).distinct()
+
+
+def heavy_hitters(
+    items: DataFrame, item_col: str, min_freq: int, k: int | None = None
+) -> DataFrame:
+    """Exact (item, freq) for every item with freq >= ``min_freq``.
+
+    ``k`` defaults to a safe summary width: MG guarantees recall for
+    freq > n/k, so k must satisfy n/k < min_freq ⇒ k > n/min_freq.
+    The caller knows n's order of magnitude; pass k explicitly to pin
+    memory (k counters per partition, ~constant), or leave None to
+    derive it from a count() pass.
+    """
+    if k is None:
+        n = items.count()
+        k = max(16, n // max(min_freq, 1) + 1)
+    cands = misra_gries_candidates(items, item_col, k)
+    return (
+        items.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+
+
+def token_heavy_hitters(
+    df: DataFrame, text_col: str, min_freq: int, k: int = 4096
+) -> DataFrame:
+    """Heavy-hitter TOKENS of a text corpus: (token, freq) for every
+    lower-cased whitespace token with corpus frequency >= min_freq.
+    The explode happens twice (candidate pass + recount pass) but
+    neither instance ever shuffles the full token stream — the only
+    wide stage is the recount groupBy over the candidate-filtered
+    sliver."""
+    from ..functions.text import tokens
+
+    toks = repartition_for_compute(df).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    return heavy_hitters(toks, "token", min_freq, k)

@@ -11,3 +11,4 @@ from . import embedding_q  # noqa: E402,F401
 from . import temporal_q  # noqa: E402,F401
 from . import corpus_q  # noqa: E402,F401
 from . import quality_q  # noqa: E402,F401
+from . import analytics_q  # noqa: E402,F401
