@@ -1,0 +1,91 @@
+"""Iterative graph analytics over candidate-pair graphs.
+
+``components.py`` resolves dedup pairs into clusters; this module adds
+the other standard graph pass a corpus pipeline wants: PageRank-style
+centrality over the similarity graph (pick the most *central* document
+of a near-dup cluster as its canonical representative, rather than the
+min-id keeper), and degree statistics.
+
+Every iteration is one equi-join (ranks → edges on the source vertex)
+plus one groupBy (contributions keyed on the destination) — both keyed
+on vertex ids, so AQE handles skew/coalescing, and lineage is cut per
+round with localCheckpoint exactly like the components loop. A fixed
+iteration count (no convergence probe) keeps the operator
+deterministic and SQL-oracle-reproducible: the oracle is the same
+recurrence unrolled as chained CTEs.
+
+Simplifications, pinned identically in the oracle: dangling vertices
+(out-degree 0) leak their mass rather than redistributing it, and the
+graph is unweighted. Both are the textbook "simplified PageRank"; the
+full variant adds one scalar aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Undirected pair list → directed edge relation (u, v), deduped."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph.
+
+    rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u)/outdeg(u),
+    rank_0 = 1/N. Returns (id_col, degree, pagerank).
+
+    Isolated vertices hold the (1-d)/N floor. N is the vertex count —
+    one tiny count() action up front; everything else is the per-round
+    join+agg pair. Edge shares (u, v, 1/outdeg(u)) are precomputed and
+    checkpointed once, so each round moves only (vertex, rank) rows.
+    """
+    n = vertices.count()
+    sym = symmetrize(edges, src, dst).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    shares = (
+        sym.join(deg, "u")
+        .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    verts = vertices.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
+    ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            shares.join(ranks, shares.u == ranks.v)
+            .groupBy(shares.v)
+            .agg(F.sum(F.col("r") * F.col("share")).alias("c"))
+        )
+        ranks = (
+            verts.join(contrib, "v", "left")
+            .select(
+                "v",
+                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
+                    "r"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out_deg = deg.select(F.col("u").alias("v"), F.col("deg"))
+    return (
+        ranks.join(out_deg, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.col("r").alias("pagerank"),
+        )
+    )

@@ -263,6 +263,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(damping: float = 0.85, n_iter: int = 8) -> str:
+    """Fixed-iteration PageRank unrolled as chained CTEs over the LSH
+    pair graph (the _minhash_oracle SQL nested as a derived table)."""
+    parts = [
+        f"WITH edges AS (SELECT * FROM ({_minhash_oracle()}) t)",
+        "sym0 AS (SELECT id_a AS u, id_b AS v FROM edges"
+        " UNION SELECT id_b, id_a FROM edges)",
+        "deg AS (SELECT u, count(*) AS deg FROM sym0 GROUP BY u)",
+        "sym AS (SELECT sym0.u, sym0.v, 1.0 / deg.deg AS share"
+        " FROM sym0 JOIN deg ON deg.u = sym0.u)",
+        "verts AS (SELECT doc_id AS v FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "pr0 AS (SELECT v, 1.0 / nn.n AS r FROM verts CROSS JOIN nn)",
+    ]
+    prev = "pr0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"c{t} AS (SELECT sym.v, sum({prev}.r * sym.share) AS c"
+            f" FROM {prev} JOIN sym ON {prev}.v = sym.u GROUP BY sym.v)"
+        )
+        parts.append(
+            f"pr{t} AS (SELECT verts.v,"
+            f" (1 - {damping}) / nn.n + {damping} * coalesce(c{t}.c, 0) AS r"
+            f" FROM verts CROSS JOIN nn LEFT JOIN c{t} ON c{t}.v = verts.v)"
+        )
+        prev = f"pr{t}"
+    final = (
+        f"SELECT {prev}.v AS doc_id,"
+        f" CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,"
+        f" round({prev}.r, 6) AS pagerank"
+        f" FROM {prev} LEFT JOIN deg ON deg.u = {prev}.v"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "doc_pagerank",
+    _pagerank_oracle(),
+    doc="PageRank centrality over the MinHash-LSH similarity graph "
+    "(operators/graph.py): pick the most CENTRAL document of a near-dup "
+    "cluster as canonical, not just the min id. Fixed 8 iterations, "
+    "each one equi-join + one groupBy keyed on vertex ids with "
+    "localCheckpoint lineage cuts (the components.py loop shape); edge "
+    "shares precomputed once so rounds move only (vertex, rank) rows. "
+    "Oracle = the same recurrence unrolled as chained CTEs; dangling-"
+    "mass leak + unweighted edges pinned identically on both sides.",
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    edges = DD.minhash_lsh_candidates(
+        d, "doc_id", "text", n=3, num_hashes=16, band_size=4
+    )
+    pr = pagerank(edges, d.select("doc_id"), id_col="doc_id", n_iter=8)
+    return pr.withColumn("pagerank", F.round("pagerank", 6))
+
+
 def _incremental_dedup_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
     """Bands CTE shared with _minhash_oracle; delta = doc_id % 5 = 0,
     base = the rest. The fp/band 'indexes' are just CTE filters here —

@@ -77,6 +77,45 @@ def test_gap_fill_daily_zero_and_locf(spark):
     assert (r["is_observed"], r["n"], r["price"]) == (False, 0, 99.0)
 
 
+def test_pagerank_matches_numpy_reference(spark):
+    """Fixed-iteration PageRank must equal the dense numpy recurrence
+    on a small graph with a hub, a chain, and an isolated vertex."""
+    import numpy as np
+
+    from scotustician_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5)]  # hub 1; chain 4-5; 6 isolated
+    e_df = spark.createDataFrame(edges, "id_a int, id_b int")
+    v_df = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id int")
+    got = {
+        r["doc_id"]: (r["degree"], r["pagerank"])
+        for r in pagerank(e_df, v_df, n_iter=8).collect()
+    }
+
+    ids = list(range(1, 7))
+    idx = {v: i for i, v in enumerate(ids)}
+    adj = np.zeros((6, 6))
+    for a, b in edges:
+        adj[idx[a]][idx[b]] = 1
+        adj[idx[b]][idx[a]] = 1
+    outdeg = adj.sum(axis=1)
+    r = np.full(6, 1 / 6)
+    d = 0.85
+    for _ in range(8):
+        contrib = np.zeros(6)
+        for u in range(6):
+            if outdeg[u] > 0:
+                contrib += adj[u] * (r[u] / outdeg[u])
+        r = (1 - d) / 6 + d * contrib
+    for v in ids:
+        deg, pr = got[v]
+        assert deg == int(outdeg[idx[v]])
+        assert abs(pr - r[idx[v]]) < 1e-12, (v, pr, r[idx[v]])
+    # hub most central; isolated holds the floor
+    assert got[1][1] == max(p for _, p in got.values())
+    assert abs(got[6][1] - (1 - d) / 6) < 1e-12
+
+
 def test_blocked_levenshtein_pairs(spark):
     from scotustician_spark.operators.fuzzy import (
         blocked_levenshtein_pairs,
