@@ -251,6 +251,61 @@ def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_quantiles",
+    """
+    WITH b AS (
+        SELECT o_orderpriority AS priority,
+               least(63, greatest(0,
+                   CAST(floor(o_totalprice / 9375.0) AS INTEGER))) AS bucket
+        FROM orders WHERE o_totalprice IS NOT NULL),
+    bins AS (SELECT priority, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    cums AS (SELECT priority, bucket,
+                    sum(c) OVER (PARTITION BY priority ORDER BY bucket) AS cum,
+                    sum(c) OVER (PARTITION BY priority) AS n
+             FROM bins)
+    SELECT priority, CAST(max(n) AS BIGINT) AS n,
+           CAST(9375.0 * min(CASE WHEN cum >= ceil(0.50 * n) THEN bucket END)
+                AS DOUBLE) AS p50,
+           CAST(9375.0 * min(CASE WHEN cum >= ceil(0.90 * n) THEN bucket END)
+                AS DOUBLE) AS p90,
+           CAST(9375.0 * min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END)
+                AS DOUBLE) AS p99
+    FROM cums GROUP BY priority
+    """,
+    doc="Mergeable quantile state (operators/quantiles.py): equal-width "
+    "histogram partials (64 plain LONG columns per group — column-wise "
+    "SUM merge, the mv.py discipline) built separately over a base and "
+    "a delta batch, merged WITHOUT rescanning the base, finalized to "
+    "step-function p50/p90/p99 (lower edge of the first bin reaching "
+    "ceil(q·n)). The oracle recomputes the same estimator from the full "
+    "table, so the gate proves merge(partial(base), partial(delta)) == "
+    "full — the percentile leg of the incremental-MV family (sum/count/"
+    "min/max in mv.py, distinct in the HLL sketches).",
+)
+def incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import (
+        quantile_finalize,
+        quantile_merge,
+        quantile_partial,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderpriority", "priority")
+    lo, hi, nb = 0.0, 600000.0, 64
+    cutoff = "1997-01-01"
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    delta = o.filter(F.col("o_orderdate") >= cutoff)
+    state = quantile_merge(
+        ["priority"],
+        nb,
+        quantile_partial(base, ["priority"], "o_totalprice", lo, hi, nb),
+        quantile_partial(delta, ["priority"], "o_totalprice", lo, hi, nb),
+    )
+    return quantile_finalize(
+        state, ["priority"], {"p50": 0.50, "p90": 0.90, "p99": 0.99}, lo, hi, nb
+    )
+
+
+@register(
     "orders_histogram",
     """
     WITH b AS (
@@ -287,6 +342,98 @@ def orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
+    )
+
+
+@register(
+    "event_value_outliers",
+    """
+    WITH med AS (SELECT event_type, median(value) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_id, e.event_type, e.value, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med ON e.event_type = med.event_type),
+    mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
+           0.6745 * (d.value - d.med) / mad.mad AS modified_z
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    WHERE abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
+    """,
+    doc="Robust outlier detection via the modified z-score (median/MAD, "
+    "Iglewicz-Hoaglin 3.5 cutoff) — immune to the outliers polluting "
+    "the baseline, unlike mean/stddev z-scores. Two grouped medians; "
+    "the per-group (med, mad) relations are one row per group and "
+    "broadcast back onto the scan, so the fact rows never shuffle — "
+    "the same decorrelated shape as above_customer_avg. Median is an "
+    "order statistic (no summation-order noise), so the row-level "
+    "modified z is emitted unrounded with exact engine parity.",
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("modified_z", z)
+        .filter(F.abs("modified_z") > 3.5)
+        .select("event_id", "event_type", "value", "med", "mad", "modified_z")
+    )
+
+
+@register(
+    "session_funnel_match",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL
+                              OR ts - prev >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk FROM o),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN regexp_matches(path,
+                    'view(>\\w+)*>click(>\\w+)*>purchase')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_sessions
+    FROM paths GROUP BY user_id
+    """,
+    doc="MATCH_RECOGNIZE-style sequence detection: per-session ordered "
+    "event paths (session_window assembly, as session_paths) matched "
+    "against the view→click→purchase regex — sessions completing the "
+    "funnel IN ORDER within one session, counted per user. The pattern "
+    "runs on the collapsed per-session string (one row per session), "
+    "never the raw event stream.",
+)
+def session_funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    paths = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(path.alias("path"))
+    hit = F.col("path").rlike(r"view(>\w+)*>click(>\w+)*>purchase")
+    return paths.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(hit.cast("long")).alias("n_funnel_sessions"),
     )
 
 

@@ -116,6 +116,50 @@ def test_pagerank_matches_numpy_reference(spark):
     assert abs(got[6][1] - (1 - d) / 6) < 1e-12
 
 
+def test_quantile_state_merge_equals_single_pass(spark):
+    """merge(partial(A), partial(B), partial(C)) must equal
+    partial(A∪B∪C) for any batching, and the step estimator must hit
+    hand-computed values."""
+    from scotustician_spark.operators.quantiles import (
+        quantile_finalize,
+        quantile_merge,
+        quantile_partial,
+    )
+
+    rows = [("g", float(v)) for v in range(100)]  # 0..99 uniform
+    df = spark.createDataFrame(rows, "k string, v double")
+    lo, hi, nb = 0.0, 100.0, 10  # width 10
+    parts = [
+        quantile_partial(df.filter(F.col("v") % 3 == i), ["k"], "v", lo, hi, nb)
+        for i in range(3)
+    ]
+    merged = quantile_merge(["k"], nb, *parts)
+    single = quantile_partial(df, ["k"], "v", lo, hi, nb)
+    assert merged.collect() == single.collect()
+
+    out = quantile_finalize(
+        merged, ["k"], {"p50": 0.5, "p90": 0.9}, lo, hi, nb
+    ).collect()[0]
+    # ceil(0.5*100)=50 reached in bin 4 (cum 50) → edge 40;
+    # ceil(0.9*100)=90 reached in bin 8 (cum 90) → edge 80
+    assert (out["n"], out["p50"], out["p90"]) == (100, 40.0, 80.0)
+
+
+def test_quantile_clamp_outside_envelope(spark):
+    from scotustician_spark.operators.quantiles import (
+        quantile_finalize,
+        quantile_partial,
+    )
+
+    df = spark.createDataFrame(
+        [("k", -5.0), ("k", 1.0), ("k", 999.0)], "k string, v double"
+    )
+    st = quantile_partial(df, ["k"], "v", 0.0, 10.0, 5)
+    out = quantile_finalize(st, ["k"], {"p99": 0.99}, 0.0, 10.0, 5).collect()[0]
+    assert out["n"] == 3  # clamped, not dropped
+    assert out["p99"] == 8.0  # top bin edge
+
+
 def test_blocked_levenshtein_pairs(spark):
     from scotustician_spark.operators.fuzzy import (
         blocked_levenshtein_pairs,
