@@ -228,6 +228,50 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicate_spans",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_GUARDED} AS l FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(range(0, greatest(0, len(l) - 8 + 1))) AS start,
+                  unnest(list_transform(range(0, greatest(0, len(l) - 8 + 1)),
+                         i -> md5(array_to_string(l[i+1:i+8], ' ')))) AS fp
+           FROM base WHERE len(l) >= 8),
+    hot AS (SELECT fp FROM sh GROUP BY fp HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, start FROM sh WHERE fp IN (SELECT fp FROM hot)),
+    w AS (SELECT doc_id, start,
+                 CASE WHEN lag(start) OVER pw IS NULL
+                       OR start > lag(start) OVER pw + 8 THEN 1 ELSE 0 END AS ni
+          FROM dup WINDOW pw AS (PARTITION BY doc_id ORDER BY start)),
+    isl AS (SELECT doc_id, start,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM w)
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + 8 AS BIGINT) AS span_end,
+           CAST(max(start) + 8 - min(start) AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="ExactSubstr-style duplicate-SPAN detection (Lee et al. 2022): "
+    "every 8-token window fingerprinted IN-ROW, globally repeated "
+    "windows marked, and per document the overlapping/adjacent marks "
+    "merged into maximal spans by a gaps-and-islands window (fixed "
+    "window length makes lag(start)+k the running max end — one lag "
+    "comparison, no interval tree). The distributed stand-in for the "
+    "single-machine suffix-array pass: same spans quantized to k-grams, "
+    "full data parallelism. Shingle relation localCheckpoint'ed so the "
+    "hash map feeds both the frequency count and the semi-join probe "
+    "without recompute.",
+    bench=True,
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import duplicate_spans
+
+    return duplicate_spans(_d(spark, sf_dir), "doc_id", "text", k=8)
+
+
+@register(
     "funnel_conversion",
     """
     WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events

@@ -69,6 +69,52 @@ def run_available_now(
     )
 
 
+def run_quantile_state_update(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> None:
+    """Streaming maintenance of the mergeable quantile state
+    (operators/quantiles.py): each micro-batch aggregates to histogram
+    partials and column-wise-SUM-merges into the persisted state table
+    — the percentile twin of the CDC/MV sinks above. The state is one
+    row per group × n_bins long columns, so every merge reads/writes a
+    table whose size tracks GROUP CARDINALITY, never history; the
+    checkpoint dedupes redelivered files. Copy-on-write like
+    merge_upsert: read state, merge, rewrite (swap for a Delta/Iceberg
+    MERGE in a table-format deployment). Blocks until AvailableNow
+    drains."""
+    from ..operators.quantiles import quantile_merge, quantile_partial
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = quantile_partial(
+            batch_df, group_cols, value_col, lo, hi, n_bins
+        )
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = quantile_merge(group_cols, n_bins, prev, partial)
+        except Exception:
+            merged = partial
+        # materialize before overwriting the path still being read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_cdc_apply(
     stream_df: DataFrame,
     table_path: str,

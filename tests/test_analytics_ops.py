@@ -77,6 +77,28 @@ def test_gap_fill_daily_zero_and_locf(spark):
     assert (r["is_observed"], r["n"], r["price"]) == (False, 0, 99.0)
 
 
+def test_duplicate_spans_merge_and_bounds(spark):
+    """Shared 3-gram runs must merge into one maximal span per doc with
+    exact token bounds; unique docs produce no spans."""
+    from scotustician_spark.operators.spans import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d y"),
+            (3, "totally unique words here only once"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"], r["n_shingles"])
+        for r in duplicate_spans(df, "doc_id", "text", k=3).collect()
+    }
+    # shared k-grams: "a b c" and "b c d" → doc1 starts {0,1} → [0,4),
+    # doc2 starts {1,2} → [1,5); doc3 absent
+    assert got == {1: (0, 4, 4, 2), 2: (1, 5, 4, 2)}
+
+
 def test_pagerank_matches_numpy_reference(spark):
     """Fixed-iteration PageRank must equal the dense numpy recurrence
     on a small graph with a hub, a chain, and an isolated vertex."""

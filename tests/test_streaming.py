@@ -212,6 +212,56 @@ def test_stream_static_enrich_broadcasts(spark, tmp_path):
     assert [(r["k"], r["v"], r["tier"]) for r in rows] == [(1, 5, "gold")]
 
 
+def test_run_quantile_state_update_two_batches(spark, tmp_path):
+    """Streaming quantile-state maintenance: state after two
+    AvailableNow runs must equal a single-pass partial over all data,
+    and replay with nothing new is a no-op."""
+    from scotustician_spark.operators.quantiles import (
+        quantile_finalize,
+        quantile_partial,
+    )
+    from scotustician_spark.streaming.incremental import run_quantile_state_update
+
+    src = tmp_path / "q_src"
+    src.mkdir()
+    state = str(tmp_path / "q_state")
+    ckpt = str(tmp_path / "q_ckpt")
+    schema = "k STRING, v DOUBLE"
+
+    def feed(rows):
+        import uuid
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(
+            str(src / uuid.uuid4().hex)
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src) + "/*")
+
+    def run():
+        run_quantile_state_update(
+            stream(), state, ckpt, ["k"], "v", lo=0.0, hi=100.0, n_bins=10
+        )
+
+    batch1 = [("g", float(v)) for v in range(50)]
+    batch2 = [("g", float(v)) for v in range(50, 100)]
+    feed(batch1)
+    run()
+    feed(batch2)
+    run()
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    expected = quantile_partial(all_rows, ["k"], "v", 0.0, 100.0, 10).collect()
+    got = spark.read.parquet(state).collect()
+    assert got == expected
+    out = quantile_finalize(
+        spark.read.parquet(state), ["k"], {"p50": 0.5}, 0.0, 100.0, 10
+    ).collect()[0]
+    assert (out["n"], out["p50"]) == (100, 40.0)
+
+    run()  # replay: checkpoint has seen every file
+    assert spark.read.parquet(state).collect() == expected
+
+
 def test_run_cdc_apply_two_batches(spark, tmp_path):
     from scotustician_spark.streaming.incremental import run_cdc_apply
 
