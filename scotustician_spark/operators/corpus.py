@@ -177,3 +177,54 @@ def stable_global_index(
         .withColumn(name, F.col("__rn") + F.col("__offset"))
         .drop("__pid", "__rn", "__offset")
     )
+
+
+def dataset_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    hex_off: int = 25,
+) -> DataFrame:
+    """Proportional corpus mixing: sample each listed source so the
+    output matches the target weight distribution at the largest
+    achievable size.
+
+    N = min_s(count_s / w_s) is the biggest mix every source can
+    supply; each source keeps floor(1000 · w_s · N / count_s) per
+    mille of its rows (the binding source keeps everything) via the
+    deterministic md5 bucket — identical survivors at any parallelism,
+    re-runnable across epochs. This is the data-mixture step of
+    training-corpus assembly (fixed sampling weights per source à la
+    Pile/LLaMA mixes), built from two tiny aggregations: per-source
+    counts (one row per source) and the global cap (one row), both
+    broadcast back onto the scan — the corpus itself never shuffles.
+    Sources absent from ``weights`` are dropped.
+    """
+    srcs = sorted(weights)
+    w_expr = F.lit(None).cast("double")
+    for s in srcs:
+        w_expr = F.when(F.col(source_col) == s, F.lit(weights[s])).otherwise(w_expr)
+    pool = df.filter(F.col(source_col).isin(srcs))
+    counts = pool.groupBy(source_col).agg(F.count("*").alias("__cnt"))
+    cap = counts.select(
+        F.min(F.col("__cnt") / w_expr.alias("w")).alias("__cap")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(cap))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1000),
+                F.floor(F.lit(1000.0) * w_expr * F.col("__cap") / F.col("__cnt")),
+            )
+            .cast("int")
+            .alias("__rate"),
+        )
+    )
+    b = hash_bucket(id_col, 1000, hex_off=hex_off)
+    return (
+        pool.join(F.broadcast(rates), source_col)
+        .filter(b < F.col("__rate"))
+        .drop("__rate")
+    )

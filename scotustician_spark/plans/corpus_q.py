@@ -240,3 +240,40 @@ def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     return CP.stable_global_index(o, ["o_orderdate", "o_orderkey"])
+
+
+_MIX_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_W_SQL = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_W.items())
+) + " END"
+
+
+@register(
+    "dataset_mix",
+    f"""
+    WITH pool AS (SELECT doc_id, source FROM documents
+                  WHERE source IN ('src0', 'src1', 'src2')),
+    counts AS (SELECT source, count(*) AS cnt FROM pool GROUP BY source),
+    cap AS (SELECT min(cnt / ({_MIX_W_SQL})) AS cap FROM counts),
+    rates AS (SELECT source,
+                     CAST(least(1000, floor(
+                         1000.0 * ({_MIX_W_SQL}) * cap.cap / cnt)) AS INTEGER)
+                         AS rate
+              FROM counts CROSS JOIN cap)
+    SELECT p.doc_id, p.source
+    FROM pool p JOIN rates r ON p.source = r.source
+    WHERE {_bucket_sql(1000, hex_off=25, id_expr="p.doc_id")} < r.rate
+    """,
+    doc="Training-corpus mixture assembly (Pile/LLaMA-style fixed "
+    "sampling weights per source): the largest mix every source can "
+    "supply (N = min count_s/w_s) sets deterministic per-mille keep "
+    "rates — the binding source keeps 100%. Two tiny broadcast "
+    "relations (per-source counts, global cap) steer the row-level "
+    "md5-bucket filter; the corpus itself never shuffles. Row-level "
+    "oracle checks exact survivor membership.",
+)
+def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = CP.dataset_mix(
+        _t(spark, sf_dir, "documents"), "source", _MIX_W, id_col="doc_id"
+    )
+    return out.select("doc_id", "source")

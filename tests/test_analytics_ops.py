@@ -138,6 +138,28 @@ def test_pagerank_matches_numpy_reference(spark):
     assert abs(got[6][1] - (1 - d) / 6) < 1e-12
 
 
+def test_dataset_mix_rates_and_determinism(spark):
+    """The binding source keeps everything; keep rates follow the
+    target weights; unlisted sources are dropped; survivors are
+    partitioning-invariant."""
+    from scotustician_spark.operators.corpus import dataset_mix
+
+    rows = [(i, "a" if i < 400 else ("b" if i < 500 else "junk")) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    w = {"a": 0.5, "b": 0.5}
+    out = dataset_mix(df, "source", w, id_col="doc_id")
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    # cap = min(400/0.5, 100/0.5) = 200 → a keeps 250‰ (~100 of 400),
+    # b keeps 1000‰ (all 100); junk never appears
+    assert set(counts) == {"a", "b"}
+    assert counts["b"] == 100
+    assert 70 <= counts["a"] <= 130  # md5-uniform ≈ 100
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in dataset_mix(df.repartition(13), "source", w).collect()}
+    assert ids1 == ids2
+
+
 def test_quantile_state_merge_equals_single_pass(spark):
     """merge(partial(A), partial(B), partial(C)) must equal
     partial(A∪B∪C) for any batching, and the step estimator must hit

@@ -136,3 +136,46 @@ def test_bm25_single_tiny_agg_then_broadcast(spark, sf_dir):
     assert "Generate" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["token_heavy_hitters"].fn(spark, sf_dir))
+    # candidates come from the map-side Misra-Gries pass (ArrowEval /
+    # mapInPandas node), and the exact recount joins them BROADCAST
+    # semi — the full token stream never hash-shuffles un-filtered:
+    # every hashpartitioning exchange in the plan sits above the
+    # semi-join (i.e. carries candidate-filtered rows or the tiny
+    # candidate set itself)
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_ts_gapfill_single_join_no_cartesian_calendar(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["ts_gapfill"].fn(spark, sf_dir))
+    # the dense axis is born in-row (explode of sequence()) — Generate
+    # present, and the only join in the plan is dense⋈observed; the
+    # bounds scalar rides a broadcast, never a cartesian calendar join
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    )
+    # dense⋈observed plus the broadcast of the 1-row bounds
+    assert joins <= 2, plan
+
+
+def test_fuzzy_pairs_block_equijoin_no_cartesian(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["fuzzy_name_pairs"].fn(spark, sf_dir))
+    # the self-join is an EQUI-join on the blocking key — levenshtein
+    # never appears in a nested-loop/cartesian condition
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_duplicate_spans_hot_set_broadcast_semi(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["duplicate_spans"].fn(spark, sf_dir))
+    # duplicated-fingerprint probe is a broadcast semi join; span merge
+    # is a per-document window (single hashpartitioning on doc_id
+    # beyond the shingle groupBy) — no cartesian anywhere
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
