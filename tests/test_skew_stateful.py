@@ -101,3 +101,48 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert salted.count() == plain.count()
     key = lambda r: (r["l_orderkey"], r["l_linenumber"], r["o_orderstatus"])
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
+    """MG summaries as keyed stream state: an item frequent across TWO
+    micro-batches must appear in the final snapshot with a lower-bound
+    count <= true count, state bounded at n_shards x k."""
+    from scotustician_spark.streaming.frequency import streaming_heavy_hitters
+
+    src = tmp_path / "hh_stream"
+    src.mkdir()
+    batch1 = [{"item": "hot"}] * 20 + [{"item": f"rare{i}"} for i in range(30)]
+    batch2 = [{"item": "hot"}] * 15 + [{"item": f"late{i}"} for i in range(30)]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .json(str(src))
+    )
+    q = (
+        streaming_heavy_hitters(stream, "item", k=8, n_shards=2)
+        .writeStream.format("memory")
+        .queryName("hh_snap")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from hh_snap").collect()
+    # last update-batch snapshot for "hot"'s shard must carry hot with a
+    # lower-bound count reflecting BOTH batches (state survived)
+    hot = [r for r in rows if r["item"] == "hot"]
+    assert hot, rows
+    assert max(r["mg_count"] for r in hot) <= 35
+    assert max(r["mg_count"] for r in hot) > 15  # cross-batch accumulation
+    # bounded state: each per-batch shard snapshot holds <= k items, so
+    # across the 2 micro-batches the memory sink sees <= 2k distinct
+    # items per shard
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["shard"], set()).add(r["item"])
+    assert all(len(v) <= 2 * 8 for v in seen.values()), {
+        s: len(v) for s, v in seen.items()
+    }
