@@ -244,3 +244,68 @@ def test_scd2_intervals_match_python_oracle(spark, rows):
             nxt = changes[v][0] if v < len(changes) else None
             exp.append((k, v, s, t, nxt, nxt is None))
     assert got == sorted(exp)
+
+
+quantile_data = st.lists(
+    st.floats(min_value=0.0, max_value=99.999, allow_nan=False),
+    min_size=1,
+    max_size=200,
+)
+
+
+@SLOW
+@given(quantile_data)
+def test_quantile_step_estimate_within_one_bin(spark, values):
+    """The histogram step quantile must bracket the true quantile
+    within one bin width, for any data and any batching of partials."""
+    from scotustician_spark.operators.quantiles import (
+        quantile_finalize,
+        quantile_merge,
+        quantile_partial,
+    )
+
+    import math
+
+    lo, hi, nb = 0.0, 100.0, 20
+    width = (hi - lo) / nb
+    df = spark.createDataFrame([("g", v) for v in values], "k string, v double")
+    # batching equivalence is covered in unit tests; here: estimator
+    # accuracy — the ceil(q·n)-th smallest value lives in the bin whose
+    # lower edge the estimator returns
+    state = quantile_merge(["k"], nb, quantile_partial(df, ["k"], "v", lo, hi, nb))
+    qs = {"q10": 0.1, "q50": 0.5, "q90": 0.9}
+    row = quantile_finalize(state, ["k"], qs, lo, hi, nb).collect()[0]
+    svals = sorted(values)
+    for name, q in qs.items():
+        est = row[name]
+        true = svals[max(0, math.ceil(q * len(svals)) - 1)]
+        assert est <= true < est + width or true == est, (q, est, true)
+
+
+@SLOW
+@given(st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=40))
+def test_duplicate_spans_cover_exactly_the_repeated_windows(spark, toks):
+    """Every repeated k-window position lies inside a reported span,
+    and every reported span is tiled by repeated windows."""
+    from scotustician_spark.operators.spans import duplicate_spans
+
+    k = 3
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "doc_id", "text", k=k).collect()
+    )
+    # python oracle
+    from collections import Counter
+
+    grams = [tuple(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))]
+    freq = Counter(grams)
+    dup_starts = [i for i, g in enumerate(grams) if freq[g] >= 2]
+    spans = []
+    for s in dup_starts:
+        if spans and s <= spans[-1][1]:
+            spans[-1] = (spans[-1][0], max(spans[-1][1], s + k))
+        else:
+            spans.append((s, s + k))
+    assert got == sorted(spans), (toks, got, spans)
