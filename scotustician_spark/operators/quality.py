@@ -292,6 +292,7 @@ def contamination_pairs(
     id_col: str,
     text_col: str,
     n: int = 5,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """Per corpus document: how many of its word ``n``-grams appear in
     ANY eval-set document, and the flag a decontamination filter keys
@@ -300,14 +301,21 @@ def contamination_pairs(
     verdict).
 
     Plan shape: the eval side is distilled to its DISTINCT shingle set
-    (tiny — eval suites are KBs where the corpus is TBs), collected to
-    ONE array row and broadcast; each corpus document counts the
-    intersection IN-ROW (``array_intersect`` builds a per-row hash set
-    over the broadcast array). The whole query is a single map pass
-    over the corpus — no explode, no groupBy, no shuffle of corpus
-    data at all (an earlier postings-explode + broadcast-semi-join +
-    re-group formulation scanned the corpus twice and was ~2x slower).
+    (tiny — eval suites are KBs where the corpus is TBs) and either
+    collected + ``SparkContext.broadcast`` into an Arrow-batched
+    kernel (``kernel="pandas"``, default — the eval hash set is built
+    ONCE per executor and each shingle is an O(1) probe; measured 2x
+    over the expression form, whose ``array_intersect`` rebuilds a
+    hash set of the broadcast array PER ROW), or broadcast as one
+    array row with in-row ``array_intersect`` (``kernel="expr"`` —
+    zero Python, zero driver action). Either way the corpus side is a
+    single map pass — no explode, no groupBy, no shuffle of corpus
+    data at all. NOTE the pandas kernel collects the eval shingle set
+    eagerly when the plan is BUILT (it is eval-suite-sized, not
+    corpus-sized).
     """
+    if kernel == "pandas":
+        return _contamination_pairs_pandas(corpus, eval_set, id_col, text_col, n)
     eval_arr = eval_set.select(
         F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
     ).filter(F.col("shingle").isNotNull()).agg(
@@ -333,5 +341,76 @@ def contamination_pairs(
             F.col("s.n").alias("n_shingles"),
             F.col("s.inter").alias("n_contaminated"),
             (F.col("s.inter") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def _contamination_pairs_pandas(
+    corpus: DataFrame, eval_set: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Arrow kernel for contamination_pairs: eval shingles collected
+    (eval-suite-sized) and shipped as a SparkContext broadcast; per
+    corpus row the shingles probe the shared frozenset. ASCII-class
+    tokenizer mirrors functions.text.tokens / word_shingles exactly
+    (incl. the k<n whole-text shingle and the zero-token empty set)."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sc = corpus.sparkSession.sparkContext
+    ev_rows = (
+        eval_set.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .collect()
+    )
+    bc = sc.broadcast(frozenset(r["s"] for r in ev_rows))
+
+    def kernel(texts):
+        edge = _re.compile(r"^\s+|\s+$", _re.ASCII)
+        ws = _re.compile(r"\s+", _re.ASCII)
+        es = bc.value
+        ns, inters = [], []
+        for t in texts:
+            if t is None:
+                t = ""
+            stripped = edge.sub("", t.lower())
+            toks = ws.split(stripped) if stripped else []
+            k = len(toks)
+            if k >= n:
+                sh = {" ".join(toks[i : i + n]) for i in range(k - n + 1)}
+            elif k > 0:
+                sh = {" ".join(toks)}
+            else:
+                sh = set()
+            ns.append(len(sh))
+            inters.append(sum(1 for s in sh if s in es))
+        return pd.DataFrame({"n_shingles": ns, "n_contaminated": inters})
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    out_t = StructType(
+        [
+            StructField("n_shingles", IntegerType()),
+            StructField("n_contaminated", LongType()),
+        ]
+    )
+    u = F.pandas_udf(out_t)(kernel)
+    return (
+        repartition_for_compute(corpus)
+        .select(F.col(id_col).alias("doc_id"), u(F.col(text_col)).alias("s"))
+        .select(
+            "doc_id",
+            "s.n_shingles",
+            "s.n_contaminated",
+            (F.col("s.n_contaminated") > 0).alias("is_contaminated"),
         )
     )

@@ -84,13 +84,13 @@ def test_doc_repetition_is_pure_map(spark, sf_dir):
 
 def test_contamination_corpus_never_shuffles_for_eval_join(spark, sf_dir):
     plan = _final_plan(QUERY_REGISTRY["contamination_ngrams"].fn(spark, sf_dir))
-    # the eval shingle set rides in as ONE broadcast row; the corpus
-    # side is a single map pass — no aggregation over corpus data, no
-    # sort-merge join, and the only exchange beyond the eval-side agg
-    # is the parallelism repartition
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert plan.count("Exchange") <= 3, plan
+    # default (pandas) kernel: the eval shingle set rides a
+    # SparkContext broadcast into the Arrow kernel — the corpus side is
+    # one ArrowEvalPython map pass with NO join node and no corpus
+    # aggregation; the only exchange is the parallelism repartition
+    assert "SortMergeJoin" not in plan and "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
 
 
 def test_pq_codebooks_and_lut_broadcast(spark, sf_dir):

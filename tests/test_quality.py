@@ -74,15 +74,24 @@ def test_contamination_pairs_and_broadcast_plan(spark):
     eval_set = spark.createDataFrame(
         [(100, "zzz one two three four five")], "doc_id long, text string"
     )
-    out = contamination_pairs(corpus, eval_set, "doc_id", "text", n=5)
-    rows = {r["doc_id"]: r for r in out.collect()}
-    assert rows[1]["is_contaminated"] and rows[1]["n_contaminated"] == 1
-    assert not rows[2]["is_contaminated"] and rows[2]["n_contaminated"] == 0
-    # the corpus side must NOT shuffle for the eval join: the eval
-    # shingle set arrives as one broadcast row, intersected in-row
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    for kernel in ("pandas", "expr"):
+        out = contamination_pairs(
+            corpus, eval_set, "doc_id", "text", n=5, kernel=kernel
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["is_contaminated"] and rows[1]["n_contaminated"] == 1, kernel
+        assert not rows[2]["is_contaminated"] and rows[2]["n_contaminated"] == 0, kernel
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # neither kernel ever shuffles corpus data for the eval probe
+        assert "SortMergeJoin" not in plan, kernel
+        if kernel == "expr":
+            # eval shingle set arrives as one broadcast row,
+            # intersected in-row
+            assert "BroadcastNestedLoopJoin" in plan
+        else:
+            # eval set rides a SparkContext broadcast into the Arrow
+            # kernel — no join node at all
+            assert "Join" not in plan and "ArrowEvalPython" in plan
 
 
 def test_funnel_stages_order_sensitive(spark):
