@@ -466,3 +466,48 @@ def part_flag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("returned_only").alias("membership"),
     )
     return both.unionByName(only_r)
+
+
+@register(
+    "entity_resolution",
+    """
+    WITH RECURSIVE s AS (
+        SELECT c_custkey AS id, c_name AS name,
+               CAST(length(c_name) AS VARCHAR) || '|' ||
+                   substring(c_name, 1, 16) AS blk
+        FROM customer),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT c_custkey AS u, c_custkey AS comp FROM customer
+        UNION
+        SELECT e.v AS u, r.comp AS comp
+        FROM reach r JOIN edges e ON e.u = r.u),
+    comps AS (SELECT u AS c_custkey, min(comp) AS component_id
+              FROM reach GROUP BY u)
+    SELECT c_custkey, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS component_size,
+           c_custkey = component_id AS is_keeper
+    FROM comps
+    """,
+    doc="End-to-end entity resolution: blocked fuzzy pairs (levenshtein "
+    "<= 1 inside (length, prefix) blocks) -> connected components "
+    "(hash-min label propagation) -> canonical record per entity "
+    "cluster. Composes operators/fuzzy.py with operators/components.py "
+    "exactly as dedup_components composes LSH with components; the "
+    "oracle walks the same pair graph with a recursive CTE.",
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import components as CC
+    from ..operators.fuzzy import length_prefix_block
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = blocked_levenshtein_pairs(
+        c, "c_custkey", "c_name", length_prefix_block("c_name", 16), max_distance=1
+    )
+    return CC.dedup_resolution(pairs, c.select("c_custkey"), id_col="c_custkey")
