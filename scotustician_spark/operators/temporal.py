@@ -145,6 +145,7 @@ def funnel_stages(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    max_step_gap: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel mining: per user, the earliest time each stage of
     ``stages`` was reached IN ORDER (stage k counts only at-or-after
@@ -152,6 +153,12 @@ def funnel_stages(
     stage 0, with ``t_0 … t_{k}`` timestamps (NULL once the user falls
     out of the funnel) — the standard event-sequence analysis
     (view → click → purchase) over an events stream.
+
+    ``max_step_gap`` (an INTERVAL literal body, e.g. ``"7 days"``)
+    additionally requires each stage within that gap of the previous
+    one — the "conversion deadline" variant every product funnel
+    actually uses. The deadline is one extra predicate on the same
+    filtered min-agg; the plan shape does not change.
 
     Plan: one filtered min-aggregation per stage, each keyed on the
     user — k small hash aggregates + k−1 equi-joins on ``user_col``,
@@ -169,9 +176,15 @@ def funnel_stages(
         ev_k = events.filter(F.col(type_col) == st).select(
             user_col, F.col(ts_col).alias("__ts")
         )
+        cond = F.col("__ts") >= F.col(f"t_{k-1}")
+        if max_step_gap is not None:
+            cond = cond & (
+                F.col("__ts")
+                <= F.col(f"t_{k-1}") + F.expr(f"INTERVAL {max_step_gap}")
+            )
         reach = (
             ev_k.join(reach.select(user_col, f"t_{k-1}"), user_col)
-            .filter(F.col("__ts") >= F.col(f"t_{k-1}"))
+            .filter(cond)
             .groupBy(user_col)
             .agg(F.min("__ts").alias(f"t_{k}"))
         )

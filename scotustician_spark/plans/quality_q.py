@@ -311,6 +311,59 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_deadline",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+           JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s0.t0
+             AND e.ts <= s0.t0 + INTERVAL 30 MINUTE
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 30 MINUTE
+           GROUP BY e.user_id)
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+    """,
+    doc="Deadline funnel: each stage must follow the previous within 30 "
+    "minutes — the conversion-window variant every product funnel uses. "
+    "The deadline is one extra predicate on the same per-stage filtered "
+    "min-agg; plan shape (k keyed aggregates, no raw-stream window) is "
+    "unchanged from funnel_conversion.",
+)
+def funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    reached = funnel_stages(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        max_step_gap="30 MINUTE",
+    )
+    counts = reached.agg(
+        F.count("t_0").alias("c0"), F.count("t_1").alias("c1"), F.count("t_2").alias("c2")
+    )
+    stages = ["view", "click", "purchase"]
+    return counts.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{i}, '{s}', c{i}" for i, s in enumerate(stages))
+            + ") AS (stage_idx, stage, n_users)"
+        )
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
 def _report_oracle() -> str:
     """Compose the report oracle from the four registered oracles as
     CTEs — the SQL twin is literally the composition of the verified

@@ -104,3 +104,33 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     # the single-key sort localizes x tightly but leaves y unclustered
     assert file_coverage(xdst, "x") < 0.2
     assert file_coverage(xdst, "y") > 0.9
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """The 100 TB star-join contract beyond static pruning: a selective
+    dim filter must prune the date-partitioned fact's partitions AT
+    RUNTIME (DPP subquery in the scan's PartitionFilters), so the fact
+    scan reads only the partitions the filtered dim can match."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact_part")
+    n_days = 20
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % n_days).cast("int").alias("day"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    fact.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    dim = spark.range(0, n_days).select(
+        F.col("id").cast("int").alias("day"),
+        F.when(F.col("id") < 2, "hot").otherwise("cold").alias("tag"),
+    )
+    f = spark.read.parquet(fact_path)
+    joined = f.join(dim.filter(F.col("tag") == "hot"), "day").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    row = joined.collect()[0]
+    # correctness: only days 0 and 1 contribute (ids ≡ 0,1 mod 20)
+    assert row["n"] == 200
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
