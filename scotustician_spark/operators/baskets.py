@@ -1,0 +1,85 @@
+"""Market-basket mining: frequent items and co-occurring pairs.
+
+The a-priori insight, kept in relational form: a pair can only be
+frequent if BOTH its items are, so the frequent-item set (tiny after
+the support filter) prunes the pair expansion before it happens —
+per-basket pair generation runs over frequent items only, in-row, and
+the only wide stages are two support counts. This is the scalable
+first two levels of FPGrowth/market-basket analysis, exact and
+SQL-oracle-reproducible (MLlib's FPGrowth computes the same frequent
+itemsets; this formulation keeps the plan declarative and bounds the
+candidate explosion by support, not tree memory).
+
+Scale: |baskets| never shuffles raw — baskets aggregate to item lists
+in one groupBy keyed on the basket id; the frequent-item set is
+broadcast (support filters keep it small by construction: at 1%
+support it has ≤ 100 members per 10k distinct items); pair counts key
+on (item_a, item_b) with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_items(
+    baskets: DataFrame, basket_col: str, item_col: str, min_support: int
+) -> DataFrame:
+    """(item, support) for items appearing in >= min_support DISTINCT
+    baskets."""
+    return (
+        baskets.select(basket_col, item_col)
+        .distinct()
+        .groupBy(item_col)
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    pair_min_support: int | None = None,
+) -> DataFrame:
+    """(item_a, item_b, support) for unordered item pairs co-occurring
+    in >= ``pair_min_support`` distinct baskets (defaults to
+    ``min_support``) — both items individually appearing in >=
+    ``min_support`` baskets (a-priori pruning; pair support can sit
+    far below item support, so the thresholds are separate knobs).
+
+    Plan: distinct (basket, item) → semi-join the broadcast frequent
+    set → per-basket sorted item list (one groupBy on the basket key)
+    → in-row pair expansion (quadratic only in the FREQUENT items per
+    basket) → pair support count.
+    """
+    fi = frequent_items(baskets, basket_col, item_col, min_support)
+    bi = (
+        baskets.select(basket_col, item_col)
+        .distinct()
+        .join(F.broadcast(fi.select(item_col)), item_col, "left_semi")
+    )
+    items = F.array_sort(F.collect_set(item_col))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        bi.groupBy(basket_col)
+        .agg(items.alias("items"))
+        .filter(F.size("items") > 1)
+        .select(F.explode(pairs_expr).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(
+            F.col("support")
+            >= (pair_min_support if pair_min_support is not None else min_support)
+        )
+    )

@@ -511,3 +511,127 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, "c_custkey", "c_name", length_prefix_block("c_name", 16), max_distance=1
     )
     return CC.dedup_resolution(pairs, c.select("c_custkey"), id_col="c_custkey")
+
+
+@register(
+    "frequent_item_pairs",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    fi AS (SELECT l_partkey FROM bi GROUP BY l_partkey HAVING count(*) >= 20),
+    bif AS (SELECT * FROM bi WHERE l_partkey IN (SELECT l_partkey FROM fi)),
+    pairs AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+              FROM bif a JOIN bif b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS support
+    FROM pairs GROUP BY item_a, item_b HAVING count(*) >= 3
+    """,
+    doc="Market-basket frequent pairs (the first two FPGrowth levels, "
+    "exact): a-priori pruning — only items frequent in >= 20 baskets "
+    "enter the per-basket in-row pair expansion (quadratic only in "
+    "FREQUENT items per basket), then pair support >= 3 filters. "
+    "Baskets aggregate once on the order key; the frequent-item set "
+    "rides a broadcast semi-join; pair counts shuffle with map-side "
+    "partials. operators/baskets.py.",
+)
+def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.baskets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=20, pair_min_support=3
+    )
+
+
+@register(
+    "psi_drift",
+    """
+    WITH b AS (
+        SELECT o_orderpriority AS priority,
+               CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                    THEN 'base' ELSE 'cur' END AS period,
+               least(9, greatest(0,
+                   CAST(floor(o_totalprice / 60000.0) AS INTEGER))) AS bucket
+        FROM orders),
+    counts AS (SELECT priority, period, bucket, count(*) AS c
+               FROM b GROUP BY 1, 2, 3),
+    tot AS (SELECT priority, period, sum(c) AS n
+            FROM counts GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT p.priority, gs.b AS bucket
+             FROM (SELECT DISTINCT priority FROM counts) p,
+                  (SELECT unnest(range(0, 10)) AS b) gs),
+    probs AS (
+        SELECT g.priority, g.bucket,
+               (coalesce(cb.c, 0) + 1.0)
+                   / (tb.n + 10.0) AS p_base,
+               (coalesce(cc.c, 0) + 1.0)
+                   / (tc.n + 10.0) AS p_cur
+        FROM grid g
+        JOIN tot tb ON tb.priority = g.priority AND tb.period = 'base'
+        JOIN tot tc ON tc.priority = g.priority AND tc.period = 'cur'
+        LEFT JOIN counts cb ON cb.priority = g.priority
+             AND cb.period = 'base' AND cb.bucket = g.bucket
+        LEFT JOIN counts cc ON cc.priority = g.priority
+             AND cc.period = 'cur' AND cc.bucket = g.bucket)
+    SELECT priority,
+           round(sum((p_cur - p_base) * ln(p_cur / p_base)), 6) AS psi
+    FROM probs GROUP BY priority
+    """,
+    doc="Population-stability-index drift check per group: the "
+    "o_totalprice distribution before vs after 1997-01-01, Laplace-"
+    "smoothed equal-width bins, PSI = sum (p_cur - p_base) * "
+    "ln(p_cur/p_base). Row-local binning + two tiny aggregations + a "
+    "10-row-per-group probability grid — the drift monitor every "
+    "feature pipeline runs, at one scan of the fact table.",
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    nb = 10
+    bucket = F.least(
+        F.lit(nb - 1),
+        F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / 60000.0).cast("int")),
+    )
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "base"
+    ).otherwise("cur")
+    counts = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        period.alias("period"),
+        bucket.alias("bucket"),
+    ).groupBy("priority", "period", "bucket").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("priority", "period").agg(F.sum("c").alias("n"))
+    grid = (
+        counts.select("priority")
+        .distinct()
+        .crossJoin(
+            o.sparkSession.range(nb).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    tb = tot.filter(F.col("period") == "base").select("priority", F.col("n").alias("n_b"))
+    tc = tot.filter(F.col("period") == "cur").select("priority", F.col("n").alias("n_c"))
+    cb = counts.filter(F.col("period") == "base").select(
+        "priority", "bucket", F.col("c").alias("c_b")
+    )
+    cc = counts.filter(F.col("period") == "cur").select(
+        "priority", "bucket", F.col("c").alias("c_c")
+    )
+    probs = (
+        grid.join(F.broadcast(tb), "priority")
+        .join(F.broadcast(tc), "priority")
+        .join(F.broadcast(cb), ["priority", "bucket"], "left")
+        .join(F.broadcast(cc), ["priority", "bucket"], "left")
+        .select(
+            "priority",
+            ((F.coalesce("c_b", F.lit(0)) + 1.0) / (F.col("n_b") + float(nb))).alias(
+                "p_base"
+            ),
+            ((F.coalesce("c_c", F.lit(0)) + 1.0) / (F.col("n_c") + float(nb))).alias(
+                "p_cur"
+            ),
+        )
+    )
+    return probs.groupBy("priority").agg(
+        F.round(
+            F.sum((F.col("p_cur") - F.col("p_base")) * F.log(F.col("p_cur") / F.col("p_base"))),
+            6,
+        ).alias("psi")
+    )

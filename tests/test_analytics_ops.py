@@ -138,6 +138,40 @@ def test_pagerank_matches_numpy_reference(spark):
     assert abs(got[6][1] - (1 - d) / 6) < 1e-12
 
 
+def test_frequent_pairs_apriori_pruning(spark):
+    """Pair support counts distinct baskets; items below item-support
+    never reach the pair expansion even when their pair would qualify."""
+    from scotustician_spark.operators.baskets import frequent_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "r"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # dup item row: distinct per basket
+        (4, "r"), (4, "s"),
+        (5, "r"), (5, "s"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in frequent_pairs(
+            df, "basket", "item", min_support=3, pair_min_support=2
+        ).collect()
+    }
+    # a,b frequent (3 baskets each) → pair (a,b) support 3;
+    # r appears in 3 baskets but s only 2 → (r,s) pruned by item support
+    assert got == {("a", "b"): 3}
+
+
+def test_psi_nonnegative_and_present(spark, sf_dir):
+    """Every PSI term (p-q)·ln(p/q) is >= 0 by sign agreement, so the
+    metric is non-negative for any pair of distributions — structural
+    sanity for the drift query (exact values are oracle-gated)."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    out = QUERY_REGISTRY["psi_drift"].fn(spark, sf_dir).collect()
+    assert out and all(r["psi"] is not None and r["psi"] >= 0 for r in out)
+
+
 def test_dataset_mix_rates_and_determinism(spark):
     """The binding source keeps everything; keep rates follow the
     target weights; unlisted sources are dropped; survivors are
