@@ -253,3 +253,50 @@ def analysis_report(
             )
         ).alias("report_json"),
     )
+
+
+def als_recommend(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    k: int = 5,
+    rank: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Collaborative filtering via MLlib ALS: top-``k`` item
+    recommendations per user from implicit-style interaction strengths.
+
+    The distributed matrix factorization the reference's stack has no
+    analog for — ALS alternates least-squares solves over user/item
+    factor blocks, each iteration a pair of block-joined aggregations
+    that Spark schedules like any shuffle stage (factors partition by
+    id; no driver-side matrix ever materializes). Seed pinned; note
+    BLAS nondeterminism across platforms makes exact scores a
+    rows-only gate, with shape/coverage invariants unit-tested.
+
+    Returns (user, item, score) exploded from recommendForAllUsers —
+    k rows per user.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        maxIter=8,
+        seed=seed,
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        coldStartStrategy="drop",
+        implicitPrefs=True,
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(k)
+    return recs.select(
+        F.col(user_col),
+        F.explode("recommendations").alias("r"),
+    ).select(
+        user_col,
+        F.col(f"r.{item_col}").alias(item_col),
+        F.col("r.rating").alias("score"),
+    )

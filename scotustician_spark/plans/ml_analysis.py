@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..ml import clustering as ML
 from .registry import register
+from .relational import _t
 from .vectors_text import _EMB_LONG
 
 
@@ -164,4 +165,31 @@ def cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     return ML.analysis_report(e, "vec_id", "embedding", k=5, cluster_col="label").select(
         F.col("label").alias("cluster"), "report_json"
+    )
+
+
+@register(
+    "als_recommendations",
+    None,  # factor values are BLAS/platform-dependent → rows-only check
+    doc="Distributed collaborative filtering: MLlib ALS (implicit "
+    "preferences, seed-pinned) over customer x part interaction "
+    "strengths from lineitem quantities; top-5 parts per customer for "
+    "a fixed probe set of 20 customers. Matrix factorization as "
+    "block-joined shuffle stages - no driver-side matrix; the "
+    "recommend step is a per-user top-k over the factor join.",
+)
+def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("strength"))
+    )
+    recs = ML.als_recommend(ratings, "user", "item", "strength", k=5)
+    return recs.filter(F.col("user") < 20).select(
+        "user", "item", F.col("score").cast("double").alias("score")
     )

@@ -134,3 +134,27 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert row["n"] == 200
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """Incremental partition rewrite: with partitionOverwriteMode=dynamic,
+    an overwrite write replaces ONLY the partitions present in the new
+    data — the warehouse-maintenance primitive behind daily restatement
+    at 100 TB (static mode would wipe the whole table)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dyn_part")
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d3")], "k int, day string"
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restate = spark.createDataFrame([(30, "d2")], "k int, day string")
+        restate.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r["k"], r["day"]) for r in spark.read.parquet(path).collect()}
+    # d1 and d3 untouched; d2 replaced wholesale
+    assert got == {(1, "d1"), (2, "d1"), (30, "d2"), (4, "d3")}

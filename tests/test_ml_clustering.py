@@ -217,3 +217,23 @@ def test_pq_partial_codebook_prefers_near_cluster(spark, sf_dir):
     assert a == b
     assert len(a) > 0
     assert all(r[0] != r[1] for r in a)  # self excluded
+
+
+def test_als_recommend_shape_and_coverage(spark):
+    from scotustician_spark.ml.clustering import als_recommend
+
+    rows = [
+        (u, i, float((u * 7 + i * 3) % 5 + 1))
+        for u in range(12)
+        for i in range(20)
+        if (u + i) % 3 != 0
+    ]
+    ratings = spark.createDataFrame(rows, "user int, item int, strength float")
+    recs = als_recommend(ratings, "user", "item", "strength", k=4)
+    got = recs.collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user"], []).append(r)
+    assert set(per_user) == set(range(12))  # every user covered
+    assert all(len(v) == 4 for v in per_user.values())  # exactly k each
+    assert all(r["score"] is not None for r in got)
