@@ -156,3 +156,92 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id),
+    daily AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+              FROM firsts GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+    doc="Running distinct-user count via the FIRST-TOUCH identity: "
+    "cumulative distinct users through day d == users whose first event "
+    "is <= d, so the running COUNT(DISTINCT) frame (quadratic state or "
+    "a sketch per frame) collapses to one per-user min-agg, one tiny "
+    "per-day count, and a running sum over DAYS (constant-width rows). "
+    "The exact-answer formulation of the growth curve every dashboard "
+    "wants; the sketch alternative (running HLL union) only wins once "
+    "per-entity state itself is too large.",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # days-per-dataset is tiny (the grain is DAYS, not events), so the
+    # single-partition running-sum window is over constant-width rows —
+    # the one place a global window is the right plan
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "dynamic_gap_sessions",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               ts + CASE WHEN event_type = 'purchase'
+                    THEN INTERVAL 45 MINUTE ELSE INTERVAL 15 MINUTE END AS e
+        FROM events),
+    m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+          FROM g),
+    s AS (SELECT *, CASE WHEN prev_max IS NULL OR ts >= prev_max
+                         THEN 1 ELSE 0 END AS brk FROM m),
+    i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(e)) AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM i GROUP BY user_id, sid
+    """,
+    doc="Sessions whose idle timeout varies PER EVENT (purchases hold "
+    "the session open 45 min, everything else 15): native "
+    "session_window with a gap EXPRESSION — each event proposes "
+    "[ts, ts+gap) and overlapping windows merge, identically in batch "
+    "and streaming. The oracle replays the merge as gaps-and-islands "
+    "with a running max of proposed ends.",
+)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sessionize_dynamic_gap
+
+    ev = _events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "15 minutes"
+    )
+    out = sessionize_dynamic_gap(ev, gap)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )

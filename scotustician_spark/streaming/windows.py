@@ -76,6 +76,37 @@ def hopping_agg(
     )
 
 
+def sessionize_dynamic_gap(
+    events: DataFrame,
+    gap_col,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user sessions whose idle timeout varies PER EVENT
+    (``gap_col``: a Column evaluating to an interval/duration string —
+    e.g. long-form content events hold sessions open longer than
+    pings). Native ``session_window(ts, gap_expr)``: each event
+    proposes [ts, ts + its gap) and overlapping windows merge, in
+    streaming exactly as in batch. session_end = max(ts + gap) over
+    the merged events."""
+    e = events
+    if watermark:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap_col).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
