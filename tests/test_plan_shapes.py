@@ -179,3 +179,50 @@ def test_duplicate_spans_hot_set_broadcast_semi(spark, sf_dir):
     # beyond the shingle groupBy) — no cartesian anywhere
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The runtime half of the skew story (operators/skew.py salts
+    KNOWN hot keys; AQE must catch the unknown ones): a 95%-one-key
+    join, forced to SMJ, must come out of adaptive execution with the
+    hot partition split (SortMergeJoin(skew=true) + skewed
+    AQEShuffleRead) and exact results."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("p"),
+        )
+        dim = spark.range(0, 200_000, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("d")
+        )
+        j = fact.join(dim, "k")
+        # collect() drives THIS DataFrame's QueryExecution, so the
+        # adaptive final plan is inspectable afterwards (a write sink
+        # clones the plan into its own execution)
+        assert len(j.collect()) == 190_011
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
