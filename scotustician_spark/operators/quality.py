@@ -414,3 +414,71 @@ def _contamination_pairs_pandas(
             (F.col("s.n_contaminated") > 0).alias("is_contaminated"),
         )
     )
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode canonicalization for corpus text: NFC-normalize (fold
+    combining sequences so 'e'+COMBINING ACUTE == precomposed é — the
+    precondition for every downstream exact/near-dup fingerprint),
+    collapse ASCII whitespace runs, strip edges. Returns
+    (doc_id, norm_text, n_chars_raw, n_chars_norm, changed).
+
+    An Arrow-batched kernel (Python ``unicodedata`` — the JVM
+    expression library has no NFC surface), pure map stage: zero
+    shuffles, scales with input splits. Dedup correctness at 100 TB
+    hangs on running this FIRST: byte-distinct but canonically-equal
+    documents otherwise fingerprint apart.
+    """
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def kernel(texts):
+        ws = _re.compile(r"\s+", _re.ASCII)
+        edge = _re.compile(r"^\s+|\s+$", _re.ASCII)
+        outs, raws, norms, chg = [], [], [], []
+        for t in texts:
+            if t is None:
+                outs.append(None)
+                raws.append(None)
+                norms.append(None)
+                chg.append(None)
+                continue
+            nfc = unicodedata.normalize("NFC", t)
+            clean = ws.sub(" ", edge.sub("", nfc))
+            outs.append(clean)
+            raws.append(len(t))
+            norms.append(len(clean))
+            chg.append(clean != t)
+        return pd.DataFrame(
+            {
+                "norm_text": outs,
+                "n_chars_raw": raws,
+                "n_chars_norm": norms,
+                "changed": chg,
+            }
+        )
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    out_t = StructType(
+        [
+            StructField("norm_text", StringType()),
+            StructField("n_chars_raw", IntegerType()),
+            StructField("n_chars_norm", IntegerType()),
+            StructField("changed", BooleanType()),
+        ]
+    )
+    u = F.pandas_udf(out_t)(kernel)
+    return (
+        repartition_for_compute(df)
+        .select(F.col(id_col).alias("doc_id"), u(F.col(text_col)).alias("s"))
+        .select("doc_id", "s.norm_text", "s.n_chars_raw", "s.n_chars_norm", "s.changed")
+    )

@@ -424,3 +424,42 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_contaminated",
         decision.alias("decision"),
     )
+
+
+@register(
+    "text_normalize",
+    """
+    WITH dirty AS (
+        SELECT doc_id, 'Cafe' || chr(769) || ' ' || chr(9) || text AS d
+        FROM documents),
+    n AS (SELECT doc_id, d,
+                 CASE WHEN d IS NULL THEN NULL ELSE
+                     regexp_replace(regexp_replace(nfc_normalize(d),
+                         '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') END AS clean
+          FROM dirty)
+    SELECT doc_id, clean AS norm_text,
+           CAST(length(d) AS INTEGER) AS n_chars_raw,
+           CAST(length(clean) AS INTEGER) AS n_chars_norm,
+           clean <> d AS changed
+    FROM n
+    """,
+    doc="Unicode canonicalization (operators/quality.py::normalize_text): "
+    "NFC fold + ASCII-whitespace collapse + edge strip, as an Arrow "
+    "kernel (the JVM expression library has no NFC surface) — byte-"
+    "distinct but canonically-equal documents must normalize BEFORE any "
+    "fingerprint-based dedup. The probe input prepends a combining-"
+    "accent sequence ('Cafe'+U+0301) and a tab to every document so the "
+    "normalization path is exercised on every row; DuckDB's "
+    "nfc_normalize reproduces it exactly (codepoint-length parity "
+    "verified).",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import normalize_text
+
+    d = _d(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("Cafe"), F.lit("́"), F.lit(" \t"), F.col("text")
+        ).alias("dirty"),
+    )
+    return normalize_text(d, "doc_id", "dirty")

@@ -94,6 +94,27 @@ def test_contamination_pairs_and_broadcast_plan(spark):
             assert "Join" not in plan and "ArrowEvalPython" in plan
 
 
+def test_normalize_text_nfc_and_whitespace(spark):
+    from scotustician_spark.operators.quality import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Café  du\tmonde "),  # combining accent + ws runs
+            (2, "already clean"),
+            (3, None),
+            (4, "  \t "),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in normalize_text(df, "doc_id", "text").collect()}
+    assert got[1]["norm_text"] == "Café du monde"
+    assert got[1]["changed"] and got[1]["n_chars_raw"] == 16
+    assert got[1]["n_chars_norm"] == 13  # é folded to one codepoint
+    assert got[2]["norm_text"] == "already clean" and not got[2]["changed"]
+    assert got[3]["norm_text"] is None and got[3]["changed"] is None
+    assert got[4]["norm_text"] == "" and got[4]["changed"]
+
+
 def test_funnel_stages_order_sensitive(spark):
     ev = spark.createDataFrame(
         [
