@@ -635,3 +635,34 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi")
     )
+
+
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 50
+    """,
+    doc="Correlated LATERAL subquery (per-customer top-2 orders): "
+    "Catalyst DECORRELATES the per-row subquery into one equi-join + "
+    "per-key ranking — the declarative surface of topk_per_group, "
+    "proving the engine never executes the naive per-outer-row "
+    "re-scan a literal reading implies. Identical SQL runs on DuckDB.",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 50
+        """
+    )
