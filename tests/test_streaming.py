@@ -104,6 +104,48 @@ def test_windows_run_in_streaming_mode(spark, tmp_path):
     assert {r["n_events"] for r in sess} == {2, 1}
 
 
+def test_dynamic_gap_sessions_streaming_mode(spark, tmp_path):
+    """session_window with a gap EXPRESSION must merge identically in
+    streaming: a 'purchase' (45-min gap) holds the session open across
+    a 40-min silence that would break a 15-min-gap session."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.streaming.windows import sessionize_dynamic_gap
+
+    src = tmp_path / "dyn_events"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "purchase", "value": 1.0},
+        {"ts": "2024-01-01T00:40:00", "user_id": 1, "event_type": "view", "value": 2.0},
+        {"ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "view", "value": 3.0},
+    ]
+    (src / "e.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "15 minutes"
+    )
+    q = (
+        sessionize_dynamic_gap(stream, gap, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("dyn_sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sess = sorted(
+        spark.sql("SELECT * FROM dyn_sessions_out").collect(),
+        key=lambda r: r["session_start"],
+    )
+    # purchase@00:00 extends to 00:45 → view@00:40 merges (15-min gap
+    # alone would have closed at 00:15); view@02:00 is separate
+    assert len(sess) == 2
+    assert sess[0]["n_events"] == 2 and sess[1]["n_events"] == 1
+
+
 def test_dedup_stream_bounded_state_across_runs(spark, tmp_path):
     from scotustician_spark.streaming import dedup_stream
 
