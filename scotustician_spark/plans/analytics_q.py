@@ -666,3 +666,42 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 50
         """
     )
+
+
+@register(
+    "recursive_ancestry",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS id, c_custkey AS cur, 0 AS depth FROM customer
+        UNION ALL
+        SELECT id, cur // 10 AS cur, depth + 1 FROM anc WHERE cur > 0
+    )
+    SELECT id AS c_custkey,
+           CAST(max(depth) AS INTEGER) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS n_ancestors
+    FROM anc GROUP BY id
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL body): walk "
+    "the derived decimal-digit hierarchy (parent = key DIV 10) from "
+    "every customer to the root — the BOM/org-chart traversal shape. "
+    "Each recursion step is one self-join round the engine iterates "
+    "until fixpoint, exactly like the hand-rolled loops in "
+    "operators/components.py but fully declarative. (Cyclic closure "
+    "still needs the loop form: recursive UNION-distinct is not yet "
+    "supported, and UNION ALL diverges on cycles.)",
+)
+def recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT c_custkey AS id, c_custkey AS cur, 0 AS depth FROM customer
+            UNION ALL
+            SELECT id, cur DIV 10 AS cur, depth + 1 FROM anc WHERE cur > 0
+        )
+        SELECT id AS c_custkey,
+               CAST(max(depth) AS INT) AS depth_to_root,
+               CAST(count(*) AS BIGINT) AS n_ancestors
+        FROM anc GROUP BY id
+        """
+    )
