@@ -65,3 +65,30 @@ def test_colocated_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         .count()
     )
     assert got == expected
+
+
+def test_bucketed_aggregation_no_exchange(spark, sf_dir, bucketed_tables):
+    """The bucketed layout pays off for AGGREGATION too: a groupBy on
+    the bucket key reuses the on-disk hash partitioning — no Exchange
+    anywhere in the plan (at 100 TB this turns every repeated per-key
+    rollup over the fact table into a scan-local aggregation)."""
+    t_li, _ = bucketed_tables
+    agg = (
+        spark.table(t_li)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    # results identical to the unbucketed aggregation
+    plain = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+    )
+    assert agg.exceptAll(plain).count() == 0 and plain.exceptAll(agg).count() == 0
