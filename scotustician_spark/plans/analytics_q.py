@@ -73,6 +73,7 @@ def group_linear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(single sort within each nation partition); the tiebreak on "
     "c_custkey pins ntile/percent_rank determinism. Partitioned on a "
     "real key, so no single-partition global sort exists in the plan.",
+    bench=True,
 )
 def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -112,6 +113,7 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-aggregate-then-join discipline), and the DISTINCT collapses "
     "per-user-week before the final count so the last shuffle carries "
     "user-weeks, not raw events.",
+    bench=True,
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -582,6 +584,7 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln(p_cur/p_base). Row-local binning + two tiny aggregations + a "
     "10-row-per-group probability grid — the drift monitor every "
     "feature pipeline runs, at one scan of the fact table.",
+    bench=True,
 )
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

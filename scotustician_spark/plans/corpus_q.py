@@ -271,6 +271,7 @@ _MIX_W_SQL = "CASE source " + " ".join(
     "relations (per-source counts, global cap) steer the row-level "
     "md5-bucket filter; the corpus itself never shuffles. Row-level "
     "oracle checks exact survivor membership.",
+    bench=True,
 )
 def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = CP.dataset_mix(
