@@ -708,3 +708,28 @@ def recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY id
         """
     )
+
+
+@register(
+    "orderkey_gaps",
+    """
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                 WHERE o_orderpriority <> '1-URGENT'),
+    l AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+    SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - id - 1 AS gap_len
+    FROM l WHERE nxt > id + 1
+    """,
+    doc="Missing-id-range audit (dropped-batch detection) WITHOUT the "
+    "textbook global-window sort: ids bucket by DIV, in-bucket gaps "
+    "come from parallel per-bucket lead(), cross-bucket gaps from a "
+    "lead over the bucket-grain min/max relation (one row per bucket — "
+    "metadata through the single partition, never data). The oracle is "
+    "the global-window formulation; operators/gaps.py proves the "
+    "bucketed union is exactly equal.",
+)
+def orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gaps import sequence_gaps
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return sequence_gaps(o, "o_orderkey", bucket_width=1024)

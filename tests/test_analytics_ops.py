@@ -261,3 +261,17 @@ def test_blocked_levenshtein_pairs(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+
+
+def test_sequence_gaps_bucket_boundaries(spark):
+    """Gaps inside buckets, across bucket boundaries, and spanning
+    entire empty buckets must all be found exactly once."""
+    from scotustician_spark.operators.gaps import sequence_gaps
+
+    ids = [1, 2, 3, 7, 8, 9, 10, 25, 40, 41]  # width 8 → buckets 0,8,24,40
+    df = spark.createDataFrame([(i,) for i in ids], "id int")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in sequence_gaps(df, "id", bucket_width=8).collect()
+    )
+    assert got == [(4, 6, 3), (11, 24, 14), (26, 39, 14)]
