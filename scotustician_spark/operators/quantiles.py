@@ -82,9 +82,17 @@ def quantile_finalize(
     lo: float,
     hi: float,
     n_bins: int = 64,
+    interpolate: bool = False,
 ) -> DataFrame:
     """(group_cols, n, <name> per q): step-function quantile = lower
-    edge of the first bin whose cumulative count >= ceil(q·n)."""
+    edge of the first bin whose cumulative count >= ceil(q·n).
+
+    ``interpolate=True`` refines within the bin assuming uniform
+    density — est = edge + width·(target − cum_before)/bin_count —
+    cutting worst-case error from one bin width to the deviation from
+    in-bin uniformity. Kept OFF for the oracle-gated query (the step
+    rule is pure integer arithmetic; interpolation divides and so
+    reintroduces float-rounding surface across engines)."""
     width = (hi - lo) / n_bins
     arr = F.array(*[F.col(f"__q_b{i}") for i in range(n_bins)])
     n = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
@@ -105,5 +113,17 @@ def quantile_finalize(
     for name, q in qs.items():
         target = F.ceil(F.lit(q) * F.col("__q_n")).cast("long")
         idx = F.size(F.filter(F.col("__q_cums"), lambda c: c < target))
-        cols.append((F.lit(lo) + F.lit(width) * idx).alias(name))
+        edge = F.lit(lo) + F.lit(width) * idx
+        if interpolate:
+            cum_before = F.when(idx > 0, F.element_at("__q_cums", idx)).otherwise(
+                F.lit(0).cast("long")
+            )
+            bin_count = F.element_at("__q_arr", idx + 1)
+            frac = F.when(
+                bin_count > 0,
+                (target - cum_before).cast("double") / bin_count.cast("double"),
+            ).otherwise(F.lit(0.0))
+            cols.append((edge + F.lit(width) * frac).alias(name))
+        else:
+            cols.append(edge.alias(name))
     return out.select(*cols)

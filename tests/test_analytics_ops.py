@@ -275,3 +275,23 @@ def test_sequence_gaps_bucket_boundaries(spark):
         for r in sequence_gaps(df, "id", bucket_width=8).collect()
     )
     assert got == [(4, 6, 3), (11, 24, 14), (26, 39, 14)]
+
+
+def test_quantile_interpolated_finalizer(spark):
+    """Uniform in-bin data: interpolation recovers the exact order
+    statistic the step rule quantizes away."""
+    from scotustician_spark.operators.quantiles import (
+        quantile_finalize,
+        quantile_partial,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(100)], "k string, v double"
+    )
+    st = quantile_partial(df, ["k"], "v", 0.0, 100.0, 10)
+    out = quantile_finalize(
+        st, ["k"], {"p50": 0.5, "p95": 0.95}, 0.0, 100.0, 10, interpolate=True
+    ).collect()[0]
+    # bin 4 holds 40..49 (10 rows, cum_before 40): target 50 → frac 1.0
+    # → 40 + 10·1.0 = 50; target 95 → bin 9, frac (95-90)/10 → 95.0
+    assert (out["p50"], out["p95"]) == (50.0, 95.0)
