@@ -1,0 +1,66 @@
+"""2-D skyline (Pareto frontier) as a two-phase aggregate — no
+quadratic dominance self-join.
+
+The textbook formulation (keep rows not dominated by any other row —
+``NOT EXISTS`` over a theta self-join) is O(n²) per group and
+un-shuffleable at corpus scale. For the 2-D case (minimize one
+attribute, maximize the other) dominance has a total-order structure
+the plan can exploit exactly:
+
+1. collapse to one row per (group, max-attr) carrying the group-local
+   best (minimum) of the min-attr — a map-side-combinable groupBy
+   whose output is bounded by the max-attr cardinality, not the row
+   count;
+2. over that collapsed relation, a per-group window ordered by
+   max-attr DESC computes the best min-attr among *strictly larger*
+   max values (``min() OVER (… ROWS UNBOUNDED PRECEDING TO 1
+   PRECEDING)`` — one row per max level, so "1 preceding" is exactly
+   "strictly larger");
+3. a (group, max-attr) level survives iff nothing strictly above it
+   is as-cheap-or-cheaper; original rows survive iff they sit at
+   their level's best min-attr AND their level survives — a
+   broadcast-sized join back to the fact rows.
+
+Beyond-reference (SURVEY §2 has no dominance queries): the standard
+"efficient frontier" ask over any price/quality trade-off table.
+Oracle: the naive NOT EXISTS dominance formulation — identical rows,
+incomparable scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def skyline_2d(
+    df: DataFrame,
+    group_cols: list[str],
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """Rows of ``df`` on the per-group Pareto frontier: no other row in
+    the same group has ``min_col`` <= and ``max_col`` >= with at least
+    one strict inequality. Duplicates of a surviving (min, max) point
+    all survive (neither dominates the other)."""
+    levels = df.groupBy(*group_cols, max_col).agg(
+        F.min(min_col).alias("_lvl_best")
+    )
+    above = W.partitionBy(*group_cols).orderBy(F.col(max_col).desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    survivors = (
+        levels.withColumn("_best_above", F.min("_lvl_best").over(above))
+        # dominated by a strictly-larger max level with min <= ours
+        .filter(
+            F.col("_best_above").isNull()
+            | (F.col("_best_above") > F.col("_lvl_best"))
+        )
+        .select(*group_cols, max_col, "_lvl_best")
+    )
+    return (
+        df.join(survivors, [*group_cols, max_col])
+        .filter(F.col(min_col) == F.col("_lvl_best"))
+        .drop("_lvl_best")
+    )

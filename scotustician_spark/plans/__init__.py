@@ -12,3 +12,4 @@ from . import temporal_q  # noqa: E402,F401
 from . import corpus_q  # noqa: E402,F401
 from . import quality_q  # noqa: E402,F401
 from . import analytics_q  # noqa: E402,F401
+from . import audit_q  # noqa: E402,F401

@@ -1,0 +1,139 @@
+"""Unit tests for the audit/mining operators: skyline, sweep-line
+concurrency, snapshot diff, triangle counts — each against a small
+brute-force Python oracle (the registry-level DuckDB parity runs in
+test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from scotustician_spark.operators.diff import snapshot_diff
+from scotustician_spark.operators.graph import triangle_counts
+from scotustician_spark.operators.skyline import skyline_2d
+from scotustician_spark.operators.sweep import interval_concurrency
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randrange(3)}", i, rng.randrange(1, 8), float(rng.randrange(1, 20)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, size int, price double")
+    got = {
+        (r.grp, r.id)
+        for r in skyline_2d(df, ["grp"], "price", "size").collect()
+    }
+    expected = set()
+    for g, i, s, p in rows:
+        dominated = any(
+            gg == g
+            and pp <= p
+            and ss >= s
+            and (pp < p or ss > s)
+            for gg, _, ss, pp in rows
+        )
+        if not dominated:
+            expected.add((g, i))
+    assert got == expected and expected
+
+
+def test_skyline_2d_duplicate_points_all_survive(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5, 10.0), ("g", 2, 5, 10.0), ("g", 3, 4, 11.0)],
+        "grp string, id long, size int, price double",
+    )
+    ids = {r.id for r in skyline_2d(df, ["grp"], "price", "size").collect()}
+    # id 3 is dominated (smaller size, higher price); the duplicates tie
+    assert ids == {1, 2}
+
+
+def _naive_concurrency(intervals):
+    """Peak at each distinct boundary t: starts at t counted, ends at t
+    not yet subtracted."""
+    ts = sorted({t for s, e in intervals for t in (s, e)})
+    return {
+        t: sum(1 for s, e in intervals if s <= t and e >= t) for t in ts
+    }
+
+
+def test_interval_concurrency_matches_naive(spark):
+    rng = random.Random(11)
+    intervals = [
+        (s := rng.randrange(0, 500), s + rng.randrange(0, 80))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(intervals, "s long, e long")
+    got = {
+        r.t: r.concurrency
+        for r in interval_concurrency(df, "s", "e", bucket_width=64).collect()
+    }
+    assert got == _naive_concurrency(intervals)
+
+
+def test_interval_concurrency_bucket_width_invariant(spark):
+    rng = random.Random(13)
+    intervals = [
+        (s := rng.randrange(0, 1000), s + rng.randrange(0, 200))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(intervals, "s long, e long")
+    small = sorted(
+        interval_concurrency(df, "s", "e", bucket_width=16).collect()
+    )
+    huge = sorted(
+        interval_concurrency(df, "s", "e", bucket_width=1 << 40).collect()
+    )
+    assert small == huge
+
+
+def test_snapshot_diff_classification(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", None)],
+        "k long, s string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 21.0), (3, None, 30.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: r.change_type for r in snapshot_diff(base, cur, ["k"]).collect()
+    }
+    # 1 unchanged (absent), 3 unchanged with a NULL column (absent)
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_triangle_counts_k4_plus_tail(spark):
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a tail edge
+    # 4-5 (no triangle); duplicate and reversed edges must not matter.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (3, 1), (1, 2),  # dupes/reversals
+        (4, 5),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_no_triangles(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    assert triangle_counts(df).count() == 0
+
+
+def test_skyline_two_phase_plan_no_fact_grain_window(spark, sf_dir):
+    """The window in the skyline plan runs over the (group, max-attr)
+    collapsed relation — an Aggregate must sit below the Window, so the
+    sort feeding the window is level-grain, not row-grain."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    plan = QUERY_REGISTRY["pareto_frontier"].fn(
+        spark, sf_dir
+    )._jdf.queryExecution().optimizedPlan().toString()
+    w = plan.find("Window")
+    a = plan.find("Aggregate", w)
+    assert w >= 0 and a > w, plan
