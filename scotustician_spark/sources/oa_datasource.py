@@ -43,11 +43,13 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = "term string, source_key string, payload string, error string"
@@ -165,6 +167,85 @@ class OaDocsStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+class OaStagedFiles(WriterCommitMessage):
+    """Per-task manifest: (term, file name, staged path) triples plus
+    the task's staging dir — everything commit/abort needs."""
+
+    def __init__(self, stage_dir: str, entries: list[tuple[str, str, str]]):
+        self.stage_dir = stage_dir
+        self.entries = entries
+
+
+class OaDocsWriter(DataSourceWriter):
+    """Two-phase-commit document sink (the write half of S3/S5,
+    ingest/main.py:299-325, with the commit protocol the reference's
+    per-object PUTs lack).
+
+    Tasks write every document to a task-unique ``_staging/`` dir and
+    return the staged paths as their commit message — nothing is
+    visible to readers while tasks run, so speculative duplicates,
+    task retries and mid-job failures can never publish partial
+    output. ``commit`` (driver, runs once, only if every task
+    succeeded) atomically renames staged files into the
+    ``term=<t>/<key>.json`` layout the reader scans and drops one
+    ``_ingest_manifest.json`` with per-term counts (the reference's
+    run-summary sink). ``abort`` deletes the staging dirs. This is
+    the same job-commit discipline as Hadoop's FileOutputCommitter v1,
+    expressed through the PySpark-4 writer API.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.root = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> OaStagedFiles:
+        import uuid
+
+        stage_dir = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        os.makedirs(stage_dir, exist_ok=True)
+        entries: list[tuple[str, str, str]] = []
+        for row in iterator:
+            term, key = str(row["term"]), str(row["source_key"])
+            name = key if key.endswith(".json") else f"{key}.json"
+            staged = os.path.join(stage_dir, f"{term}__{name}")
+            with open(staged, "w", encoding="utf-8") as fh:
+                fh.write(row["payload"] or "")
+            entries.append((term, name, staged))
+        return OaStagedFiles(stage_dir, entries)
+
+    def commit(self, messages) -> None:
+        import json
+        import shutil
+
+        if self.overwrite:
+            for d in list(os.listdir(self.root)):
+                if d.startswith("term="):
+                    shutil.rmtree(os.path.join(self.root, d))
+        counts: dict[str, int] = {}
+        for m in messages:
+            if m is None:
+                continue
+            for term, name, staged in m.entries:
+                d = os.path.join(self.root, f"term={term}")
+                os.makedirs(d, exist_ok=True)
+                os.replace(staged, os.path.join(d, name))
+                counts[term] = counts.get(term, 0) + 1
+            shutil.rmtree(m.stage_dir, ignore_errors=True)
+        with open(
+            os.path.join(self.root, "_ingest_manifest.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(
+                {"terms": counts, "total": sum(counts.values())}, fh, sort_keys=True
+            )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        for m in messages:
+            if m is not None:
+                shutil.rmtree(m.stage_dir, ignore_errors=True)
+
+
 class OaDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -178,3 +259,6 @@ class OaDocsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> OaDocsStreamReader:
         return OaDocsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> OaDocsWriter:
+        return OaDocsWriter(self.options, overwrite)

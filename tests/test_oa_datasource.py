@@ -112,3 +112,77 @@ def test_stream_discovers_only_new_files(spark, tmp_path):
     assert sorted(r["source_key"] for r in rows) == ["a.json", "z.json"]
     # no duplicates: 'a.json' was not re-fetched (offset watermark held)
     assert len(rows) == 2
+
+
+def test_writer_roundtrip_and_manifest(spark, tmp_path):
+    root = str(tmp_path / "sink")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [
+            ("2023", "a", '{"id": 1}'),
+            ("2023", "b.json", '{"id": 2}'),
+            ("2024", "c", '{"id": 3}'),
+        ],
+        "term string, source_key string, payload string",
+    ).repartition(2)
+    _registered(spark)
+    df.write.format("oa_docs").option("path", root).mode("append").save()
+
+    back = {
+        (r["term"], r["source_key"]): r["payload"]
+        for r in spark.read.format("oa_docs").option("path", root).load().collect()
+    }
+    assert back[("2023", "a.json")] == '{"id": 1}'
+    assert back[("2024", "c.json")] == '{"id": 3}'
+    assert len(back) == 3
+    with open(os.path.join(root, "_ingest_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest == {"terms": {"2023": 2, "2024": 1}, "total": 3}
+    # staging fully cleaned up on commit
+    assert os.listdir(os.path.join(root, "_staging")) == []
+
+
+def test_writer_overwrite_replaces_terms(spark, tmp_path):
+    root = str(tmp_path / "sink")
+    os.makedirs(root)
+    _registered(spark)
+    one = spark.createDataFrame(
+        [("2023", "old", "x")], "term string, source_key string, payload string"
+    )
+    one.write.format("oa_docs").option("path", root).mode("append").save()
+    two = spark.createDataFrame(
+        [("2024", "new", "y")], "term string, source_key string, payload string"
+    )
+    two.write.format("oa_docs").option("path", root).mode("overwrite").save()
+    rows = spark.read.format("oa_docs").option("path", root).load().collect()
+    assert [(r["term"], r["source_key"]) for r in rows] == [("2024", "new.json")]
+
+
+def test_writer_failed_job_publishes_nothing(spark, tmp_path):
+    """Two-phase commit: a task failure mid-job must leave the target
+    layout untouched — no term dirs, no manifest (staged leftovers of
+    the failed attempt are invisible to the reader)."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "sink")
+    os.makedirs(root)
+    _registered(spark)
+
+    @SF.udf("string")
+    def boom(key):
+        if key == "bad":
+            raise ValueError("synthetic failure")
+        return "{}"
+
+    df = (
+        spark.createDataFrame(
+            [("2023", "good"), ("2023", "bad")], "term string, source_key string"
+        )
+        .repartition(2, "source_key")
+        .withColumn("payload", boom("source_key"))
+    )
+    with pytest.raises(Exception):
+        df.write.format("oa_docs").option("path", root).mode("append").save()
+    assert not [d for d in os.listdir(root) if d.startswith("term=")]
+    assert not os.path.exists(os.path.join(root, "_ingest_manifest.json"))
