@@ -228,3 +228,95 @@ def dataset_mix(
         .filter(b < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def pps_systematic(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    n_select: int,
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """Deterministic systematic probability-proportional-to-size
+    sampling: lay every row's INTEGER weight end-to-end along a line
+    in ``order_col`` order, then take ``n_select`` equally-spaced
+    points (stride ``S = total div n``, first point at ``S div 2``) —
+    a row is drawn once per point inside its weight span, so
+    selection probability is proportional to weight with zero RNG
+    (re-runnable across epochs, the corpus-sampling discipline of
+    ``dataset_splits``). Weights MUST be integral (scale currency to
+    cents, tokens stay tokens): the running positions are exact
+    BIGINT sums, so the same rows are drawn on any engine and any
+    partitioning — no float cumsum to drift.
+
+    The exclusive running weight is the bucketed prefix sum (in-bucket
+    window per ``order_col div bucket_width`` + carry-in from the
+    bucket-grain totals — the same single-partition-free pattern as
+    ``operators/sweep.py`` and ``stable_global_index``); the stride
+    arithmetic is row-local. Returns the selected rows with
+    ``n_hits`` (> 1 when one heavy row swallows several points).
+    """
+    w = F.col("__w")
+    base = df.withColumn("__w", F.col(weight_col).cast("long")).withColumn(
+        "__bucket", F.col(order_col) - (F.col(order_col) % bucket_width)
+    )
+    in_w = (
+        W.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__run", F.coalesce(F.sum("__w").over(in_w), F.lit(0))
+    )
+    bucket_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("__bucket")
+        .agg(F.sum("__w").alias("__bw"))
+        .withColumn("__carry", F.coalesce(F.sum("__bw").over(bucket_w), F.lit(0)))
+    )
+    total = offsets.agg(
+        (F.max(F.col("__carry") + F.col("__bw"))).alias("__total")
+    )
+    pos = (
+        local.join(F.broadcast(offsets.select("__bucket", "__carry")), "__bucket")
+        .withColumn("__c", F.col("__carry") + F.col("__run"))
+        .crossJoin(F.broadcast(total))
+        # integer stride and midpoint first point — every step is BIGINT
+        # `div` (no double division anywhere: positions can exceed 2^53
+        # at corpus scale). Points sit at off + j*stride, j = 0..n-1;
+        # stride floors to >= 1 so total < n degrades gracefully.
+        .withColumn(
+            "__stride",
+            F.greatest(F.lit(1).cast("long"), F.expr(f"__total div {n_select}")),
+        )
+        .withColumn("__off", F.expr("__stride div 2"))
+    )
+
+    # count of points j with off + j*stride < x  ==  ceil((x-off)/stride)
+    # clamped to [0, n] — ((max(0, x-off) + stride - 1) div stride), all
+    # BIGINT `div`
+    def points_below(x_col: str) -> str:
+        return (
+            f"least(CAST({n_select} AS BIGINT), "
+            f"(greatest(0L, {x_col} - __off) + __stride - 1L) div __stride)"
+        )
+
+    out = (
+        pos.withColumn("__hi", F.col("__c") + w)
+        .withColumn(
+            "n_hits",
+            F.expr(f"{points_below('__hi')} - {points_below('__c')}"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    return out.drop(
+        "__w",
+        "__bucket",
+        "__run",
+        "__carry",
+        "__c",
+        "__hi",
+        "__total",
+        "__stride",
+        "__off",
+    )

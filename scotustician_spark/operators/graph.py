@@ -43,12 +43,18 @@ def triangle_counts(
     ever materializes in one task's memory beyond the hot-vertex
     slivers AQE already splits.
     """
+    # the edge list feeds THREE consumers (degree count, orientation,
+    # closure probe); materialize it once so an expensive upstream
+    # (e.g. the frequent-pairs mining that produced the graph) doesn't
+    # re-evaluate per consumer — same lineage-cut discipline as the
+    # pagerank/components loops
     e = (
         pairs.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("v"))

@@ -331,3 +331,155 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, src="item_a", dst="item_b").select(
         F.col("vertex").alias("l_partkey"), "n_triangles"
     )
+
+
+SEVEN_D_US = 7 * 24 * 3_600_000_000
+
+
+@register(
+    "linear_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts,
+                 CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS channel
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.event_id, c.channel
+          FROM p JOIN c
+            ON p.user_id = c.user_id
+           AND epoch_us(c.ts) <= epoch_us(p.ts)
+           AND epoch_us(c.ts) >= epoch_us(p.ts) - 604800000000),
+    sh AS (SELECT event_id, channel,
+                  1.0 / count(*) OVER (PARTITION BY event_id) AS credit
+           FROM m)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(credit), 4) AS credit
+    FROM sh GROUP BY channel
+    """,
+    doc="Linear multi-touch attribution: every purchase splits one unit "
+    "of credit equally across the same user's clicks in the prior 7 "
+    "days, aggregated per click channel (props.k mod 10). Spark plan: "
+    "time-binned equi-join (operators/temporal.py::range_join_binned — "
+    "bounded fan-out, never a theta join) + one per-purchase count "
+    "window + channel rollup; the oracle is the naive inequality join.",
+    bench=True,
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.temporal import range_join_binned
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_ts_us"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("channel"),
+    )
+    # right_ts in [left_ts - 7d, left_ts]: upper bound is exclusive, so
+    # +1 micro includes clicks at exactly the purchase instant
+    m = range_join_binned(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_ts_us",
+        right_ts="c_ts_us",
+        lower_us=-SEVEN_D_US,
+        upper_us=1,
+    )
+    w = W.partitionBy("event_id")
+    sh = m.select(
+        "channel", (F.lit(1.0) / F.count("*").over(w)).alias("credit")
+    )
+    return sh.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("credit"),
+    )
+
+
+@register(
+    "sliding_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS day
+                FROM events),
+    days AS (SELECT DISTINCT day + o AS d
+             FROM ud, (SELECT unnest(range(0, 7)) AS o))
+    SELECT d AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN ud u ON u.day BETWEEN d - 6 AND d
+    GROUP BY d
+    """,
+    doc="7-day sliding distinct active users per day: collapse to the "
+    "(user, day) grain first (the only wide stage over raw events), "
+    "then each user-day covers its next 7 calendar days via an IN-ROW "
+    "sequence+explode (bounded duplication factor 7, the same trick as "
+    "the binned range join) and a distinct count per covered day. The "
+    "oracle recomputes each day's window with a naive BETWEEN self-join. "
+    "Trailing days beyond the last activity keep their look-back "
+    "coverage (both formulations include them).",
+    bench=True,
+)
+def sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("day"),
+    )
+    return covered.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_7d")
+    )
+
+
+@register(
+    "pps_sample_orders",
+    """
+    WITH w AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+               FROM orders),
+    r AS (SELECT o_orderkey, w_cents,
+                 coalesce(sum(w_cents) OVER (ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS c,
+                 sum(w_cents) OVER () AS total
+          FROM w),
+    p AS (SELECT *, greatest(1, total // 200) AS stride FROM r),
+    q AS (SELECT o_orderkey, w_cents,
+                 least(200, (greatest(0, (c + w_cents) - (stride // 2))
+                             + stride - 1) // stride)
+               - least(200, (greatest(0, c - (stride // 2))
+                             + stride - 1) // stride) AS n_hits
+          FROM p)
+    SELECT o_orderkey, w_cents, CAST(n_hits AS BIGINT) AS n_hits
+    FROM q WHERE n_hits > 0
+    """,
+    doc="Systematic PPS sample of ~200 orders with probability "
+    "proportional to price: weights scaled to integer cents, 200 "
+    "equally-spaced points along the exact BIGINT cumulative-weight "
+    "line (stride = total div 200, midpoint offset) — zero RNG, "
+    "engine- and partitioning-independent. Spark computes the running "
+    "position as a bucketed prefix sum (no single-partition window); "
+    "the oracle uses the naive global window. "
+    "operators/corpus.py::pps_systematic.",
+    bench=True,
+)
+def pps_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pps_systematic
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w_cents"),
+    )
+    return pps_systematic(
+        o, order_col="o_orderkey", weight_col="w_cents", n_select=200
+    ).select("o_orderkey", "w_cents", F.col("n_hits").cast("long").alias("n_hits"))

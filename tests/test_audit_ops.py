@@ -137,3 +137,53 @@ def test_skyline_two_phase_plan_no_fact_grain_window(spark, sf_dir):
     w = plan.find("Window")
     a = plan.find("Aggregate", w)
     assert w >= 0 and a > w, plan
+
+
+def _naive_pps(rows, n):
+    total = sum(w for _, w in rows)
+    stride = max(1, total // n)
+    off = stride // 2
+    pts = [off + j * stride for j in range(n)]
+    c = 0
+    out = {}
+    for k, w in sorted(rows):
+        hits = sum(1 for p in pts if c <= p < c + w)
+        if hits:
+            out[k] = hits
+        c += w
+    return out
+
+
+def test_pps_systematic_matches_bruteforce(spark):
+    from scotustician_spark.operators.corpus import pps_systematic
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(0, 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {
+        r.k: r.n_hits
+        for r in pps_systematic(df, "k", "w", 40, bucket_width=64).collect()
+    }
+    expected = _naive_pps(rows, 40)
+    assert got == expected
+    # systematic PPS always places exactly n points
+    assert sum(got.values()) == 40
+
+
+def test_pps_systematic_heavy_row_multi_hit(spark):
+    from scotustician_spark.operators.corpus import pps_systematic
+
+    rows = [(1, 5), (2, 1000), (3, 5)]  # row 2 holds ~99% of the mass
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {r.k: r.n_hits for r in pps_systematic(df, "k", "w", 10).collect()}
+    assert got.get(2, 0) >= 9
+    assert sum(got.values()) == 10
+
+
+def test_pps_systematic_zero_weight_never_selected(spark):
+    from scotustician_spark.operators.corpus import pps_systematic
+
+    rows = [(1, 0), (2, 100), (3, 0), (4, 100)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {r.k for r in pps_systematic(df, "k", "w", 8).collect()}
+    assert got <= {2, 4}
