@@ -31,8 +31,9 @@ def stream_interval_join(
     lower: str = "0 seconds",
     upper: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of two streams: key equality plus
+    """Join of two streams: key equality plus
     ``left_ts + lower <= right_ts <= left_ts + upper``.
 
     Watermarks on BOTH sides are what make the state bounded: a
@@ -41,6 +42,14 @@ def stream_interval_join(
     Spark must keep every row forever. The time-range predicate must
     be part of the join condition (not a post-filter) for the state
     manager to see the bound.
+
+    ``how="leftOuter"``: unmatched left rows are emitted with NULL
+    right columns — but only once the watermark PROVES no match can
+    still arrive (the row's eviction moment), so null emission is
+    delayed by up to the watermark and happens in a LATER micro-batch
+    than the row's arrival. Outer stream-stream joins require the
+    watermark + interval bound (Spark rejects them otherwise) — state
+    stays bounded exactly as in the inner case.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -49,7 +58,7 @@ def stream_interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def stream_static_enrich(

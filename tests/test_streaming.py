@@ -338,3 +338,67 @@ def test_run_cdc_apply_two_batches(spark, tmp_path):
     run_cdc_apply(stream(), table, ckpt, ["k"], seq_col="seq")
     rows2 = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(table).collect()}
     assert rows2 == rows
+
+
+def test_stream_interval_join_left_outer_emits_on_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: an unmatched left row emits with
+    NULL right columns only once a later batch advances the watermark
+    past its match window (its state-eviction moment)."""
+    from scotustician_spark.streaming.joins import stream_interval_join
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (lsrc / "l1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:00:00", "k": 1, "lid": 10},
+                {"ts": "2024-01-01T00:00:00", "k": 2, "lid": 12},  # never matches
+            ]
+        )
+    )
+    (rsrc / "r1.json").write_text(
+        json.dumps({"rts": "2024-01-01T00:05:00", "k": 1, "rid": 20})
+    )
+
+    def run():
+        l = spark.readStream.schema("ts timestamp, k long, lid long").json(str(lsrc))
+        r = spark.readStream.schema("rts timestamp, k long, rid long").json(str(rsrc))
+        q = (
+            stream_interval_join(l, r, on="k", upper="10 minutes", how="leftOuter")
+            .select("lid", "rid")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = {(r["lid"], r["rid"]) for r in spark.read.parquet(out).collect()}
+    assert first == {(10, 20)}  # lid 12 still buffered, not yet provably unmatched
+
+    # far-future rows on BOTH sides drag the GLOBAL watermark (min of
+    # the two stream watermarks) past lid 12's window; the NULL row
+    # lands in the batch AFTER the advance, so a third run (another new
+    # file → another batch) flushes it
+    (rsrc / "r2.json").write_text(
+        json.dumps({"rts": "2024-01-01T03:00:00", "k": 9, "rid": 99})
+    )
+    (lsrc / "l2.json").write_text(
+        json.dumps({"ts": "2024-01-01T03:00:00", "k": 8, "lid": 13})
+    )
+    run()
+    (rsrc / "r3.json").write_text(
+        json.dumps({"rts": "2024-01-01T03:10:00", "k": 9, "rid": 100})
+    )
+    (lsrc / "l3.json").write_text(
+        json.dumps({"ts": "2024-01-01T03:10:00", "k": 8, "lid": 14})
+    )
+    run()
+    rows = {(r["lid"], r["rid"]) for r in spark.read.parquet(out).collect()}
+    assert (12, None) in rows
+    assert (10, 20) in rows
