@@ -154,6 +154,110 @@ def lsh_bucket_topk(
     )
 
 
+def _sq_l2(v: str, ccol: str) -> F.Column:
+    """Squared L2 distance between two array columns as a Catalyst HOF."""
+    return F.aggregate(
+        F.zip_with(F.col(v), F.col(ccol), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def onestep_cell_assignments(
+    c: DataFrame, n_cells: int, d2_round: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic one-step-Lloyd quantizer: seed cells from the
+    ``n_cells`` lowest-id vectors, assign to nearest seed, re-center as
+    the element-wise cell mean, re-assign. ``c`` must have columns
+    (cid, c_vec). Returns (assignments (cid, c_vec, cell), centroids
+    (cell, centroid)) — shared by IVF search and semantic dedup, and
+    SQL-reproducible on any engine (distances round before the argmin;
+    ties break by cell asc)."""
+
+    seeds = (
+        c.orderBy("cid")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(W.orderBy("cid")) - 1).cast("int").alias("cell"),
+            F.col("c_vec").alias("centroid"),
+        )
+    )
+
+    def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        wp = W.partitionBy("cid").orderBy(F.asc("d2r"), F.asc("cell"))
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("d2r", F.round(_sq_l2("c_vec", "centroid"), d2_round))
+            .withColumn("__r", F.row_number().over(wp))
+            .filter(F.col("__r") == 1)
+            .select("cid", "c_vec", "cell")
+        )
+
+    # one Lloyd step: element-wise mean per cell (long-form avg keeps
+    # the arithmetic SQL-reproducible: avg per (cell, pos))
+    a0 = _assign(c, seeds)
+    cents1 = (
+        a0.select("cell", F.posexplode("c_vec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.col("pm.m").alias("centroid"))
+    )
+    return _assign(c, cents1), cents1
+
+
+def semantic_dedup_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    d2_round: int = 6,
+    sim_round: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    all-pairs cosine search is restricted to pairs sharing a quantizer
+    cell — the approximation that makes embedding dedup tractable at
+    corpus scale (pair cost is Σ |cell|², not corpus²; more cells →
+    cheaper and stricter). High-similarity pairs then resolve to
+    components with a min-id keeper per duplicate group.
+
+    Returns (id_col, cell, component_id, component_size, is_keeper) —
+    one row per corpus vector; singletons keep themselves. Exactly
+    reproducible in SQL: the quantizer is the deterministic one-step
+    Lloyd shared with ``ivf_topk_onestep``, similarities round before
+    thresholding.
+    """
+    from .components import dedup_resolution
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    assigned, _ = onestep_cell_assignments(c, n_cells, d2_round)
+    # in-cell pairs only: the equi-join on cell bounds the explosion
+    a = assigned.select(
+        F.col("cid").alias("id_a"), F.col("c_vec").alias("v_a"), "cell"
+    )
+    b = assigned.select(
+        F.col("cid").alias("id_b"), F.col("c_vec").alias("v_b"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_similarity("v_a", "v_b"), sim_round))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    resolved = dedup_resolution(pairs, c.select(F.col("cid").alias("doc_id")))
+    cells = assigned.select(F.col("cid").alias("doc_id"), "cell")
+    return resolved.join(cells, "doc_id").select(
+        F.col("doc_id").alias(id_col),
+        "cell",
+        "component_id",
+        "component_size",
+        "is_keeper",
+    )
+
+
 def ivf_topk_onestep(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,7 +269,9 @@ def ivf_topk_onestep(
     d2_round: int = 6,
     sim_round: int = 6,
 ) -> DataFrame:
-    """IVF top-k with a DETERMINISTIC one-step-Lloyd coarse quantizer —
+    """IVF top-k with a DETERMINISTIC one-step-Lloyd coarse quantizer
+    (cell assignment shared with ``semantic_dedup_cells`` via
+    ``onestep_cell_assignments``) —
     the oracle-checkable sibling of ``ivf_topk`` (whose MLlib KMeans
     quantizer is iterative and engine-specific).
 
@@ -182,55 +288,15 @@ def ivf_topk_onestep(
     inverted-list sizes, never corpus².
     """
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    # the n_cells lowest-id vectors seed the cells (0-based, id order)
-    seeds = (
-        c.orderBy("cid")
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(W.orderBy("cid")) - 1).cast("int").alias("cell"),
-            F.col("c_vec").alias("centroid"),
-        )
-    )
-
-    def _d2(v, ccol):
-        return F.aggregate(
-            F.zip_with(F.col(v), F.col(ccol), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
-
-    def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        wp = W.partitionBy("cid").orderBy(F.asc("d2r"), F.asc("cell"))
-        return (
-            vecs.crossJoin(F.broadcast(cents))
-            .withColumn("d2r", F.round(_d2("c_vec", "centroid"), d2_round))
-            .withColumn("__r", F.row_number().over(wp))
-            .filter(F.col("__r") == 1)
-            .select("cid", "c_vec", "cell")
-        )
-
-    # one Lloyd step: element-wise mean per cell (long-form avg keeps
-    # the arithmetic SQL-reproducible: avg per (cell, pos))
-    a0 = _assign(c, seeds)
-    cents1 = (
-        a0.select("cell", F.posexplode("c_vec").alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-        )
-        .select("cell", F.col("pm.m").alias("centroid"))
-    )
-
-    inverted = _assign(c, cents1).select(
+    assigned, cents1 = onestep_cell_assignments(c, n_cells, d2_round)
+    inverted = assigned.select(
         F.col("cid").alias("neighbor_id"), "c_vec", "cell"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     wp = W.partitionBy("query_id").orderBy(F.asc("d2r"), F.asc("cell"))
     probes = (
         q.crossJoin(F.broadcast(cents1))
-        .withColumn("d2r", F.round(_d2("q_vec", "centroid"), d2_round))
+        .withColumn("d2r", F.round(_sq_l2("q_vec", "centroid"), d2_round))
         .withColumn("p_rnk", F.row_number().over(wp))
         .filter(F.col("p_rnk") <= n_probe)
         .select("query_id", "q_vec", "cell")

@@ -349,3 +349,78 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=8,
         n_probe=2,
     )
+
+
+def _semantic_dedup_oracle(n_cells: int = 8, thr: float = 0.4, r: int = 6) -> str:
+    return f"""
+    WITH RECURSIVE ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    seeds AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+    d0 AS (
+        SELECT e.vec_id, s.cell, round(sum((e.v - se.v) * (e.v - se.v)), {r}) AS d2r
+        FROM ex e
+        JOIN seeds s ON TRUE
+        JOIN ex se ON se.vec_id = s.vec_id AND se.pos = e.pos
+        GROUP BY e.vec_id, s.cell),
+    a0 AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
+            FROM d0) WHERE rr = 1),
+    cents AS (SELECT a0.cell, e.pos, avg(e.v) AS m
+              FROM ex e JOIN a0 USING (vec_id) GROUP BY a0.cell, e.pos),
+    d1 AS (SELECT e.vec_id, c.cell, round(sum((e.v - c.m) * (e.v - c.m)), {r}) AS d2r
+           FROM ex e JOIN cents c ON c.pos = e.pos GROUP BY e.vec_id, c.cell),
+    a1 AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
+            FROM d1) WHERE rr = 1),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+    dots AS (SELECT c.id_a, c.id_b, sum(xa.v * xb.v) AS dot
+             FROM cand c
+             JOIN ex xa ON xa.vec_id = c.id_a
+             JOIN ex xb ON xb.vec_id = c.id_b AND xb.pos = xa.pos
+             GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM dots d
+              JOIN norms na ON d.id_a = na.vec_id
+              JOIN norms nb ON d.id_b = nb.vec_id
+              WHERE round(d.dot / (na.nrm * nb.nrm), {r}) >= {thr}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT vec_id AS u, vec_id AS comp FROM embeddings
+        UNION
+        SELECT e.v AS u, rch.comp AS comp
+        FROM reach rch JOIN edges e ON e.u = rch.u),
+    comps AS (SELECT u AS vec_id, min(comp) AS component_id
+              FROM reach GROUP BY u)
+    SELECT c.vec_id, a1.cell, c.component_id,
+           CAST(count(*) OVER (PARTITION BY c.component_id) AS BIGINT)
+               AS component_size,
+           c.vec_id = c.component_id AS is_keeper
+    FROM comps c JOIN a1 ON a1.vec_id = c.vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    _semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "the all-pairs cosine search runs only INSIDE quantizer cells "
+    "(deterministic one-step-Lloyd, shared with ivf_ann_topk), so pair "
+    "cost is sum-of-|cell| squared, never corpus squared — then "
+    "high-similarity pairs resolve to connected components with a "
+    "min-id keeper. The oracle replays cells, in-cell pairs AND the "
+    "component recursion in one recursive CTE. "
+    "operators/similarity.py::semantic_dedup_cells.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.semantic_dedup_cells(
+        e, id_col="vec_id", vec_col="embedding", n_cells=8, threshold=0.4
+    )
