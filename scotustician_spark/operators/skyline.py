@@ -59,8 +59,11 @@ def skyline_2d(
         )
         .select(*group_cols, max_col, "_lvl_best")
     )
+    # surviving levels are bounded by the (group × max-attr) cardinality
+    # — broadcast them so the fact side never shuffles for the join-back
+    # (measured: un-hinted, Catalyst shuffled both sides)
     return (
-        df.join(survivors, [*group_cols, max_col])
+        df.join(F.broadcast(survivors), [*group_cols, max_col])
         .filter(F.col(min_col) == F.col("_lvl_best"))
         .drop("_lvl_best")
     )
