@@ -54,6 +54,14 @@ def frequent_pairs(
     set → per-basket sorted item list (one groupBy on the basket key)
     → in-row pair expansion (quadratic only in the FREQUENT items per
     basket) → pair support count.
+
+    Why two fact-grain shuffles and not one: folding the distinct into
+    the basket collect_set and filtering in-row against a broadcast
+    frequent-item ARRAY (array_intersect) saves one exchange but costs
+    O(|frequent set|) CPU per basket — measured unrunnable (>7 min at
+    sf0.1) when a low support threshold keeps most of a 20k-item
+    vocabulary frequent. The row-grain semi-join against the broadcast
+    RELATION is a hash probe per row, robust to any frequent-set size.
     """
     fi = frequent_items(baskets, basket_col, item_col, min_support)
     bi = (
