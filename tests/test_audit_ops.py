@@ -187,3 +187,54 @@ def test_pps_systematic_zero_weight_never_selected(spark):
     df = spark.createDataFrame(rows, "k long, w long")
     got = {r.k for r in pps_systematic(df, "k", "w", 8).collect()}
     assert got <= {2, 4}
+
+
+def test_pareto_joinback_is_broadcast(spark, sf_dir):
+    """The surviving-levels join-back must broadcast — the fact side
+    never shuffles for it (caught by tools/shuffle_audit.py)."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    plan = (
+        QUERY_REGISTRY["pareto_frontier"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snapshot_diff_shuffles_only_key_and_fingerprint(spark, sf_dir):
+    """The reconciliation join's inputs must be (key, xxhash64) — the
+    narrow-shuffle contract: row width never reaches the exchange."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    plan = (
+        QUERY_REGISTRY["snapshot_reconcile"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    join_at = plan.find("Join FullOuter")
+    assert join_at >= 0, plan
+    # both join inputs are (key, fingerprint) projections: the wide
+    # columns collapse into xxhash64 BELOW the join (hence below the
+    # exchanges feeding it)
+    below = plan[join_at:]
+    assert below.count("xxhash64") >= 2, plan
+
+
+def test_interval_concurrency_carry_join_is_broadcast(spark, sf_dir):
+    """The bucket-grain carry-in relation joins back via broadcast —
+    boundary rows never shuffle a second time for it."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    plan = (
+        QUERY_REGISTRY["interval_concurrency_peaks"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
