@@ -226,3 +226,44 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_statistics_drive_broadcast_choice(spark, sf_dir, tmp_path):
+    """Cost-based optimization: with table statistics ANALYZEd, Catalyst
+    broadcasts the small side of an un-hinted join on its own — the
+    100 TB discipline of keeping stats fresh so the planner (not the
+    query author) picks join strategies. Without stats and with the
+    auto-broadcast threshold disabled, the same join sort-merges."""
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.statistics.size.autoUpdate.enabled", "true")
+    # the tuned session disables STATIC auto-broadcast (estimates lie;
+    # AQE + hints carry production joins) — re-enable it here precisely
+    # because ANALYZE makes the estimates trustworthy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    wh = str(tmp_path / "wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbo_t LOCATION '{wh}'")
+    try:
+        small = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        big = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        small.write.mode("overwrite").saveAsTable("cbo_t.nation")
+        big.write.mode("overwrite").saveAsTable("cbo_t.customer")
+        spark.sql("ANALYZE TABLE cbo_t.nation COMPUTE STATISTICS")
+        spark.sql("ANALYZE TABLE cbo_t.customer COMPUTE STATISTICS")
+        joined = spark.sql(
+            """SELECT c.c_custkey, n.n_name
+               FROM cbo_t.customer c JOIN cbo_t.nation n
+                 ON c.c_nationkey = n.n_nationkey"""
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        # stats are visible to the optimizer (sizeInBytes + rowCount)
+        stats = spark.sql(
+            "DESCRIBE TABLE EXTENDED cbo_t.nation"
+        ).collect()
+        stat_row = [r for r in stats if r.col_name == "Statistics"]
+        assert stat_row and "rows" in stat_row[0].data_type, stats
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cbo_t CASCADE")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.statistics.size.autoUpdate.enabled")
