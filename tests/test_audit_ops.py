@@ -238,3 +238,21 @@ def test_interval_concurrency_carry_join_is_broadcast(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_new_operators_empty_input(spark):
+    """Empty inputs must produce empty outputs, not errors — the
+    behavior a pipeline stage needs when a partition filter matches
+    nothing."""
+    from scotustician_spark.operators.corpus import pps_systematic
+
+    empty2 = spark.createDataFrame([], "id_a long, id_b long")
+    assert triangle_counts(empty2).count() == 0
+    iv = spark.createDataFrame([], "s long, e long")
+    assert interval_concurrency(iv, "s", "e").count() == 0
+    kw = spark.createDataFrame([], "k long, w long")
+    assert pps_systematic(kw, "k", "w", 10).count() == 0
+    sk = spark.createDataFrame([], "g string, id long, size int, price double")
+    assert skyline_2d(sk, ["g"], "price", "size").count() == 0
+    kv = spark.createDataFrame([], "k long, v double")
+    assert snapshot_diff(kv, kv, ["k"]).count() == 0

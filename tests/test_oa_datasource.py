@@ -186,3 +186,27 @@ def test_writer_failed_job_publishes_nothing(spark, tmp_path):
         df.write.format("oa_docs").option("path", root).mode("append").save()
     assert not [d for d in os.listdir(root) if d.startswith("term=")]
     assert not os.path.exists(os.path.join(root, "_ingest_manifest.json"))
+
+
+def test_arrow_read_mode_identical_rows(spark, tmp_path):
+    """arrow=true yields RecordBatches over the Python->JVM boundary;
+    rows, pruning and quarantine semantics must match the tuple path."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(
+        root,
+        {"2023": {"a": {"id": 1}, "b": {"id": 2}}, "2024": {"c": {"id": 3}}},
+    )
+    _registered(spark)
+
+    def load(**opts):
+        r = spark.read.format("oa_docs").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(
+            (x["term"], x["source_key"], x["payload"], x["error"])
+            for x in r.load().collect()
+        )
+
+    plain = load()
+    arrow = load(arrow="true", arrow_batch_size="2")
+    assert arrow == plain and len(arrow) == 3
