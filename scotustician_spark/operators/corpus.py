@@ -255,6 +255,11 @@ def pps_systematic(
     ``operators/sweep.py`` and ``stable_global_index``); the stride
     arithmetic is row-local. Returns the selected rows with
     ``n_hits`` (> 1 when one heavy row swallows several points).
+
+    Contract: ``order_col`` must be UNIQUE and non-NULL (ties would
+    make the cumulative position order-dependent and the draw
+    engine-specific); weights must be non-negative integers —
+    zero-weight rows occupy no span and are never drawn.
     """
     w = F.col("__w")
     base = df.withColumn("__w", F.col(weight_col).cast("long")).withColumn(

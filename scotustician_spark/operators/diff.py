@@ -38,7 +38,13 @@ def snapshot_diff(
 ) -> DataFrame:
     """(key_cols…, change_type) for every key that differs between the
     two snapshots; unchanged keys are dropped. ``compare_cols``
-    defaults to all non-key columns (must exist on both sides)."""
+    defaults to all non-key columns (must exist on both sides).
+
+    Contract: ``key_cols`` must uniquely identify rows on each side (a
+    duplicated key fans the full-outer join out m×n — reconcile at the
+    keyed grain, or pre-aggregate). NULL key components match via
+    null-safe equality; NULLs in compared columns hash determinate
+    values, so NULL→value flips classify as ``changed``."""
     if compare_cols is None:
         compare_cols = [c for c in base.columns if c not in key_cols]
     b = base.select(

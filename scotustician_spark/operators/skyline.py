@@ -43,7 +43,15 @@ def skyline_2d(
     """Rows of ``df`` on the per-group Pareto frontier: no other row in
     the same group has ``min_col`` <= and ``max_col`` >= with at least
     one strict inequality. Duplicates of a surviving (min, max) point
-    all survive (neither dominates the other)."""
+    all survive (neither dominates the other).
+
+    Contract: rows with a NULL ``min_col`` or ``max_col`` are EXCLUDED
+    from the frontier (the level aggregation and join-back drop them).
+    Note this intentionally diverges from a naive SQL ``NOT EXISTS``
+    dominance query, which would vacuously KEEP null-attributed rows
+    (no dominator is provable against NULL) — an undominated-by-
+    ignorance row is not a frontier point. Filter or impute NULLs
+    first if they must participate."""
     levels = df.groupBy(*group_cols, max_col).agg(
         F.min(min_col).alias("_lvl_best")
     )
