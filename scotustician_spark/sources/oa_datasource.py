@@ -43,6 +43,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -203,6 +204,50 @@ class OaStagedFiles(WriterCommitMessage):
         self.entries = entries
 
 
+def _stage_rows(root: str, iterator: Iterator) -> OaStagedFiles:
+    """Task side of the two-phase commit: write every row to a
+    task-unique staging dir, return the staged paths."""
+    import uuid
+
+    stage_dir = os.path.join(root, "_staging", uuid.uuid4().hex)
+    os.makedirs(stage_dir, exist_ok=True)
+    entries: list[tuple[str, str, str]] = []
+    for row in iterator:
+        term, key = str(row["term"]), str(row["source_key"])
+        name = key if key.endswith(".json") else f"{key}.json"
+        staged = os.path.join(stage_dir, f"{term}__{name}")
+        with open(staged, "w", encoding="utf-8") as fh:
+            fh.write(row["payload"] or "")
+        entries.append((term, name, staged))
+    return OaStagedFiles(stage_dir, entries)
+
+
+def _publish_staged(root: str, messages) -> dict[str, int]:
+    """Driver side: atomically rename staged files into the
+    ``term=<t>/`` layout; returns per-term published counts."""
+    import shutil
+
+    counts: dict[str, int] = {}
+    for m in messages:
+        if m is None:
+            continue
+        for term, name, staged in m.entries:
+            d = os.path.join(root, f"term={term}")
+            os.makedirs(d, exist_ok=True)
+            os.replace(staged, os.path.join(d, name))
+            counts[term] = counts.get(term, 0) + 1
+        shutil.rmtree(m.stage_dir, ignore_errors=True)
+    return counts
+
+
+def _drop_staged(messages) -> None:
+    import shutil
+
+    for m in messages:
+        if m is not None:
+            shutil.rmtree(m.stage_dir, ignore_errors=True)
+
+
 class OaDocsWriter(DataSourceWriter):
     """Two-phase-commit document sink (the write half of S3/S5,
     ingest/main.py:299-325, with the commit protocol the reference's
@@ -226,19 +271,7 @@ class OaDocsWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator: Iterator) -> OaStagedFiles:
-        import uuid
-
-        stage_dir = os.path.join(self.root, "_staging", uuid.uuid4().hex)
-        os.makedirs(stage_dir, exist_ok=True)
-        entries: list[tuple[str, str, str]] = []
-        for row in iterator:
-            term, key = str(row["term"]), str(row["source_key"])
-            name = key if key.endswith(".json") else f"{key}.json"
-            staged = os.path.join(stage_dir, f"{term}__{name}")
-            with open(staged, "w", encoding="utf-8") as fh:
-                fh.write(row["payload"] or "")
-            entries.append((term, name, staged))
-        return OaStagedFiles(stage_dir, entries)
+        return _stage_rows(self.root, iterator)
 
     def commit(self, messages) -> None:
         import json
@@ -248,16 +281,7 @@ class OaDocsWriter(DataSourceWriter):
             for d in list(os.listdir(self.root)):
                 if d.startswith("term="):
                     shutil.rmtree(os.path.join(self.root, d))
-        counts: dict[str, int] = {}
-        for m in messages:
-            if m is None:
-                continue
-            for term, name, staged in m.entries:
-                d = os.path.join(self.root, f"term={term}")
-                os.makedirs(d, exist_ok=True)
-                os.replace(staged, os.path.join(d, name))
-                counts[term] = counts.get(term, 0) + 1
-            shutil.rmtree(m.stage_dir, ignore_errors=True)
+        counts = _publish_staged(self.root, messages)
         with open(
             os.path.join(self.root, "_ingest_manifest.json"), "w", encoding="utf-8"
         ) as fh:
@@ -266,11 +290,50 @@ class OaDocsWriter(DataSourceWriter):
             )
 
     def abort(self, messages) -> None:
-        import shutil
+        _drop_staged(messages)
 
-        for m in messages:
-            if m is not None:
-                shutil.rmtree(m.stage_dir, ignore_errors=True)
+
+class OaDocsStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the two-phase commit: each micro-batch
+    stages on executors, publishes atomically in ``commit`` and
+    records a per-batch manifest under ``_batch_manifests/``. The
+    manifest doubles as the idempotency marker — Structured Streaming
+    can re-run ``commit`` for an already-committed batchId after a
+    failure/restart, and the replay must be a no-op (the staged
+    duplicates are dropped, nothing double-publishes). Together with
+    the checkpointed source offsets this gives the sink end-to-end
+    exactly-once file publication."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+
+    def write(self, iterator: Iterator) -> OaStagedFiles:
+        return _stage_rows(self.root, iterator)
+
+    def _manifest_path(self, batch_id: int) -> str:
+        return os.path.join(
+            self.root, "_batch_manifests", f"batch-{batch_id}.json"
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        marker = self._manifest_path(batchId)
+        if os.path.exists(marker):
+            _drop_staged(messages)  # replayed batch: publish nothing
+            return
+        counts = _publish_staged(self.root, messages)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"batch_id": batchId, "terms": counts,
+                 "total": sum(counts.values())},
+                fh,
+                sort_keys=True,
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_staged(messages)
 
 
 class OaDocsDataSource(DataSource):
@@ -289,3 +352,6 @@ class OaDocsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> OaDocsWriter:
         return OaDocsWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> OaDocsStreamWriter:
+        return OaDocsStreamWriter(self.options)

@@ -210,3 +210,49 @@ def test_arrow_read_mode_identical_rows(spark, tmp_path):
     plain = load()
     arrow = load(arrow="true", arrow_batch_size="2")
     assert arrow == plain and len(arrow) == 3
+
+
+def test_stream_writer_incremental_and_idempotent(spark, tmp_path):
+    """writeStream.format('oa_docs'): per-batch atomic publish with a
+    manifest marker; a second run publishes only new rows, a replay run
+    with no new data publishes nothing."""
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sink)
+    _registered(spark)
+
+    def run():
+        q = (
+            spark.readStream.schema("term string, source_key string, payload string")
+            .json(str(src))
+            .writeStream.format("oa_docs")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(
+        json.dumps({"term": "2023", "source_key": "a", "payload": "{}"})
+    )
+    run()
+    def published():
+        return sorted(
+            (r["term"], r["source_key"])
+            for r in spark.read.format("oa_docs").option("path", sink).load().collect()
+        )
+    assert published() == [("2023", "a.json")]
+
+    (src / "b2.json").write_text(
+        json.dumps({"term": "2024", "source_key": "b", "payload": "{}"})
+    )
+    run()
+    assert published() == [("2023", "a.json"), ("2024", "b.json")]
+
+    run()  # no new data: replay publishes nothing new
+    assert published() == [("2023", "a.json"), ("2024", "b.json")]
+    manifests = sorted(os.listdir(os.path.join(sink, "_batch_manifests")))
+    assert len(manifests) >= 2
