@@ -51,3 +51,39 @@ def register_udtfs(spark) -> None:
     if udtf is None:  # pragma: no cover
         raise RuntimeError("Python UDTFs require pyspark >= 3.5")
     spark.udtf.register("split_with_offsets", SplitWithOffsets)
+    spark.udtf.register("unpivot_csv_line", UnpivotCsvLine)
+
+
+if udtf is not None:
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    @udtf
+    class UnpivotCsvLine:
+        """Polymorphic UDTF (Spark-4 ``analyze()``): the OUTPUT SCHEMA
+        is computed at plan time from a constant argument — here, a
+        comma-separated header names one output column per field, so
+        ``unpivot_csv_line('a,b,c', line)`` yields typed (a, b, c)
+        rows. This is the dynamic-schema half of the UDTF surface
+        (SplitWithOffsets is the static-schema, stateful half): the
+        schema exists BEFORE execution, so Catalyst can prune and
+        push down on the generated columns like any relation.
+        """
+
+        @staticmethod
+        def analyze(header: AnalyzeArgument, line: AnalyzeArgument) -> AnalyzeResult:
+            if header.value is None:
+                raise ValueError("unpivot_csv_line: header must be a constant")
+            fields = [
+                StructField(name.strip(), StringType())
+                for name in str(header.value).split(",")
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, header: str, line: str):  # noqa: D102 - UDTF contract
+            if line is None:
+                return
+            n = len(header.split(","))
+            vals = [v.strip() or None for v in line.split(",")]
+            vals = (vals + [None] * n)[:n]
+            yield tuple(vals)

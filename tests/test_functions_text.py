@@ -161,3 +161,27 @@ def test_bm25_scores_hand_computed(spark):
     assert out[2]["n_matches"] == 2
     # higher term frequency at shorter length must outrank
     assert out[2]["bm25"] > out[1]["bm25"]
+
+
+def test_unpivot_csv_line_polymorphic_schema(spark):
+    """analyze() computes the output schema from the constant header at
+    PLAN time — different headers, different relations, no casts."""
+    from scotustician_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.sql(
+        "SELECT t.* FROM VALUES ('1, x'), ('2, y'), (NULL) AS v(line), "
+        "LATERAL unpivot_csv_line('id, name', line) t"
+    )
+    assert df.columns == ["id", "name"]
+    rows = sorted((r.id, r.name) for r in df.collect())
+    assert rows == [("1", "x"), ("2", "y")]
+
+    wide = spark.sql(
+        "SELECT t.* FROM VALUES ('a,b,c') AS v(line), "
+        "LATERAL unpivot_csv_line('c1,c2,c3,c4', line) t"
+    )
+    assert wide.columns == ["c1", "c2", "c3", "c4"]
+    assert wide.collect()[0].asDict() == {
+        "c1": "a", "c2": "b", "c3": "c", "c4": None
+    }
