@@ -605,3 +605,66 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def score_queries(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int | None = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim) for every query×corpus pair
+    (self-pairs excluded) — the un-ranked scoring stage shared by the
+    brute-force and incremental top-k paths. Queries broadcast; the
+    corpus side is scanned once, map-only."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = cosine_similarity("q_vec", "c_vec")
+    if sim_round is not None:
+        sim = F.round(sim, sim_round)
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Rank (query_id, neighbor_id, sim) rows to per-query top-k with
+    the engine-stable ordering (sim desc, neighbor_id asc)."""
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= k)
+
+
+def incremental_topk(
+    state: DataFrame,
+    queries: DataFrame,
+    delta: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int | None = 6,
+) -> DataFrame:
+    """Maintain per-query top-k neighbors under corpus inserts WITHOUT
+    rescanning the base corpus (the interactive-session incremental
+    top-k pattern; cf. EDBT 2020 "Incremental Based Framework for
+    Efficient Top-K Similarity Search in Interactive Data Analysis
+    Sessions"): score queries against the DELTA batch only, union with
+    the prior top-k state, re-rank, keep k. Exact by the selection
+    property — top-k(base ∪ delta) = top-k(top-k(base) ∪ scores(delta))
+    under one total order (rounded sim desc, id asc) — the same
+    partial-state-merge discipline as the MV/quantile/HLL operators,
+    applied to similarity search. State size: |queries| × k rows,
+    independent of corpus growth."""
+    delta_scores = score_queries(queries, delta, id_col, vec_col, sim_round)
+    merged = state.select("query_id", "neighbor_id", "sim").unionByName(
+        delta_scores
+    )
+    return rank_topk(merged, k)

@@ -424,3 +424,47 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_cells(
         e, id_col="vec_id", vec_col="embedding", n_cells=8, threshold=0.4
     )
+
+
+@register(
+    "incremental_topk_sim",
+    """
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="Incremental top-k similarity maintenance (the interactive-"
+    "session pattern, EDBT 2020): the corpus is split into a base and "
+    "an insert batch; the per-query top-k STATE (|queries|×k rows) "
+    "merges with scores against the DELTA only — the base is never "
+    "rescanned. Exact by the selection property, so the oracle is the "
+    "plain full-corpus top-k. The MV/quantile/HLL partial-state-merge "
+    "discipline applied to similarity search. "
+    "operators/similarity.py::incremental_topk.",
+)
+def incremental_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10)
+    base = e.filter((F.col("vec_id") % 5 != 0) | (F.col("vec_id") < 10))
+    delta = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 10))
+    state = SIM.rank_topk(SIM.score_queries(queries, base), k=5)
+    return SIM.incremental_topk(state, queries, delta, k=5)

@@ -256,3 +256,35 @@ def test_new_operators_empty_input(spark):
     assert skyline_2d(sk, ["g"], "price", "size").count() == 0
     kv = spark.createDataFrame([], "k long, v double")
     assert snapshot_diff(kv, kv, ["k"]).count() == 0
+
+
+def test_incremental_topk_equals_full_recompute(spark):
+    """Top-k state merged across arbitrary insert batches must equal
+    the single-pass top-k over the full corpus (selection property)."""
+    import math
+
+    from scotustician_spark.operators.similarity import (
+        incremental_topk,
+        rank_topk,
+        score_queries,
+    )
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 4")
+    full = rank_topk(score_queries(queries, df), k=5)
+
+    base = df.filter("vec_id % 3 = 0 OR vec_id < 4")
+    d1 = df.filter("vec_id % 3 = 1 AND vec_id >= 4")
+    d2 = df.filter("vec_id % 3 = 2 AND vec_id >= 4")
+    state = rank_topk(score_queries(queries, base), k=5)
+    state = incremental_topk(state, queries, d1, k=5)
+    state = incremental_topk(state, queries, d2, k=5)
+
+    def key(rows):
+        return sorted((r.query_id, r.rnk, r.neighbor_id) for r in rows)
+
+    assert key(state.collect()) == key(full.collect())
