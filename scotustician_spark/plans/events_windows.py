@@ -245,3 +245,70 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "session_path_pairs",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL
+                              OR ts - prev >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk FROM o),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, sid),
+    dp AS (SELECT path FROM paths GROUP BY path),
+    blocked AS (
+        SELECT a.path AS path_a, b.path AS path_b
+        FROM dp a JOIN dp b
+          ON len(string_split(a.path, '>')) = len(string_split(b.path, '>'))
+         AND string_split(a.path, '>')[1] = string_split(b.path, '>')[1]
+         AND a.path < b.path)
+    SELECT path_a, path_b,
+           CAST(levenshtein(path_a, path_b) AS INTEGER) AS distance
+    FROM blocked WHERE levenshtein(path_a, path_b) <= 4
+    """,
+    doc="Trajectory-similarity mining over session paths (the REPOSE/"
+    "EDBT trajectory-search ask on clickstream data): distinct "
+    "session paths pair up only inside a (step-count, first-step) "
+    "blocking key — the same selectivity economics as LSH buckets and "
+    "fuzzy-name blocks — then character-level edit distance <= 4 "
+    "filters inside the block sliver, JVM-side. "
+    "operators/fuzzy.py::blocked_levenshtein_pairs over the collapsed "
+    "per-session paths (one row per DISTINCT path, never the raw "
+    "stream).",
+)
+def session_path_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import blocked_levenshtein_pairs
+
+    ev = _events(spark, sf_dir)
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    paths = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(path.alias("path"))
+    dp = paths.select("path").distinct()
+    steps = F.split(F.col("path"), ">")
+    pairs = blocked_levenshtein_pairs(
+        dp,
+        id_col="path",
+        name_col="path",
+        block_expr=F.struct(F.size(steps).alias("n"), steps[0].alias("head")),
+        max_distance=4,
+    )
+    return pairs.select(
+        F.col("id_a").alias("path_a"),
+        F.col("id_b").alias("path_b"),
+        F.col("distance").cast("int").alias("distance"),
+    )
