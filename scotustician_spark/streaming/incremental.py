@@ -145,3 +145,49 @@ def run_cdc_apply(
         .start()
         .awaitTermination()
     )
+
+
+def run_topk_state_update(
+    stream_df: DataFrame,
+    queries_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming maintenance of per-query top-k similarity state
+    (operators/similarity.py::incremental_topk): each micro-batch of
+    NEW corpus vectors scores against the (small, broadcast) query
+    set, merges with the persisted top-k state and re-ranks — the
+    similarity-search member of the mergeable-state sink family
+    (MV/quantile/CDC above). State is |queries| × k rows forever,
+    independent of how many vectors have streamed past; the base
+    corpus is never rescanned. Exact by the selection property — the
+    batch boundary cannot change the result. Copy-on-write like the
+    other sinks; checkpoint dedupes redelivered files. Blocks until
+    AvailableNow drains."""
+    from ..operators.similarity import incremental_topk, rank_topk, score_queries
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = incremental_topk(
+                prev, queries_df, batch_df, k, id_col, vec_col
+            )
+        except Exception:
+            merged = rank_topk(
+                score_queries(queries_df, batch_df, id_col, vec_col), k
+            )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -402,3 +402,57 @@ def test_stream_interval_join_left_outer_emits_on_watermark(spark, tmp_path):
     rows = {(r["lid"], r["rid"]) for r in spark.read.parquet(out).collect()}
     assert (12, None) in rows
     assert (10, 20) in rows
+
+
+def test_run_topk_state_update_two_batches(spark, tmp_path):
+    """Streaming top-k state across two AvailableNow runs must equal the
+    single-pass top-k over all streamed vectors; replay is a no-op."""
+    import random as _r
+
+    from scotustician_spark.operators.similarity import (
+        rank_topk,
+        score_queries,
+    )
+    from scotustician_spark.streaming.incremental import run_topk_state_update
+
+    rng = _r.Random(9)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    queries = spark.createDataFrame(
+        vecs[:3], "vec_id long, embedding array<double>"
+    )
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+            )
+        )
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).json(str(src))
+        run_topk_state_update(stream, queries, state, ckpt, k=5)
+
+    write_batch("b1.json", vecs[3:30])
+    run()
+    write_batch("b2.json", vecs[30:])
+    run()
+    run()  # no new files: replay must not change the state
+
+    got = sorted(
+        (r.query_id, r.rnk, r.neighbor_id)
+        for r in spark.read.parquet(state).collect()
+    )
+    full_corpus = spark.createDataFrame(
+        vecs[3:], "vec_id long, embedding array<double>"
+    )
+    want = sorted(
+        (r.query_id, r.rnk, r.neighbor_id)
+        for r in rank_topk(score_queries(queries, full_corpus), 5).collect()
+    )
+    assert got == want and len(got) == 15
