@@ -261,31 +261,20 @@ def pps_systematic(
     engine-specific); weights must be non-negative integers —
     zero-weight rows occupy no span and are never drawn.
     """
+    from .prefix import bucketed_running_sum
+
     w = F.col("__w")
-    base = df.withColumn("__w", F.col(weight_col).cast("long")).withColumn(
-        "__bucket", F.col(order_col) - (F.col(order_col) % bucket_width)
+    base = df.withColumn("__w", F.col(weight_col).cast("long"))
+    running = bucketed_running_sum(
+        base,
+        order_col=order_col,
+        value_col="__w",
+        bucket_width=bucket_width,
+        out_col="__c",
     )
-    in_w = (
-        W.partitionBy("__bucket")
-        .orderBy(order_col)
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    local = base.withColumn(
-        "__run", F.coalesce(F.sum("__w").over(in_w), F.lit(0))
-    )
-    bucket_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        base.groupBy("__bucket")
-        .agg(F.sum("__w").alias("__bw"))
-        .withColumn("__carry", F.coalesce(F.sum("__bw").over(bucket_w), F.lit(0)))
-    )
-    total = offsets.agg(
-        (F.max(F.col("__carry") + F.col("__bw"))).alias("__total")
-    )
+    total = base.agg(F.sum("__w").alias("__total"))
     pos = (
-        local.join(F.broadcast(offsets.select("__bucket", "__carry")), "__bucket")
-        .withColumn("__c", F.col("__carry") + F.col("__run"))
-        .crossJoin(F.broadcast(total))
+        running.crossJoin(F.broadcast(total))
         # integer stride and midpoint first point — every step is BIGINT
         # `div` (no double division anywhere: positions can exceed 2^53
         # at corpus scale). Points sit at off + j*stride, j = 0..n-1;
@@ -314,14 +303,4 @@ def pps_systematic(
         )
         .filter(F.col("n_hits") > 0)
     )
-    return out.drop(
-        "__w",
-        "__bucket",
-        "__run",
-        "__carry",
-        "__c",
-        "__hi",
-        "__total",
-        "__stride",
-        "__off",
-    )
+    return out.drop("__w", "__c", "__hi", "__total", "__stride", "__off")

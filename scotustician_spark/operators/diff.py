@@ -47,13 +47,27 @@ def snapshot_diff(
     values, so NULL→value flips classify as ``changed``."""
     if compare_cols is None:
         compare_cols = [c for c in base.columns if c not in key_cols]
+
+    def fp() -> F.Column:
+        if not compare_cols:
+            # key-only reconciliation: membership diff, no value compare
+            return F.lit(0).cast("long")
+        # xxhash64 SKIPS null arguments, so ('a', NULL) and (NULL, 'a')
+        # would collide as "unchanged"; interleaving each column with
+        # its never-null isnull flag keeps positions distinct
+        parts: list[F.Column] = []
+        for col in compare_cols:
+            parts.append(F.col(col))
+            parts.append(F.isnull(col))
+        return F.xxhash64(*parts)
+
     b = base.select(
         *[F.col(k).alias(f"_bk_{k}") for k in key_cols],
-        F.xxhash64(*compare_cols).alias("_b_fp"),
+        fp().alias("_b_fp"),
     )
     c = current.select(
         *[F.col(k).alias(f"_ck_{k}") for k in key_cols],
-        F.xxhash64(*compare_cols).alias("_c_fp"),
+        fp().alias("_c_fp"),
     )
     cond = [b[f"_bk_{k}"].eqNullSafe(c[f"_ck_{k}"]) for k in key_cols]
     joined = b.join(c, cond, "full_outer")

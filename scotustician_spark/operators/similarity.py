@@ -232,7 +232,12 @@ def semantic_dedup_cells(
     from .components import dedup_resolution
 
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    # the quantizer output feeds THREE consumers (both self-join sides
+    # and the final cell join-back) — materialize once so the two-pass
+    # Lloyd assignment isn't re-evaluated per consumer (same lineage-cut
+    # discipline as triangle_counts / the components loop)
     assigned, _ = onestep_cell_assignments(c, n_cells, d2_round)
+    assigned = assigned.localCheckpoint(eager=True)
     # in-cell pairs only: the equi-join on cell bounds the explosion
     a = assigned.select(
         F.col("cid").alias("id_a"), F.col("c_vec").alias("v_a"), "cell"

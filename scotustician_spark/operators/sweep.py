@@ -12,12 +12,11 @@ holds the whole table). The scalable exact plan:
    non-issue: concurrency is evaluated after all starts at a
    timestamp and before its ends (closed-start, open-end reading
    gives the same peak);
-2. bucket timestamps by a coarse width; the running net is the
-   in-bucket cumulative sum (parallel window per bucket) plus a
-   carry-in offset — the exclusive running total of per-bucket nets,
-   computed by a window over the BUCKET-GRAIN relation (one row per
-   non-empty bucket — metadata-sized, same trick as
-   ``operators/gaps.py`` and ``stable_global_index``);
+2. the running net over distinct timestamps is a global exclusive
+   prefix sum — computed by the shared
+   ``operators/prefix.py::bucketed_running_sum`` (in-bucket windows +
+   bucket-grain carry-ins, same decomposition as ``operators/gaps.py``
+   and ``stable_global_index``);
 3. peak(ts) = carry-in + in-bucket-running-before + starts(ts).
 
 Beyond-reference (SURVEY §2.3 lists range/interval joins as "not
@@ -30,7 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
+
+from .prefix import bucketed_running_sum
 
 
 def interval_concurrency(
@@ -54,33 +54,13 @@ def interval_concurrency(
             F.sum("d").alias("net"),
             F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
         )
-        .withColumn("bucket", F.col("t") - (F.col("t") % bucket_width))
     )
-    in_w = (
-        W.partitionBy("bucket")
-        .orderBy("t")
-        .rowsBetween(W.unboundedPreceding, -1)
+    running = bucketed_running_sum(
+        per_ts, order_col="t", value_col="net", bucket_width=bucket_width
     )
-    with_local = per_ts.withColumn(
-        "run_before", F.coalesce(F.sum("net").over(in_w), F.lit(0))
-    )
-    # bucket-grain totals: one row per non-empty bucket; the
-    # unpartitioned window runs over metadata, not data
-    bucket_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        per_ts.groupBy("bucket")
-        .agg(F.sum("net").alias("bucket_net"))
-        .withColumn(
-            "carry_in", F.coalesce(F.sum("bucket_net").over(bucket_w), F.lit(0))
-        )
-        .select("bucket", "carry_in")
-    )
-    return (
-        with_local.join(F.broadcast(offsets), "bucket")
-        .select(
-            "t",
-            (
-                F.col("carry_in") + F.col("run_before") + F.col("n_starts")
-            ).cast("long").alias("concurrency"),
-        )
+    return running.select(
+        "t",
+        (F.col("run_before") + F.col("n_starts")).cast("long").alias(
+            "concurrency"
+        ),
     )

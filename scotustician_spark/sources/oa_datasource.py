@@ -206,19 +206,26 @@ class OaStagedFiles(WriterCommitMessage):
 
 def _stage_rows(root: str, iterator: Iterator) -> OaStagedFiles:
     """Task side of the two-phase commit: write every row to a
-    task-unique staging dir, return the staged paths."""
+    task-unique staging dir, return the staged paths.
+
+    Duplicate (term, source_key) rows within a task collapse to ONE
+    staged file (last row wins) — without the dedup, two entries would
+    point at one staged path and the second ``os.replace`` at publish
+    time would crash mid-commit. Cross-task duplicates publish
+    last-rename-wins (``os.replace`` is an atomic overwrite)."""
     import uuid
 
     stage_dir = os.path.join(root, "_staging", uuid.uuid4().hex)
     os.makedirs(stage_dir, exist_ok=True)
-    entries: list[tuple[str, str, str]] = []
+    staged_by_name: dict[tuple[str, str], str] = {}
     for row in iterator:
         term, key = str(row["term"]), str(row["source_key"])
         name = key if key.endswith(".json") else f"{key}.json"
         staged = os.path.join(stage_dir, f"{term}__{name}")
         with open(staged, "w", encoding="utf-8") as fh:
             fh.write(row["payload"] or "")
-        entries.append((term, name, staged))
+        staged_by_name[(term, name)] = staged
+    entries = [(t, n, p) for (t, n), p in staged_by_name.items()]
     return OaStagedFiles(stage_dir, entries)
 
 
@@ -228,6 +235,7 @@ def _publish_staged(root: str, messages) -> dict[str, int]:
     import shutil
 
     counts: dict[str, int] = {}
+    seen: set[tuple[str, str]] = set()
     for m in messages:
         if m is None:
             continue
@@ -235,7 +243,11 @@ def _publish_staged(root: str, messages) -> dict[str, int]:
             d = os.path.join(root, f"term={term}")
             os.makedirs(d, exist_ok=True)
             os.replace(staged, os.path.join(d, name))
-            counts[term] = counts.get(term, 0) + 1
+            # cross-task duplicate keys overwrite (last rename wins);
+            # count PUBLISHED files, not renames
+            if (term, name) not in seen:
+                seen.add((term, name))
+                counts[term] = counts.get(term, 0) + 1
         shutil.rmtree(m.stage_dir, ignore_errors=True)
     return counts
 

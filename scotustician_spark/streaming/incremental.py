@@ -23,6 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 from scotustician_spark.sources.sinks import idempotent_append
 
 
+def _state_exists(spark: SparkSession, path: str) -> bool:
+    """True iff a parquet state table exists at ``path`` (Hadoop FS
+    probe — works for any scheme the session can reach)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def incremental_filter(
     new_df: DataFrame, processed: DataFrame, key_cols: list[str]
 ) -> DataFrame:
@@ -96,10 +106,14 @@ def run_quantile_state_update(
         partial = quantile_partial(
             batch_df, group_cols, value_col, lo, hi, n_bins
         )
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = quantile_merge(group_cols, n_bins, prev, partial)
-        except Exception:
+        # only a MISSING state table means "first batch" — any other
+        # error (corrupt footer, transient FS) must fail the batch and
+        # retry, never silently reset accumulated state
+        if _state_exists(spark, state_path):
+            merged = quantile_merge(
+                group_cols, n_bins, spark.read.parquet(state_path), partial
+            )
+        else:
             merged = partial
         # materialize before overwriting the path still being read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
@@ -171,12 +185,14 @@ def run_topk_state_update(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            prev = spark.read.parquet(state_path)
+        # missing state == first batch; any OTHER read error fails the
+        # batch (a silent reset would discard every streamed vector)
+        if _state_exists(spark, state_path):
             merged = incremental_topk(
-                prev, queries_df, batch_df, k, id_col, vec_col
+                spark.read.parquet(state_path), queries_df, batch_df,
+                k, id_col, vec_col,
             )
-        except Exception:
+        else:
             merged = rank_topk(
                 score_queries(queries_df, batch_df, id_col, vec_col), k
             )

@@ -288,3 +288,28 @@ def test_incremental_topk_equals_full_recompute(spark):
         return sorted((r.query_id, r.rnk, r.neighbor_id) for r in rows)
 
     assert key(state.collect()) == key(full.collect())
+
+
+def test_snapshot_diff_null_position_swap_detected(spark):
+    """xxhash64 skips NULL arguments, so ('a', NULL) vs (NULL, 'a')
+    would collide as 'unchanged' without the isnull interleave — the
+    oracle's per-column IS DISTINCT FROM calls this 'changed'."""
+    base = spark.createDataFrame(
+        [(1, "a", None)], "k long, c1 string, c2 string"
+    )
+    cur = spark.createDataFrame(
+        [(1, None, "a")], "k long, c1 string, c2 string"
+    )
+    got = {(r.k, r.change_type) for r in snapshot_diff(base, cur, ["k"]).collect()}
+    assert got == {(1, "changed")}
+
+
+def test_snapshot_diff_key_only_membership(spark):
+    """Empty compare set = pure membership reconciliation."""
+    base = spark.createDataFrame([(1,), (2,)], "k long")
+    cur = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        (r.k, r.change_type)
+        for r in snapshot_diff(base, cur, ["k"], compare_cols=[]).collect()
+    }
+    assert got == {(1, "removed"), (3, "added")}

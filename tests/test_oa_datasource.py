@@ -256,3 +256,20 @@ def test_stream_writer_incremental_and_idempotent(spark, tmp_path):
     assert published() == [("2023", "a.json"), ("2024", "b.json")]
     manifests = sorted(os.listdir(os.path.join(sink, "_batch_manifests")))
     assert len(manifests) >= 2
+
+
+def test_writer_duplicate_keys_single_publish(spark, tmp_path):
+    """Duplicate (term, source_key) rows must not crash commit: they
+    collapse to one published file (last wins) and count once."""
+    root = str(tmp_path / "sink")
+    os.makedirs(root)
+    _registered(spark)
+    df = spark.createDataFrame(
+        [("2023", "a", "v1"), ("2023", "a", "v2")],
+        "term string, source_key string, payload string",
+    ).coalesce(1)
+    df.write.format("oa_docs").option("path", root).mode("append").save()
+    rows = spark.read.format("oa_docs").option("path", root).load().collect()
+    assert len(rows) == 1 and rows[0]["source_key"] == "a.json"
+    with open(os.path.join(root, "_ingest_manifest.json")) as fh:
+        assert json.load(fh)["total"] == 1
