@@ -434,6 +434,160 @@ def pq_topk_onestep(
     )
 
 
+def ivfpq_topk_onestep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    d2_round: int = 6,
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC design): the coarse one-step-
+    Lloyd quantizer shards the corpus into ``n_cells`` inverted lists,
+    each vector stores only the PQ codes of its RESIDUAL (v − centroid),
+    and a query ranks candidates in its ``n_probe`` nearest cells by
+    asymmetric distance — per-(query, probed cell) lookup tables over
+    the residual codebooks, summed per candidate. This composition is
+    the actual 100 TB ANN layout: the probe bounds *which* vectors are
+    touched (inverted lists), PQ bounds *how much* of each is read
+    (m bytes, not dim floats), so scan cost is
+    |probed lists| × m bytes — independent of both corpus size and
+    embedding width.
+
+    Residual encoding is what makes the composition better than either
+    part alone: residuals have far less variance than raw vectors, so
+    the same codebook budget quantizes them much more finely.
+
+    Determinism discipline shared with ``ivf_topk_onestep`` /
+    ``pq_topk_onestep``: cell seeds and codeword seeds come from the
+    lowest-id vectors, every distance rounds before an argmin or rank,
+    ties break by cell / code / id asc — a SQL oracle replays the whole
+    index build + search bit-for-bit.
+
+    Plan shape: centroids (n_cells) and codebooks (m × n_codes) are
+    tiny and broadcast; corpus passes are map-side (assignment,
+    residual, encoding); the probe is one equi-join on cell; the ADC
+    sum is a groupBy over m rows per candidate. The corpus never
+    shuffles on anything wider than (id, cell, j, code).
+    """
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    assigned, cents1 = onestep_cell_assignments(c, n_cells, d2_round)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    # residual per corpus vector: v − centroid(cell), in float64
+    resid = assigned.join(F.broadcast(cents1), "cell").select(
+        "cid",
+        "cell",
+        F.zip_with("c_vec", "centroid", lambda x, ce: x - ce).alias("r_vec"),
+    )
+
+    def _subvecs(df: DataFrame, id_cols: list[str], vcol: str) -> DataFrame:
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(F.col(vcol), j * sub + 1, sub)
+                    .cast("array<double>")
+                    .alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        return df.select(*id_cols, F.explode(parts).alias("s")).select(
+            *id_cols, F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
+        )
+
+    def _d2(a: str, b: str) -> F.Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            d2_round,
+        )
+
+    rsub = _subvecs(resid, ["cid"], "r_vec")
+    # codebook seeds: residual subvectors of the n_codes lowest-id vectors
+    seeds = _subvecs(
+        resid.orderBy("cid").limit(n_codes), ["cid"], "r_vec"
+    ).select(
+        "j",
+        (F.row_number().over(W.partitionBy("j").orderBy("cid")) - 1)
+        .cast("int")
+        .alias("code"),
+        F.col("sv").alias("cw"),
+    )
+
+    def _assign_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
+        wp = W.partitionBy("cid", "j").orderBy(F.asc("d2r"), F.asc("code"))
+        return (
+            sv.join(F.broadcast(cb), "j")
+            .withColumn("d2r", _d2("sv", "cw"))
+            .withColumn("__r", F.row_number().over(wp))
+            .filter(F.col("__r") == 1)
+            .select("cid", "j", "code", "sv")
+        )
+
+    # one Lloyd step per subspace over residuals (element-mean re-center)
+    a0 = _assign_codes(rsub, seeds)
+    cb1 = (
+        a0.select("j", "code", F.posexplode("sv").alias("spos", "v"))
+        .groupBy("j", "code", "spos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("j", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("spos", "mv"))).alias("pm"))
+        .select("j", "code", F.col("pm.mv").alias("cw"))
+    )
+    codes = (
+        _assign_codes(rsub, cb1)
+        .select(F.col("cid").alias("neighbor_id"), "j", "code")
+        .join(
+            resid.select(F.col("cid").alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+    )
+
+    # probes: n_probe nearest cells per query (rounded d2, cell-asc ties)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2r"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents1))
+        .withColumn("d2r", F.round(_sq_l2("q_vec", "centroid"), d2_round))
+        .withColumn("p_rnk", F.row_number().over(wp))
+        .filter(F.col("p_rnk") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("q_vec", "centroid", lambda x, ce: x - ce).alias("qr_vec"),
+        )
+    )
+    # per-(query, probed cell) ADC lookup table: queries×n_probe×m×n_codes
+    lut = (
+        _subvecs(probes, ["query_id", "cell"], "qr_vec")
+        .join(F.broadcast(cb1), "j")
+        .select("query_id", "cell", "j", "code", _d2("sv", "cw").alias("lut_d2"))
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["cell", "j", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("lut_d2"), d2_round).alias("approx_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    return approx.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def pairwise_cosine_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

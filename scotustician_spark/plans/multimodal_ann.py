@@ -328,6 +328,150 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "approx_d2", "rnk")
 
 
+def _ivfpq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_codes: int = 8,
+    k: int = 5,
+    r: int = 6,
+) -> str:
+    sub = dim // m
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+    seedvecs AS (
+        SELECT s.cell, e.pos, e.v FROM seeds s JOIN ex e ON e.vec_id = s.vec_id),
+    d0 AS (
+        SELECT e.vec_id, sv.cell,
+               round(sum((e.v - sv.v) * (e.v - sv.v)), {r}) AS d2r
+        FROM ex e JOIN seedvecs sv ON sv.pos = e.pos
+        GROUP BY e.vec_id, sv.cell),
+    a0 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
+            FROM d0) WHERE rr = 1),
+    cents AS (
+        SELECT a0.cell, e.pos, avg(e.v) AS cm
+        FROM ex e JOIN a0 USING (vec_id) GROUP BY a0.cell, e.pos),
+    d1 AS (
+        SELECT e.vec_id, c.cell,
+               round(sum((e.v - c.cm) * (e.v - c.cm)), {r}) AS d2r
+        FROM ex e JOIN cents c ON c.pos = e.pos
+        GROUP BY e.vec_id, c.cell),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
+            FROM d1) WHERE rr = 1),
+    -- corpus residuals w.r.t. the assigned cell's refined centroid
+    rsub AS (
+        SELECT e.vec_id, a1.cell, e.pos // {sub} AS j, e.pos % {sub} AS spos,
+               e.v - c.cm AS rv
+        FROM ex e JOIN a1 USING (vec_id)
+        JOIN cents c ON c.cell = a1.cell AND c.pos = e.pos),
+    seed_ids AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_codes})),
+    pqseeds AS (
+        SELECT s.j, si.code, s.spos, s.rv
+        FROM rsub s JOIN seed_ids si ON s.vec_id = si.vec_id),
+    pd0 AS (
+        SELECT s.vec_id, s.j, sd.code,
+               round(sum((s.rv - sd.rv) * (s.rv - sd.rv)), {r}) AS d2r
+        FROM rsub s JOIN pqseeds sd ON sd.j = s.j AND sd.spos = s.spos
+        GROUP BY s.vec_id, s.j, sd.code),
+    pa0 AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2r, code) AS rr
+            FROM pd0) WHERE rr = 1),
+    cb AS (
+        SELECT pa0.j, pa0.code, s.spos, avg(s.rv) AS mv
+        FROM rsub s JOIN pa0 ON pa0.vec_id = s.vec_id AND pa0.j = s.j
+        GROUP BY pa0.j, pa0.code, s.spos),
+    pd1 AS (
+        SELECT s.vec_id, s.j, c.code,
+               round(sum((s.rv - c.mv) * (s.rv - c.mv)), {r}) AS d2r
+        FROM rsub s JOIN cb c ON c.j = s.j AND c.spos = s.spos
+        GROUP BY s.vec_id, s.j, c.code),
+    codes AS (
+        SELECT p.vec_id AS neighbor_id, a1.cell, p.j, p.code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2r, code) AS rr
+            FROM pd1) p JOIN a1 ON a1.vec_id = p.vec_id
+        WHERE p.rr = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
+            FROM d1 WHERE vec_id < 10) WHERE rr <= {n_probe}),
+    qrsub AS (
+        SELECT p.query_id, p.cell, e.pos // {sub} AS j, e.pos % {sub} AS spos,
+               e.v - c.cm AS rv
+        FROM probes p
+        JOIN ex e ON e.vec_id = p.query_id
+        JOIN cents c ON c.cell = p.cell AND c.pos = e.pos),
+    lut AS (
+        SELECT q.query_id, q.cell, q.j, c.code,
+               round(sum((q.rv - c.mv) * (q.rv - c.mv)), {r}) AS lut_d2
+        FROM qrsub q JOIN cb c ON c.j = q.j AND c.spos = q.spos
+        GROUP BY q.query_id, q.cell, q.j, c.code),
+    approx AS (
+        SELECT l.query_id, c.neighbor_id,
+               round(sum(l.lut_d2), {r}) AS approx_d2
+        FROM codes c
+        JOIN lut l ON l.cell = c.cell AND l.j = c.j AND l.code = c.code
+        WHERE l.query_id <> c.neighbor_id
+        GROUP BY l.query_id, c.neighbor_id)
+    SELECT query_id, neighbor_id, approx_d2, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2, neighbor_id) AS rnk
+          FROM approx)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "ivfpq_ann_topk",
+    _ivfpq_oracle(),
+    doc="IVF + PQ composed (the FAISS IVFADC layout, "
+    "operators/similarity.py::ivfpq_topk_onestep): the one-step-Lloyd "
+    "coarse quantizer bounds WHICH vectors a query touches (n_probe "
+    "inverted lists), residual product-quantization bounds HOW MUCH of "
+    "each is read (m one-byte codes, asymmetric-distance lookup "
+    "tables) — scan cost is |probed lists| × m bytes, independent of "
+    "both corpus size and embedding width. Residual encoding is the "
+    "composition dividend: residuals have far less variance than raw "
+    "vectors, so the same codebook budget quantizes finer. The oracle "
+    "replays the full index build (cells, residuals, codebooks) and "
+    "the ADC search in one SQL chain.",
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivfpq_topk_onestep(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_cells=8,
+        n_probe=2,
+        m=4,
+        n_codes=8,
+    ).select("query_id", "neighbor_id", "approx_d2", "rnk")
+
+
 @register(
     "ivf_kmeans_topk",
     None,  # KMeans quantizer is not SQL-expressible -> rows-only gate;

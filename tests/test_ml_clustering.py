@@ -205,6 +205,71 @@ def test_pq_exact_when_codebook_saturates(spark):
             assert math.isclose(ad2, wd2, abs_tol=1e-4)
 
 
+def test_ivfpq_exact_at_full_probe_and_saturated_codebook(spark):
+    """IVFADC composition anchor: with every cell probed and one
+    codeword per distinct residual subvector, the ADC distance is the
+    exact squared L2 — ||(q−c) − (v−c)||² == ||q−v||² — so the ranking
+    must match brute-force L2 exactly."""
+    import math
+
+    from scotustician_spark.operators.similarity import ivfpq_topk_onestep
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.1]),
+        (1, [0.1, 0.0, 0.2, 0.0]),
+        (2, [1.0, 1.0, 1.1, 1.0]),
+        (3, [1.1, 1.0, 0.9, 1.2]),
+        (4, [5.0, 5.0, 5.0, 5.1]),
+        (5, [5.1, 4.9, 5.2, 5.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = ivfpq_topk_onestep(
+        e, e, dim=4, k=5, n_cells=2, n_probe=2, m=2, n_codes=6, d2_round=6
+    ).collect()
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    by_vec = dict(vecs)
+    for q in by_vec:
+        got = sorted(
+            (r["rnk"], r["neighbor_id"], r["approx_d2"])
+            for r in out
+            if r["query_id"] == q
+        )
+        want = sorted(((d2(by_vec[q], by_vec[n]), n) for n in by_vec if n != q))
+        assert len(got) == len(want)
+        for (rnk, nid, ad2), (wd2, wn) in zip(got, want):
+            assert nid == wn
+            assert math.isclose(ad2, wd2, abs_tol=1e-4)
+
+
+def test_ivfpq_partial_probe_deterministic_and_sane(spark, sf_dir):
+    from scotustician_spark.operators.similarity import ivfpq_topk_onestep
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_topk_onestep(
+                e, q, dim=64, k=3, n_cells=4, n_probe=2, m=4, n_codes=8
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_topk_onestep(
+                e, q, dim=64, k=3, n_cells=4, n_probe=2, m=4, n_codes=8
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0
+    assert all(r[0] != r[1] for r in a)  # self excluded
+
+
 def test_pq_partial_codebook_prefers_near_cluster(spark, sf_dir):
     """Lossy regime sanity: with a small codebook, neighbors still come
     from the query's own cluster and output is deterministic."""
