@@ -304,3 +304,134 @@ def pps_systematic(
         .filter(F.col("n_hits") > 0)
     )
     return out.drop("__w", "__c", "__hi", "__total", "__stride", "__off")
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard overlap between corpus SOURCES over their
+    distinct word-shingle sets — the dataset-level twin of document
+    near-dup detection. The question it answers ("how much of source B
+    is already in source A?") gates dataset mixing and cross-dataset
+    decontamination: two highly-overlapping sources should not both
+    enter ``dataset_mix`` at full weight.
+
+    Plan shape for 100 TB: one pass shingles every document in-row
+    (array_distinct before the explode — per-doc dedup costs no
+    shuffle), one distinct keyed on (source, shingle), one groupBy
+    shingle whose posting lists are bounded by the SOURCE count (a few
+    dozen, never corpus-sized), in-row pair expansion, and a final
+    groupBy over source pairs (quadratic only in #sources). The corpus
+    text itself shuffles once, as (source, shingle) postings.
+
+    Returns (source_a, source_b, n_inter, n_a, n_b, jaccard) for every
+    source pair sharing at least one shingle, source_a < source_b.
+    """
+    from ..functions.text import word_shingles
+    from ..session import repartition_for_compute
+
+    sh = (
+        repartition_for_compute(df)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count("*").alias("n_sh"))
+    # posting list per shingle = the sources containing it (≤ #sources
+    # entries); collect_set dedupes in the partial agg, array_sort fixes
+    # the a < b orientation by construction
+    gs = F.array_sort(F.collect_set("grp"))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("gs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    inter = (
+        sh.groupBy("shingle")
+        .agg(gs.alias("gs"))
+        .filter(F.size("gs") > 1)
+        .select(F.explode(pairs_expr).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("grp").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def stride_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping fixed-size token-window chunking (size tokens per
+    chunk, stride tokens between chunk starts) — the standard
+    RAG-indexing / context-window-packing chunker, where the overlap
+    (size − stride) preserves cross-boundary context that hard
+    splitting loses.
+
+    Chunk i covers tokens [i·stride, i·stride + size); the chunk count
+    is 1 for docs that fit in one window, else
+    ceil((n − size)/stride) + 1 — the last chunk may be short but
+    always starts within the text. Zero-token docs emit nothing.
+
+    Entirely in-row (sequence → transform → posexplode-style explode):
+    a pure map stage, no shuffle at any scale — chunking 100 TB costs
+    exactly one read and one write.
+    """
+    from ..functions.text import tokens
+    from ..session import repartition_for_compute
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= size, F.lit(1))
+        .otherwise((F.ceil((n - size) / F.lit(float(stride)))).cast("int") + 1)
+    )
+    chunk_struct = F.transform(
+        F.sequence(F.lit(0), F.col("__nc") - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(F.col("__toks"), i * stride + 1, size).alias("ctoks"),
+        ),
+    )
+    return (
+        repartition_for_compute(df)
+        .select(F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc"))
+        .filter(F.col("__nc") > 0)
+        .select(F.col(id_col), F.explode(chunk_struct).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.ctoks").alias("n_chunk_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+    )

@@ -278,3 +278,99 @@ def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "source", _MIX_W, id_col="doc_id"
     )
     return out.select("doc_id", "source")
+
+
+# Shingle relation keyed by SOURCE (not doc) for the dataset-overlap
+# query; same tokenizer/shingle contract as vectors_text._SHINGLES
+_SRC_SHINGLES = """
+    SELECT source, unnest(CASE
+                WHEN l IS NULL OR len(l) = 0 OR (len(l) = 1 AND l[1] = '')
+                    THEN CAST([] AS VARCHAR[])
+                WHEN len(l) >= 3
+                    THEN list_transform(range(1, len(l)-1),
+                                        i -> array_to_string(l[i:i+2], ' '))
+                ELSE [array_to_string(l, ' ')] END) AS shingle
+    FROM (SELECT source, regexp_split_to_array(
+              regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+              '\\s+') AS l
+          FROM documents)
+"""
+
+
+@register(
+    "source_overlap_jaccard",
+    f"""
+    WITH sh AS (SELECT DISTINCT source, shingle FROM ({_SRC_SHINGLES})),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, i.n_inter,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    doc="Dataset-level overlap: exact pairwise Jaccard between corpus "
+    "SOURCES over their distinct 3-gram shingle sets "
+    "(operators/corpus.py::source_overlap) — the mixing/decontamination "
+    "gate ('how much of source B is already in A?'). Shingling is "
+    "in-row; posting lists are bounded by the source count, so the "
+    "pair expansion is quadratic in #sources, never in documents; the "
+    "corpus text shuffles once as (source, shingle) postings.",
+    bench=True,
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.source_overlap(
+        _t(spark, sf_dir, "documents"), group_col="source", text_col="text", n=3
+    )
+
+
+# Case-PRESERVING tokens for chunking (chunk text must round-trip the
+# original casing; same edge-strip/empty-guard contract as _TOKS)
+_RAW_TOKS = (
+    "regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+)
+
+
+@register(
+    "doc_stride_chunks",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL
+                         OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE {_RAW_TOKS} END AS l
+        FROM documents),
+    nc AS (SELECT doc_id, l,
+                  CASE WHEN len(l) = 0 THEN 0
+                       WHEN len(l) <= 64 THEN 1
+                       ELSE CAST(ceil((len(l) - 64) / 32.0) AS INT) + 1 END AS n
+           FROM base),
+    ch AS (SELECT doc_id,
+                  CAST(unnest(range(0, n)) AS INT) AS chunk_idx,
+                  unnest(list_transform(range(0, n),
+                         i -> l[i*32+1 : i*32+64])) AS ctoks
+           FROM nc WHERE n > 0)
+    SELECT doc_id, chunk_idx,
+           CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM ch
+    """,
+    doc="Overlapping stride chunking (64-token windows every 32 tokens, "
+    "operators/corpus.py::stride_chunks): the RAG-indexing / context-"
+    "packing chunker whose overlap preserves cross-boundary context. "
+    "Entirely in-row (sequence → slice → explode): a pure map stage — "
+    "no shuffle at any corpus size.",
+)
+def doc_stride_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.stride_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=32
+    )

@@ -408,3 +408,75 @@ def test_simhash_near_pairs_recall_and_hamming(spark):
         assert a < b
         assert a in (1, 2, 3, 4) and b in (1, 2, 3, 4)
         assert r["hamming"] <= 3
+
+
+def test_stride_chunks_windows_and_edges(spark):
+    from scotustician_spark.operators.corpus import stride_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b c"),  # fits one window
+            (3, "   "),  # blank -> no chunks
+            (4, None),  # null -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = stride_chunks(docs, "doc_id", "text", size=4, stride=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: ceil((10-4)/3)+1 = 3 chunks at starts 0, 3, 6
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    # doc 2: one whole-text chunk
+    assert [(r["chunk_idx"], r["chunk_text"]) for r in by_doc[2]] == [(0, "a b c")]
+    # blank/null docs emit nothing
+    assert 3 not in by_doc and 4 not in by_doc
+    # overlap invariant: consecutive chunks share size - stride tokens
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+
+
+def test_stride_chunks_short_tail(spark):
+    from scotustician_spark.operators.corpus import stride_chunks
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    # n=5, size=4, stride=3: chunks at 0 (a b c d) and 3 (d e) — the
+    # tail chunk is short but starts inside the text
+    out = sorted(
+        stride_chunks(docs, "doc_id", "text", size=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["chunk_text"], r["n_chunk_tokens"]) for r in out] == [
+        ("a b c d", 4),
+        ("d e", 2),
+    ]
+
+
+def test_source_overlap_exact_jaccard(spark):
+    from scotustician_spark.operators.corpus import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),  # shingles {a b c, b c d}
+            (2, "B", "b c d e"),  # shingles {b c d, c d e}
+            (3, "B", "b c d"),  # duplicate shingle within B -> set semantics
+            (4, "C", "x y z"),  # disjoint
+            (5, "C", None),  # null text contributes nothing
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, "source", "text", n=3).collect()
+    }
+    # only A-B share a shingle; C pairs are absent (no shared shingles)
+    assert set(rows) == {("A", "B")}
+    ab = rows[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_inter"]) == (2, 2, 1)
+    assert abs(ab["jaccard"] - 1 / 3) < 1e-6  # jaccard rounds at 6 decimals
