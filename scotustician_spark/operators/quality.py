@@ -482,3 +482,71 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col).alias("doc_id"), u(F.col(text_col)).alias("s"))
         .select("doc_id", "s.norm_text", "s.n_chars_raw", "s.n_chars_norm", "s.changed")
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy of the per-document unigram distribution —
+    the information-density quality signal (near-zero entropy flags
+    keyword-stuffed / template / degenerate-repetition pages that the
+    repetition fractions can miss when the repeats are spread out).
+
+    entropy = Σ_t (c_t/n)·ln(n/c_t) over distinct tokens t;
+    ``norm_entropy`` divides by ln(d) (d = distinct tokens) to give a
+    [0,1] evenness score comparable across document lengths.
+
+    Computed IN-ROW with the same sorted-run fold as
+    ``repetition_stats``' modal bigram: sort the token array once, fold
+    left accumulating (prev, run, partial sum), flushing each completed
+    run's (run/n)·ln(n/run) contribution — O(n log n) per document on
+    the scan, no explode, no shuffle at any corpus size. Zero-token
+    documents yield NULL entropy (no content to score).
+    """
+    toks = _lower_tokens(text_col)
+
+    def _ent(t: Column) -> Column:
+        n = F.size(t)
+        nd = n.cast("double")
+
+        def contrib(run: Column) -> Column:
+            return F.when(
+                run > 0, (run.cast("double") / nd) * F.log(nd / run.cast("double"))
+            ).otherwise(F.lit(0.0))
+
+        raw = F.aggregate(
+            F.array_sort(t),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0.0).alias("acc"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.when(x == acc["prev"], acc["acc"])
+                .otherwise(acc["acc"] + contrib(acc["run"]))
+                .alias("acc"),
+            ),
+            lambda acc: acc["acc"] + contrib(acc["run"]),
+        )
+        d = F.size(F.array_distinct(t))
+        return F.struct(
+            n.alias("n_tokens"),
+            d.alias("n_distinct"),
+            F.when(n > 0, F.round(raw, 6)).alias("entropy"),
+            # evenness: entropy / ln(d); single-token-type docs (d=1)
+            # have zero entropy by definition — emit 0, not 0/0
+            F.when(d > 1, F.round(raw / F.log(d.cast("double")), 6))
+            .when(d == 1, F.lit(0.0))
+            .alias("norm_entropy"),
+        )
+
+    stats = F.transform(F.array(toks), _ent).getItem(0)
+    return repartition_for_compute(df).select(
+        F.col(id_col).alias("doc_id"), stats.alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.n_distinct").alias("n_distinct"),
+        F.col("s.entropy").alias("entropy"),
+        F.col("s.norm_entropy").alias("norm_entropy"),
+    )

@@ -119,3 +119,47 @@ def salted_join(
         .drop("__hot")
     )
     return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-distribution diagnostics — the measurement that DECIDES the
+    skew strategy (plain groupBy vs ``salted_agg`` vs AQE skew join)
+    before a 100 TB job is launched with the wrong one. Returns the
+    ``top_n`` heaviest keys with:
+
+    - ``cnt``        — rows carrying the key
+    - ``share``      — fraction of the table
+    - ``skew_ratio`` — cnt ÷ mean rows-per-key (1.0 = perfectly even;
+      a reducer processing this key runs skew_ratio× longer than
+      average)
+
+    Plan shape: one groupBy(key) count, a TakeOrderedAndProject for
+    the top-N (orderBy+limit never globally sorts — each partition
+    ships only its local top-N to the driver-side merge), and a
+    broadcast single-row totals relation. The final rank window runs
+    over top_n rows, not the key universe.
+    """
+    from pyspark.sql.window import Window as W
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count("*").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_n)
+    w = W.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total").cast("double"), 6).alias("share"),
+            F.col("n_keys"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("__total").cast("double"), 6
+            ).alias("skew_ratio"),
+        )
+    )

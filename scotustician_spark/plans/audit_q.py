@@ -483,3 +483,32 @@ def pps_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic(
         o, order_col="o_orderkey", weight_col="w_cents", n_select=200
     ).select("o_orderkey", "w_cents", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH counts AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+                    FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM counts),
+    top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 10)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rnk,
+           key, cnt,
+           round(cnt / CAST(total AS DOUBLE), 6) AS share,
+           n_keys,
+           round(cnt * n_keys / CAST(total AS DOUBLE), 6) AS skew_ratio
+    FROM top CROSS JOIN tot
+    """,
+    doc="Key-distribution skew diagnostics "
+    "(operators/skew.py::key_skew_profile): top-10 heaviest lineitem "
+    "supplier keys with table share and skew_ratio (count ÷ mean "
+    "rows-per-key) — the measurement that decides between plain "
+    "groupBy, salted_agg and AQE skew handling BEFORE a 100 TB job "
+    "launches. Top-N via TakeOrderedAndProject (no global sort); the "
+    "rank window runs over 10 rows, never the key universe.",
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)

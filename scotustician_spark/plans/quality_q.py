@@ -463,3 +463,34 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dirty"),
     )
     return normalize_text(d, "doc_id", "dirty")
+
+
+@register(
+    "doc_token_entropy",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_GUARDED} AS l FROM documents),
+    cnt AS (SELECT doc_id, t, count(*) AS c
+            FROM (SELECT doc_id, unnest(l) AS t FROM base) GROUP BY doc_id, t),
+    tot AS (SELECT doc_id, CAST(len(l) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(l)) AS INT) AS n_distinct FROM base),
+    raw AS (SELECT c.doc_id,
+                   sum((c.c / CAST(t.n_tokens AS DOUBLE))
+                       * ln(CAST(t.n_tokens AS DOUBLE) / c.c)) AS r
+            FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+    SELECT t.doc_id, t.n_tokens, t.n_distinct,
+           CASE WHEN t.n_tokens > 0 THEN round(r.r, 6) END AS entropy,
+           CASE WHEN t.n_distinct > 1 THEN round(r.r / ln(t.n_distinct), 6)
+                WHEN t.n_distinct = 1 THEN 0.0 END AS norm_entropy
+    FROM tot t LEFT JOIN raw r USING (doc_id)
+    """,
+    doc="Unigram Shannon entropy per document "
+    "(operators/quality.py::token_entropy) — the information-density "
+    "quality signal; norm_entropy (entropy/ln(distinct)) is the "
+    "length-comparable evenness score. Spark computes it IN-ROW with a "
+    "sorted-run fold (no explode, no shuffle); the oracle replays it "
+    "as unnest + per-token counts.",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import token_entropy
+
+    return token_entropy(_d(spark, sf_dir), "doc_id", "text")

@@ -313,3 +313,30 @@ def test_snapshot_diff_key_only_membership(spark):
         for r in snapshot_diff(base, cur, ["k"], compare_cols=[]).collect()
     }
     assert got == {(1, "removed"), (3, "added")}
+
+
+def test_key_skew_profile_hand_distribution(spark):
+    from scotustician_spark.operators.skew import key_skew_profile
+
+    # 60 rows of 'hot', 30 of 'warm', 10 of 'cold': total 100, 3 keys
+    rows = (
+        [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rnk"]: r for r in key_skew_profile(df, "k", top_n=2).collect()}
+    assert len(out) == 2  # top_n respected
+    assert out[1]["key"] == "hot" and out[1]["cnt"] == 60
+    assert abs(out[1]["share"] - 0.6) < 1e-9
+    # mean rows/key = 100/3; hot's skew_ratio = 60/(100/3) = 1.8
+    assert abs(out[1]["skew_ratio"] - 1.8) < 1e-6
+    assert out[2]["key"] == "warm" and abs(out[2]["skew_ratio"] - 0.9) < 1e-6
+
+
+def test_key_skew_profile_topn_uses_take_ordered(spark, sf_dir):
+    from scotustician_spark.operators.skew import key_skew_profile
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = key_skew_profile(df, "l_suppkey", top_n=10)._jdf.queryExecution().executedPlan().toString()
+    # the top-N must compile to TakeOrderedAndProject (per-partition
+    # local top-N + driver merge), never a global Sort over all keys
+    assert "TakeOrderedAndProject" in plan

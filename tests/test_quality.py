@@ -215,3 +215,29 @@ def test_chunk_boilerplate_within_doc_repeat_counts_once(spark):
     }
     assert rows[1]["n_dropped"] == 0 and rows[1]["clean_text"] == "p q p q"
     assert rows[2]["n_dropped"] == 0
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from scotustician_spark.operators.quality import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # uniform over 4 distinct -> entropy ln(4), norm 1.0
+            (2, "x x x x"),  # single type -> entropy 0, norm 0
+            (3, "a a b"),  # 2/3,1/3 mix
+            (4, "   "),  # blank -> NULLs
+            (5, None),  # null -> NULLs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(docs, "doc_id", "text").collect()}
+    assert abs(rows[1]["entropy"] - math.log(4)) < 1e-6
+    assert abs(rows[1]["norm_entropy"] - 1.0) < 1e-6
+    assert rows[2]["entropy"] == 0.0 and rows[2]["norm_entropy"] == 0.0
+    want3 = (2 / 3) * math.log(3 / 2) + (1 / 3) * math.log(3)
+    assert abs(rows[3]["entropy"] - want3) < 1e-6
+    assert rows[4]["entropy"] is None and rows[4]["norm_entropy"] is None
+    assert rows[5]["entropy"] is None and rows[5]["norm_entropy"] is None
+    assert rows[4]["n_tokens"] == 0 and rows[5]["n_tokens"] == 0
