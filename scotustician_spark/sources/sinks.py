@@ -191,3 +191,37 @@ def merge_apply_cdc(
         return {"upserted": n_up, "deleted": n_del}
     upserts.write.mode("overwrite").parquet(path)
     return {"upserted": n_up, "deleted": n_del}
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, F.Column] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` and collect pipeline metrics from the SAME pass
+    using ``df.observe`` — the zero-extra-scan form of the S5
+    run-summary / S15 verification probes. The reference re-reads its
+    outputs to count them (data_verification.py:31-65 lists S3 objects,
+    :88-106 re-counts rows in SQL); ``observe`` instead accumulates
+    aggregates on the executors WHILE the write action runs, so at
+    100 TB the metrics are free — no second 100 TB scan, no extra
+    shuffle (observed aggregates merge like any partial agg).
+
+    ``metrics`` maps metric name → aggregate Column (count/sum/min/max
+    — the observe contract requires aggregates with no distinct);
+    defaults to ``n_rows``. Returns the collected metric dict after
+    the write completes. Gate-style use: call, then assert
+    ``out["n_rows"] > 0`` — the verification Choice-state with zero
+    re-read cost.
+    """
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    named = [c.alias(name) for name, c in metrics.items()]
+    observed = df.observe(obs, *named)
+    observed.write.format(fmt).mode(mode).save(path)
+    return dict(obs.get)

@@ -165,3 +165,32 @@ def test_merge_apply_cdc(spark, tmp_path):
     merge_apply_cdc(spark, p, changes, ["k"], seq_col="seq")
     rows2 = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(p).collect()}
     assert rows2 == rows
+
+
+def test_observed_write_metrics_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.sources.sinks import observed_write
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    out = observed_write(
+        df,
+        str(tmp_path / "obs_out"),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "sum_v": F.sum("v"),
+            "max_id": F.max("id"),
+        },
+    )
+    # metrics observed during the write action itself — no re-read
+    assert out == {"n_rows": 100, "sum_v": float(sum(i * 2.0 for i in range(100))), "max_id": 99}
+    # and the write actually landed all rows
+    assert spark.read.parquet(str(tmp_path / "obs_out")).count() == 100
+
+
+def test_observed_write_default_metric_gates_empty(spark, tmp_path):
+    from scotustician_spark.sources.sinks import observed_write
+
+    empty = spark.range(5).filter("id < 0")
+    out = observed_write(empty, str(tmp_path / "obs_empty"))
+    assert out["n_rows"] == 0  # caller's gate can fail fast without a re-count
