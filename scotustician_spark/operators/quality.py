@@ -345,6 +345,28 @@ def contamination_pairs(
     )
 
 
+def _py_shingles(t: str | None, n: int) -> set[str]:
+    """Python twin of functions.text.word_shingles (lower-cased
+    whitespace tokens, ASCII regex classes, k<n whole-text fallback,
+    zero tokens → empty set) — shared by the contamination kernel and
+    its driver-side eval shingling so both sides tokenize identically
+    by construction."""
+    import re as _re
+
+    edge = _re.compile(r"^\s+|\s+$", _re.ASCII)
+    ws = _re.compile(r"\s+", _re.ASCII)
+    if t is None:
+        t = ""
+    stripped = edge.sub("", t.lower())
+    toks = ws.split(stripped) if stripped else []
+    k = len(toks)
+    if k >= n:
+        return {" ".join(toks[i : i + n]) for i in range(k - n + 1)}
+    if k > 0:
+        return {" ".join(toks)}
+    return set()
+
+
 def _contamination_pairs_pandas(
     corpus: DataFrame, eval_set: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -352,7 +374,14 @@ def _contamination_pairs_pandas(
     (eval-suite-sized) and shipped as a SparkContext broadcast; per
     corpus row the shingles probe the shared frozenset. ASCII-class
     tokenizer mirrors functions.text.tokens / word_shingles exactly
-    (incl. the k<n whole-text shingle and the zero-token empty set)."""
+    (incl. the k<n whole-text shingle and the zero-token empty set).
+
+    The eval side collects RAW TEXTS and shingles them driver-side
+    with the same Python tokenizer the kernel uses: the text collect
+    is a bare projected scan (~0.2 s) where the expression-tree
+    explode+distinct job it replaces paid ~1 s of codegen + shuffle
+    per invocation — and identical-by-construction tokenization
+    removes the one place the two sides could drift."""
     import re as _re
 
     import pandas as pd
@@ -365,33 +394,17 @@ def _contamination_pairs_pandas(
     )
 
     sc = corpus.sparkSession.sparkContext
-    ev_rows = (
-        eval_set.select(
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s")
-        )
-        .filter(F.col("s").isNotNull())
-        .distinct()
-        .collect()
-    )
-    bc = sc.broadcast(frozenset(r["s"] for r in ev_rows))
+    ev_texts = eval_set.select(F.col(text_col).alias("t")).collect()
+    es0: set[str] = set()
+    for r in ev_texts:
+        es0.update(_py_shingles(r["t"], n))
+    bc = sc.broadcast(frozenset(es0))
 
     def kernel(texts):
-        edge = _re.compile(r"^\s+|\s+$", _re.ASCII)
-        ws = _re.compile(r"\s+", _re.ASCII)
         es = bc.value
         ns, inters = [], []
         for t in texts:
-            if t is None:
-                t = ""
-            stripped = edge.sub("", t.lower())
-            toks = ws.split(stripped) if stripped else []
-            k = len(toks)
-            if k >= n:
-                sh = {" ".join(toks[i : i + n]) for i in range(k - n + 1)}
-            elif k > 0:
-                sh = {" ".join(toks)}
-            else:
-                sh = set()
+            sh = _py_shingles(t, n)
             ns.append(len(sh))
             inters.append(sum(1 for s in sh if s in es))
         return pd.DataFrame({"n_shingles": ns, "n_contaminated": inters})
