@@ -374,3 +374,57 @@ def doc_stride_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.stride_chunks(
         _t(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=32
     )
+
+
+@register(
+    "domain_profile",
+    """
+    WITH u AS (SELECT doc_id, source || '.example.com' AS domain,
+                      lang, n_chars, 'r' || CAST(doc_id % 7 AS VARCHAR) AS ref
+               FROM documents)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
+           round(avg(n_chars), 6) AS avg_chars,
+           domain IN ('src0.example.com', 'src3.example.com') AS is_blocked
+    FROM u GROUP BY domain
+    """,
+    doc="Web-corpus domain curation: documents carry a derived URL "
+    "(https://<source>.example.com/<lang>/doc-<id>?ref=rN — synthetic, "
+    "same derivation on both engines, the pii_redaction precedent); "
+    "Spark extracts HOST/QUERY with the JVM parse_url expression and "
+    "rolls up per-domain volume, language spread, referrer diversity "
+    "and a blocklist verdict, while the oracle derives the components "
+    "independently with string ops — parity proves the parse. The "
+    "per-domain rollup + broadcast blocklist is the standard "
+    "domain-filtering stage of a crawl pipeline; one groupBy keyed on "
+    "domain at any scale.",
+)
+def domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("domain"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    blocked = F.col("domain").isin("src0.example.com", "src3.example.com")
+    return u.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("ref").alias("n_refs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.first(blocked).alias("is_blocked"),
+    )

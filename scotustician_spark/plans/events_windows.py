@@ -312,3 +312,50 @@ def session_path_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("path_b"),
         F.col("distance").cast("int").alias("distance"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH tr AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    c AS (SELECT event_type AS from_type, next_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.next_type, c.n,
+           round(c.n / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM c JOIN t USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next_type | from_type) from one lead() pass keyed on "
+    "user (ts + event_id ordering pins ties), a (from, next) count, "
+    "and a broadcast per-from normalizer — the behavioral-model "
+    "summary (next-action prediction, anomaly scoring) whose cost at "
+    "any scale is the one per-user window the session family already "
+    "pays; the matrix itself is |event types|², driver-sized.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    c = tr.groupBy("from_type", "next_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("prob"),
+    )

@@ -247,3 +247,34 @@ def test_scd2_single_shuffle_plan(spark):
     plan = scd2_intervals(df, "k", "ts", ["attr"], tie_col="eid")._jdf.queryExecution().executedPlan().toString()
     # both window passes ride ONE exchange on the key
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_event_transition_matrix_hand_sequence(spark, tmp_path):
+    import datetime as dt
+
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    # user 1: view -> click -> view; user 2: view -> click
+    # transitions: view->click x2, click->view x1
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "view", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "click", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 2, 0), 1, "view", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 0, 0), 2, "view", 0.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 0, 1, 0), 2, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["from_type"], r["next_type"]): r
+        for r in QUERY_REGISTRY["event_transition_matrix"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[("view", "click")]["n"] == 2
+    assert out[("view", "click")]["prob"] == 1.0  # view always -> click
+    assert out[("click", "view")]["n"] == 1
+    assert out[("click", "view")]["prob"] == 1.0
+    assert len(out) == 2  # no transition rows for sequence-final events
