@@ -101,3 +101,50 @@ def dedup_resolution(
         F.count("*").over(w).cast("bigint").alias("component_size"),
         (F.col(id_col) == F.col("component_id")).alias("is_keeper"),
     )
+
+
+def incremental_components(
+    state: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Merge NEW edges into an existing component labeling WITHOUT
+    rescanning the base edge set — the partial-state-merge discipline
+    (MV / quantile / top-k family) applied to graph connectivity, for
+    the standing near-dup graph a streaming corpus maintains.
+
+    Correctness by contraction: each labeled vertex contributes one
+    (vertex → label) edge, and connectivity of (base ∪ delta) equals
+    connectivity of (contraction ∪ delta) — every base component is
+    already connected as a star through its label, and hash-min labels
+    are vertex ids, so the merged minimum is the true component
+    minimum. The propagation therefore runs on |state| + |delta| edges
+    (nodes + new pairs) instead of |base edges| + |delta| — at corpus
+    scale the base PAIR set is the expensive relation (quadratic-ish in
+    bucket sizes) and never needs to exist again once labeled.
+
+    ``state``: (id_col, component_id) from a prior
+    ``connected_components`` run. ``delta_edges`` may mention brand-new
+    vertices; they join the vertex universe automatically. Returns the
+    updated (id_col, component_id) — exactly equal to a full recompute
+    over (base ∪ delta) edges.
+    """
+    contract = state.select(
+        F.col(id_col).alias("id_a"), F.col("component_id").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    edges = (
+        delta_edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+        .unionByName(contract)
+    )
+    verts = (
+        state.select(F.col(id_col))
+        .unionByName(delta_edges.select(F.col(src).alias(id_col)))
+        .unionByName(delta_edges.select(F.col(dst).alias(id_col)))
+        .distinct()
+    )
+    return connected_components(
+        edges, verts, "id_a", "id_b", id_col, max_iter=max_iter
+    )

@@ -428,3 +428,39 @@ def domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.first(blocked).alias("is_blocked"),
     )
+
+
+@register(
+    "incremental_components_delta",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS u, doc_id AS comp FROM documents
+        UNION
+        SELECT e.v AS u, r.comp AS comp
+        FROM reach r JOIN edges e ON e.u = r.u),
+    comps AS (SELECT u AS doc_id, min(comp) AS component_id
+              FROM reach GROUP BY u)
+    SELECT doc_id, component_id FROM comps
+    """,
+    doc="Incremental connected components "
+    "(operators/components.py::incremental_components): the LSH pair "
+    "graph is split into a base and a delta batch; the base labeling "
+    "CONTRACTS to one (vertex → label) edge per node and propagation "
+    "reruns on contraction + delta only — the expensive base PAIR "
+    "relation never exists again once labeled. Exact by the "
+    "contraction argument, so the oracle is the plain full-graph "
+    "recursive CTE. The standing-dedup-graph maintenance step for a "
+    "streaming corpus.",
+)
+def incremental_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=16, band_size=4
+    )
+    is_delta = (F.col("id_a") + F.col("id_b")) % 4 == 0
+    base, delta = pairs.filter(~is_delta), pairs.filter(is_delta)
+    state = CC.connected_components(base, docs.select("doc_id"))
+    return CC.incremental_components(state, delta)

@@ -480,3 +480,57 @@ def test_source_overlap_exact_jaccard(spark):
     ab = rows[("A", "B")]
     assert (ab["n_a"], ab["n_b"], ab["n_inter"]) == (2, 2, 1)
     assert abs(ab["jaccard"] - 1 / 3) < 1e-6  # jaccard rounds at 6 decimals
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from scotustician_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base_edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    state = connected_components(base_edges, verts)
+    # delta bridges the two base components AND introduces new vertices
+    delta = spark.createDataFrame(
+        [(2, 3), (6, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in incremental_components(state, delta).collect()
+    }
+    all_edges = base_edges.unionByName(delta)
+    all_verts = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    want = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(all_edges, all_verts).collect()
+    }
+    assert got == want
+    assert got[4] == 1  # bridged: {1,2,3,4} collapse to min id 1
+    assert got[5] == 5  # untouched singleton survives
+    assert got[6] == 6 and got[7] == 6  # brand-new component from delta only
+
+
+def test_incremental_components_chain_of_batches(spark):
+    """Associativity over batches: ((base + d1) + d2) == full."""
+    from scotustician_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    base = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    d1 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    d2 = spark.createDataFrame([(2, 5)], "id_a long, id_b long")
+    s0 = connected_components(base, verts)
+    s1 = incremental_components(s0, d1)
+    s2 = incremental_components(s1, d2)
+    got = {r["doc_id"]: r["component_id"] for r in s2.collect()}
+    full = connected_components(
+        base.unionByName(d1).unionByName(d2), verts
+    )
+    want = {r["doc_id"]: r["component_id"] for r in full.collect()}
+    assert got == want
+    assert got[6] == 1  # 6-5-2-1 chain collapsed across three batches
