@@ -207,3 +207,53 @@ def run_topk_state_update(
         .start()
         .awaitTermination()
     )
+
+
+def run_components_state_update(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming maintenance of a connected-components labeling
+    (operators/components.py::incremental_components): each micro-batch
+    of NEW edges (id_a, id_b) merges into the persisted (doc_id,
+    component_id) state by contraction — the graph member of the
+    mergeable-state sink family (MV / quantile / top-k / CDC). The
+    standing near-dup graph of a streaming corpus stays resolved
+    without ever re-materializing the historical pair relation: state
+    is one row per vertex, and each batch's propagation runs over
+    |state| + |batch| edges only. Exact — the contraction argument
+    makes the batch boundary invisible to the result. Copy-on-write;
+    the checkpoint dedupes redelivered files. Blocks until
+    AvailableNow drains."""
+    from pyspark.sql import functions as F
+
+    from ..operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _state_exists(spark, state_path):
+            merged = incremental_components(
+                spark.read.parquet(state_path), batch_df
+            )
+        else:
+            verts = (
+                batch_df.select(F.col("id_a").alias("doc_id"))
+                .unionByName(batch_df.select(F.col("id_b").alias("doc_id")))
+                .distinct()
+            )
+            merged = connected_components(batch_df, verts)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -456,3 +456,50 @@ def test_run_topk_state_update_two_batches(spark, tmp_path):
         for r in rank_topk(score_queries(queries, full_corpus), 5).collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_run_components_state_update_two_batches(spark, tmp_path):
+    """Streaming component state across two AvailableNow runs must equal
+    a full recompute over all streamed edges; replay is a no-op."""
+    from scotustician_spark.operators.components import connected_components
+    from scotustician_spark.streaming.incremental import (
+        run_components_state_update,
+    )
+
+    src = tmp_path / "edge_src"
+    src.mkdir()
+    state = str(tmp_path / "cc_state")
+    ckpt = str(tmp_path / "cc_ckpt")
+
+    def write_batch(name, edges):
+        (src / name).write_text(
+            "\n".join(json.dumps({"id_a": a, "id_b": b}) for a, b in edges)
+        )
+
+    def run():
+        stream = spark.readStream.schema("id_a long, id_b long").json(str(src))
+        run_components_state_update(stream, state, ckpt)
+
+    b1 = [(1, 2), (3, 4), (10, 11)]
+    b2 = [(2, 3), (20, 21)]  # bridges {1,2}+{3,4}; adds new vertices
+    write_batch("b1.json", b1)
+    run()
+    write_batch("b2.json", b2)
+    run()
+    run()  # no new files: replay must not change the state
+
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in spark.read.parquet(state).collect()
+    }
+    all_edges = spark.createDataFrame(b1 + b2, "id_a long, id_b long")
+    verts = spark.createDataFrame(
+        [(v,) for v in sorted({x for e in b1 + b2 for x in e})], "doc_id long"
+    )
+    want = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(all_edges, verts).collect()
+    }
+    assert got == want
+    assert got[4] == 1  # cross-batch bridge collapsed
+    assert got[21] == 20  # batch-2-only component present
