@@ -827,3 +827,64 @@ def incremental_topk(
         delta_scores
     )
     return rank_topk(merged, k)
+
+
+def ann_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_candidates: int = 50,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    d2_round: int = 6,
+    sim_round: int = 6,
+) -> DataFrame:
+    """Two-stage retrieval (the production ANN serving shape): the
+    compressed-domain IVFPQ index nominates ``n_candidates`` per query,
+    then ONLY that sliver's raw vectors are fetched for an exact cosine
+    re-rank to ``k``. This is how recall is bought back from a lossy
+    index: the PQ stage decides WHAT to read cheaply (m bytes/vector in
+    probed lists), the re-rank stage reads full vectors for
+    queries × n_candidates rows — a constant-size retrieval regardless
+    of corpus size, vs the brute-force scan's full-corpus read.
+
+    Plan shape: stage 1 is ``ivfpq_topk_onestep``'s plan; stage 2 joins
+    the candidate sliver to the corpus on id (shuffle carries only the
+    sliver; at scale the raw-vector side prunes to the candidate ids)
+    plus a broadcast of the query vectors. Deterministic end-to-end
+    (rounded distances/sims, id-asc ties), so a SQL oracle replays
+    both stages.
+    """
+    cands = ivfpq_topk_onestep(
+        corpus,
+        queries,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=n_candidates,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        m=m,
+        n_codes=n_codes,
+        d2_round=d2_round,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "sim", F.round(cosine_similarity("q_vec", "c_vec"), sim_round)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return rank_topk(scored, k)

@@ -472,6 +472,65 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "approx_d2", "rnk")
 
 
+def _rerank_oracle(k: int = 5, n_candidates: int = 50, r: int = 6) -> str:
+    # stage 1 = the IVFPQ oracle at k=n_candidates, nested as a CTE
+    # (its own WITH chain scopes inside the parentheses); stage 2 =
+    # exact cosine over only the candidate sliver
+    return f"""
+    WITH cand AS ({_ivfpq_oracle(k=n_candidates)}),
+    ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.query_id
+        JOIN ex b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), {r}) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "ann_rerank_topk",
+    _rerank_oracle(),
+    doc="Two-stage retrieval (operators/similarity.py::ann_rerank_topk) "
+    "— the production ANN serving shape: the compressed-domain IVFPQ "
+    "index nominates 50 candidates per query, then ONLY that sliver's "
+    "raw vectors are fetched for an exact cosine re-rank to 5. Recall "
+    "is bought back from the lossy index at a constant per-query cost "
+    "(candidates × dim floats) regardless of corpus size; the oracle "
+    "replays both stages (index build, ADC nomination, exact re-rank).",
+)
+def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ann_rerank_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_candidates=50,
+        n_cells=8,
+        n_probe=2,
+        m=4,
+        n_codes=8,
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
 @register(
     "ivf_kmeans_topk",
     None,  # KMeans quantizer is not SQL-expressible -> rows-only gate;

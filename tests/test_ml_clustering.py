@@ -302,3 +302,57 @@ def test_als_recommend_shape_and_coverage(spark):
     assert set(per_user) == set(range(12))  # every user covered
     assert all(len(v) == 4 for v in per_user.values())  # exactly k each
     assert all(r["score"] is not None for r in got)
+
+
+def test_ann_rerank_exact_when_candidates_cover_corpus(spark, sf_dir):
+    """With every cell probed and the candidate budget >= corpus size,
+    stage 1 nominates everything, so the exact re-rank must reproduce
+    the brute-force cosine top-k (same rounding, same tie order)."""
+    from scotustician_spark.operators.similarity import (
+        ann_rerank_topk,
+        rank_topk,
+        score_queries,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    q = e.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"])
+        for r in ann_rerank_topk(
+            e, q, dim=64, k=3, n_candidates=100, n_cells=4, n_probe=4
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"])
+        for r in rank_topk(score_queries(q, e), k=3).collect()
+    )
+    assert got == want
+
+
+def test_ann_rerank_partial_probe_recall_not_worse_than_ivfpq(spark, sf_dir):
+    """Re-ranking can reorder but never drops candidates stage 1 found:
+    per query, rerank's neighbor set ⊆ IVFPQ's candidate set, and the
+    exact-top-k hit rate of rerank >= that of taking IVFPQ's own top-k."""
+    from scotustician_spark.operators.similarity import (
+        ann_rerank_topk,
+        ivfpq_topk_onestep,
+        rank_topk,
+        score_queries,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    kw = dict(dim=64, n_cells=4, n_probe=2, m=4, n_codes=8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in rank_topk(score_queries(q, e), k=3).collect()
+    }
+    pq_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk_onestep(e, q, k=3, **kw).collect()
+    }
+    rr_top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_rerank_topk(e, q, k=3, n_candidates=50, **kw).collect()
+    }
+    assert len(rr_top & exact) >= len(pq_top & exact)
