@@ -119,3 +119,57 @@ def weighted_mean_vectors(
             F.transform(F.col("__pairs"), lambda p: p["__m"]).alias(out_col),
         )
     )
+
+
+def pooled_vectors(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-group embedding pooling — the aggregation family under
+    chunk→document and document→cluster embedding rollups
+    (weighted_mean_vectors is the weighted-mean member; this adds
+    elementwise MAX pooling and the L2-normalized mean, the two other
+    standard reducers):
+
+    - ``max_vec``  — elementwise max (feature-presence pooling)
+    - ``mean_vec`` — elementwise mean
+    - ``unit_mean_vec`` — mean scaled to unit L2 norm (the centroid
+      DIRECTION — what cosine retrieval actually compares against)
+
+    Same scale shape as weighted_mean_vectors: posexplode → one
+    shuffle keyed (group, pos) with scalar accumulators → ordered
+    reassembly; the normalizer is one tiny per-group reduction over
+    the already-aggregated means.
+    """
+    exploded = df.select(
+        *group_cols, F.posexplode(F.col(vec_col)).alias("__pos", "__v")
+    ).withColumn("__v", F.col("__v").cast("double"))
+    per_dim = exploded.groupBy(*group_cols, "__pos").agg(
+        F.max("__v").alias("__mx"), F.avg("__v").alias("__mv")
+    )
+    wide = (
+        per_dim.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__mx", "__mv"))
+            ).alias("__p")
+        )
+        .select(
+            *group_cols,
+            F.transform(F.col("__p"), lambda p: p["__mx"]).alias("max_vec"),
+            F.transform(F.col("__p"), lambda p: p["__mv"]).alias("mean_vec"),
+        )
+    )
+    if not normalize:
+        return wide
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("mean_vec"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return wide.withColumn(
+        "unit_mean_vec",
+        F.transform(F.col("mean_vec"), lambda x: x / F.nullif(nrm, F.lit(0.0))),
+    )

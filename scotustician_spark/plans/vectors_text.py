@@ -715,3 +715,47 @@ def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tfidf import bm25_scores
 
     return bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@register(
+    "embedding_pooling",
+    f"""
+    WITH m AS (
+        SELECT label, pos, max(v) AS mx, avg(v) AS mv
+        FROM ({_EMB_LONG}) GROUP BY label, pos),
+    n AS (SELECT label, sqrt(sum(mv * mv)) AS nrm FROM m GROUP BY label)
+    SELECT m.label, CAST(m.pos AS INTEGER) AS dim,
+           round(m.mx, 6) AS max_v,
+           round(m.mv, 6) AS mean_v,
+           round(m.mv / nullif(n.nrm, 0.0), 6) AS unit_mean_v
+    FROM m JOIN n USING (label)
+    """,
+    doc="Per-group embedding pooling (functions/vector.py::"
+    "pooled_vectors) — elementwise MAX, mean, and the L2-normalized "
+    "mean (the centroid DIRECTION cosine retrieval compares against): "
+    "the chunk→document / document→cluster rollup family next to the "
+    "weighted mean (A1). One shuffle keyed (group, dim) with scalar "
+    "accumulators; the normalizer is a tiny per-group reduction over "
+    "already-aggregated means. Long-format output for "
+    "engine-independent comparison.",
+)
+def embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    m = ex.groupBy("label", "pos").agg(
+        F.max("v").alias("mx"), F.avg("v").alias("mv")
+    )
+    n = m.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("nrm")
+    )
+    return m.join(F.broadcast(n), "label").select(
+        "label",
+        F.col("pos").cast("int").alias("dim"),
+        F.round("mx", 6).alias("max_v"),
+        F.round("mv", 6).alias("mean_v"),
+        F.round(F.col("mv") / F.nullif(F.col("nrm"), F.lit(0.0)), 6).alias(
+            "unit_mean_v"
+        ),
+    )

@@ -89,3 +89,35 @@ def test_weighted_mean_vectors(spark):
     )
     res = V.weighted_mean_vectors(wide, ["g"], "v", "w").collect()[0]["mean_vec"]
     assert res == [float(i) for i in range(64)]
+
+
+def test_pooled_vectors_numpy_oracle(spark):
+    import numpy as np
+
+    from scotustician_spark.functions.vector import pooled_vectors
+
+    rows = [
+        (0, [1.0, -2.0, 3.0]),
+        (0, [3.0, 0.0, -1.0]),
+        (1, [0.0, 0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r["label"]: r for r in pooled_vectors(df, ["label"], "embedding").collect()}
+    for lbl in (0, 1):
+        mat = np.array([v for g, v in rows if g == lbl])
+        assert np.allclose(got[lbl]["max_vec"], mat.max(axis=0))
+        assert np.allclose(got[lbl]["mean_vec"], mat.mean(axis=0))
+        unit = mat.mean(axis=0) / np.linalg.norm(mat.mean(axis=0))
+        assert np.allclose(got[lbl]["unit_mean_vec"], unit)
+        assert abs(np.linalg.norm(got[lbl]["unit_mean_vec"]) - 1.0) < 1e-9
+
+
+def test_pooled_vectors_zero_mean_guard(spark):
+    from scotustician_spark.functions.vector import pooled_vectors
+
+    # mean vector is exactly zero -> unit_mean is NULL-elements, not a crash
+    rows = [(0, [1.0, -1.0]), (0, [-1.0, 1.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    r = pooled_vectors(df, ["label"], "embedding").collect()[0]
+    assert r["mean_vec"] == [0.0, 0.0]
+    assert all(x is None for x in r["unit_mean_vec"])
