@@ -464,3 +464,72 @@ def incremental_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, delta = pairs.filter(~is_delta), pairs.filter(is_delta)
     state = CC.connected_components(base, docs.select("doc_id"))
     return CC.incremental_components(state, delta)
+
+
+def _chunk_embed_pool_oracle(dim: int = 8) -> str:
+    from .registry import QUERY_REGISTRY
+
+    raw = ", ".join(
+        f"CAST(ascii(substring(md5(CAST({j} AS VARCHAR) || '|' || chunk_text), "
+        f"1, 1)) AS DOUBLE) AS r{j}"
+        for j in range(dim)
+    )
+    nrm = "sqrt(" + " + ".join(f"r{j} * r{j}" for j in range(dim)) + ")"
+    e_cols = ", ".join(f"r{j} / nrm AS e{j}" for j in range(dim))
+    m_cols = ", ".join(f"sum(e{j} * w) / sum(w) AS m{j}" for j in range(dim))
+    fn = "sqrt(" + " + ".join(f"m{j} * m{j}" for j in range(dim)) + ")"
+    out = ", ".join(f"round(m{j} / fn, 6) AS e{j}" for j in range(dim))
+    return f"""
+    WITH ch AS ({QUERY_REGISTRY["doc_stride_chunks"].oracle}),
+    raw AS (SELECT doc_id, CAST(n_chunk_tokens AS DOUBLE) AS w, {raw} FROM ch),
+    n AS (SELECT *, {nrm} AS nrm FROM raw),
+    e AS (SELECT doc_id, w, {e_cols} FROM n),
+    m AS (SELECT doc_id, {m_cols} FROM e GROUP BY doc_id),
+    f AS (SELECT *, {fn} AS fn FROM m)
+    SELECT doc_id, {out} FROM f
+    """
+
+
+@register(
+    "chunk_embed_pool",
+    _chunk_embed_pool_oracle(),
+    doc="End-to-end RAG indexing pipeline COMPOSED from verified "
+    "stages: overlapping stride chunking (doc_stride_chunks) → "
+    "distributed embedding inference per chunk (the embed_documents "
+    "mapInPandas path, deterministic hash embedder) → token-weighted "
+    "mean pooling per document, L2-normalized (the A1 aggregate "
+    "applied to chunk embeddings). Every stage is a map or a "
+    "doc-keyed aggregation — the whole document→vector pipeline "
+    "shuffles once, on doc_id. The oracle composes the registered "
+    "chunk oracle with the hash-embedder SQL and replays the pooling.",
+)
+def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.embedding import embed_text
+
+    dim = 8
+    chunks = CP.stride_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=32
+    )
+    emb = embed_text(
+        chunks.select(
+            "doc_id",
+            F.col("n_chunk_tokens").cast("double").alias("w"),
+            F.col("chunk_text").alias("text"),
+        ),
+        "text",
+        dim=dim,
+        mode="hash",
+    )
+    m = emb.groupBy("doc_id").agg(
+        *[
+            (
+                F.sum(F.col("embedding")[j] * F.col("w")) / F.sum("w")
+            ).alias(f"m{j}")
+            for j in range(dim)
+        ]
+    )
+    fn = F.sqrt(sum(F.col(f"m{j}") * F.col(f"m{j}") for j in range(dim)))
+    return m.select(
+        "doc_id",
+        *[F.round(F.col(f"m{j}") / fn, 6).alias(f"e{j}") for j in range(dim)],
+    )
