@@ -184,13 +184,18 @@ def onestep_cell_assignments(
     )
 
     def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        wp = W.partitionBy("cid").orderBy(F.asc("d2r"), F.asc("cell"))
+        # argmin as a STRUCT-MIN hash aggregate, not a row_number sort
+        # window: lexicographic min over (d2r, cell, vec) is exactly the
+        # (d2r asc, cell asc) tie-break, and a HashAggregate partial-
+        # combines map-side — the |corpus|×n_cells relation collapses to
+        # one row per vector BEFORE the exchange, where the window
+        # formulation shuffled and sorted all of it
         return (
             vecs.crossJoin(F.broadcast(cents))
             .withColumn("d2r", F.round(_sq_l2("c_vec", "centroid"), d2_round))
-            .withColumn("__r", F.row_number().over(wp))
-            .filter(F.col("__r") == 1)
-            .select("cid", "c_vec", "cell")
+            .groupBy("cid")
+            .agg(F.min(F.struct("d2r", "cell", "c_vec")).alias("__m"))
+            .select("cid", F.col("__m.c_vec").alias("c_vec"), F.col("__m.cell").alias("cell"))
         )
 
     # one Lloyd step: element-wise mean per cell (long-form avg keeps
@@ -382,13 +387,19 @@ def pq_topk_onestep(
         )
 
     def _assign(sv: DataFrame, id_alias: str, cb: DataFrame) -> DataFrame:
-        wp = W.partitionBy(id_alias, "j").orderBy(F.asc("d2r"), F.asc("code"))
+        # struct-min argmin (see onestep_cell_assignments): hash agg
+        # with map-side partials instead of a sort window
         return (
             sv.join(F.broadcast(cb), "j")
             .withColumn("d2r", _d2("sv", "cw"))
-            .withColumn("__r", F.row_number().over(wp))
-            .filter(F.col("__r") == 1)
-            .select(id_alias, "j", "code", "sv")
+            .groupBy(id_alias, "j")
+            .agg(F.min(F.struct("d2r", "code", "sv")).alias("__m"))
+            .select(
+                id_alias,
+                "j",
+                F.col("__m.code").alias("code"),
+                F.col("__m.sv").alias("sv"),
+            )
         )
 
     csub = _subvecs(corpus, "cid")
@@ -528,13 +539,19 @@ def ivfpq_topk_onestep(
     )
 
     def _assign_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
-        wp = W.partitionBy("cid", "j").orderBy(F.asc("d2r"), F.asc("code"))
+        # struct-min argmin (see onestep_cell_assignments): hash agg
+        # with map-side partials instead of a sort window
         return (
             sv.join(F.broadcast(cb), "j")
             .withColumn("d2r", _d2("sv", "cw"))
-            .withColumn("__r", F.row_number().over(wp))
-            .filter(F.col("__r") == 1)
-            .select("cid", "j", "code", "sv")
+            .groupBy("cid", "j")
+            .agg(F.min(F.struct("d2r", "code", "sv")).alias("__m"))
+            .select(
+                "cid",
+                "j",
+                F.col("__m.code").alias("code"),
+                F.col("__m.sv").alias("sv"),
+            )
         )
 
     # one Lloyd step per subspace over residuals (element-mean re-center)

@@ -493,6 +493,7 @@ def _chunk_embed_pool_oracle(dim: int = 8) -> str:
 @register(
     "chunk_embed_pool",
     _chunk_embed_pool_oracle(),
+    bench=True,
     doc="End-to-end RAG indexing pipeline COMPOSED from verified "
     "stages: overlapping stride chunking (doc_stride_chunks) → "
     "distributed embedding inference per chunk (the embed_documents "

@@ -444,6 +444,7 @@ def _ivfpq_oracle(
 @register(
     "ivfpq_ann_topk",
     _ivfpq_oracle(),
+    bench=True,
     doc="IVF + PQ composed (the FAISS IVFADC layout, "
     "operators/similarity.py::ivfpq_topk_onestep): the one-step-Lloyd "
     "coarse quantizer bounds WHICH vectors a query touches (n_probe "
@@ -506,6 +507,7 @@ def _rerank_oracle(k: int = 5, n_candidates: int = 50, r: int = 6) -> str:
 @register(
     "ann_rerank_topk",
     _rerank_oracle(),
+    bench=True,
     doc="Two-stage retrieval (operators/similarity.py::ann_rerank_topk) "
     "— the production ANN serving shape: the compressed-domain IVFPQ "
     "index nominates 50 candidates per query, then ONLY that sliver's "
