@@ -267,3 +267,43 @@ def test_cbo_statistics_drive_broadcast_choice(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.unset("spark.sql.cbo.enabled")
         spark.conf.unset("spark.sql.statistics.size.autoUpdate.enabled")
+
+
+def test_stride_chunks_no_hash_shuffle(spark, sf_dir):
+    # chunking is a pure map: the only Exchange is the parallelism
+    # round-robin (repartition_for_compute on the narrow test scan) —
+    # no hash/range shuffle anywhere
+    plan = _final_plan(QUERY_REGISTRY["doc_stride_chunks"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_source_overlap_sizes_broadcast_no_pair_cartesian(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["source_overlap_jaccard"].fn(spark, sf_dir))
+    # the per-source size relations attach via broadcast joins; pair
+    # generation is the in-row expansion, never a join of postings
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_assignment_partial_combines_map_side(spark, sf_dir):
+    # the struct-min argmin must plan as a HashAggregate with a
+    # partial_min phase (map-side combine BEFORE the exchange) — the
+    # property that collapses corpus×codes to one row per vector; a
+    # regression to a row_number sort window would shuffle it all
+    plan = _final_plan(QUERY_REGISTRY["ivfpq_ann_topk"].fn(spark, sf_dir))
+    assert "partial_min(struct(d2r" in plan, plan
+
+
+def test_transition_matrix_broadcast_normalizer(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["event_transition_matrix"].fn(spark, sf_dir))
+    # the per-from totals join back via broadcast; the only window is
+    # the per-user lead (keyed, never a global single-partition sort)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_key_skew_profile_no_global_sort(spark, sf_dir):
+    plan = _final_plan(QUERY_REGISTRY["key_skew_profile"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # totals attach via broadcast nested loop (single-row cross join)
+    assert "rangepartitioning" not in plan, plan
