@@ -127,3 +127,98 @@ def bm25_scores(
             score.alias("bm25"),
         )
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence mining — the classic
+    collocation / phrase-discovery pass (and the statistic under
+    count-based word embeddings): for token pairs co-occurring within
+    ``window`` positions, PMI = ln(p(a,b) / (p(a)·p(b))) measures how
+    much more often they appear together than independence predicts.
+
+    Pair generation is IN-ROW (nested transform over position
+    sequences — ≤ window pairs per token, never an explode-then-
+    self-join), pairs are orientation-normalized (min,max) so each
+    unordered pair counts once per occurrence. Unigram and pair counts
+    are map-side-combined hash aggregations; the two corpus totals
+    ride a broadcast single-row relation. Selection is top-``top_n``
+    by pair COUNT (exact integers — deterministic set membership on
+    any engine) with PMI reported; ``min_count`` drops the noise tail
+    where PMI explodes on singletons.
+    """
+    from ..functions.text import tokens
+    from ..session import repartition_for_compute
+
+    toks = tokens(F.lower(F.col(text_col)))
+    t = F.col("__toks")
+
+    def pair_str(i, j):
+        a, b = F.element_at(t, i + 1), F.element_at(t, j + 1)
+        return F.concat(F.least(a, b), F.lit(" "), F.greatest(a, b))
+
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.least(i + F.lit(window), F.size(t) - 1)),
+                    lambda j: pair_str(i, j),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = repartition_for_compute(df).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    pair_counts = (
+        base.select(F.explode(pairs_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    uni = (
+        base.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    totals = pair_counts.agg(F.sum("n_pair").alias("N_pairs")).crossJoin(
+        uni.agg(F.sum("n_tok").alias("N_toks"))
+    )
+    top = (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .orderBy(F.desc("n_pair"), F.asc("pair"))
+        .limit(top_n)
+    )
+    a = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("c_a"))
+    b = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("c_b"))
+    return (
+        top.withColumn("tok_a", F.split("pair", " ")[0])
+        .withColumn("tok_b", F.split("pair", " ")[1])
+        .join(a, "tok_a")
+        .join(b, "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "pair",
+            "n_pair",
+            F.col("c_a").alias("count_a"),
+            F.col("c_b").alias("count_b"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("N_pairs"))
+                    / (
+                        (F.col("c_a") / F.col("N_toks"))
+                        * (F.col("c_b") / F.col("N_toks"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

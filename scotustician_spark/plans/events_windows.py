@@ -359,3 +359,62 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("prob"),
     )
+
+
+@register(
+    "event_rate_anomaly",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT event_type, h, cnt,
+               avg(cnt) OVER w AS mu,
+               stddev_samp(cnt) OVER w AS sigma,
+               CAST(count(*) OVER w AS BIGINT) AS n_prev
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           cnt,
+           round(mu, 6) AS mu,
+           round(sigma, 6) AS sigma,
+           round((cnt - mu) / nullif(sigma, 0), 6) AS z,
+           abs(round((cnt - mu) / nullif(sigma, 0), 6)) > 3.0 AS is_anomaly
+    FROM stats WHERE n_prev = 24
+    """,
+    doc="Event-rate anomaly detection: hourly counts per type scored "
+    "against the trailing 24 observed buckets' mean/stddev (ROWS frame "
+    "over the pre-aggregated hourly relation — the window runs on "
+    "|types|×|hours| rows, never the raw stream), z-score > 3 flags "
+    "the spike. The operational monitor every event pipeline runs; "
+    "the only raw-data pass is one map-side-combined groupBy.",
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    z = (F.col("cnt") - F.avg("cnt").over(w)) / F.nullif(
+        F.stddev_samp("cnt").over(w), F.lit(0.0)
+    )
+    stats = hourly.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        "cnt",
+        F.round(F.avg("cnt").over(w), 6).alias("mu"),
+        F.round(F.stddev_samp("cnt").over(w), 6).alias("sigma"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 3.0).alias("is_anomaly"),
+        F.count("*").over(w).alias("n_prev"),
+    )
+    return stats.filter(F.col("n_prev") == 24).drop("n_prev")

@@ -759,3 +759,119 @@ def embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_mean_v"
         ),
     )
+
+
+@register(
+    "hard_negatives",
+    f"""
+    WITH ex AS (SELECT vec_id, label, pos, v FROM ({_EMB_LONG})),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    q AS (SELECT DISTINCT vec_id, label FROM embeddings WHERE vec_id < 10),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(qe.v * c.v) AS dot
+        FROM q
+        JOIN ex qe ON qe.vec_id = q.vec_id
+        JOIN ex c ON c.pos = qe.pos AND c.vec_id <> q.vec_id
+                  AND c.label <> q.label
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor, the "
+    "top-5 most-similar vectors with a DIFFERENT label — the examples "
+    "a retrieval model learns the most from. Same broadcast-scan shape "
+    "as cosine_topk with one extra label predicate pushed into the "
+    "join condition, so negatives never materialize before the filter; "
+    "at scale the ANN families (LSH/IVF/IVFPQ) nominate candidates and "
+    "this exact pass re-ranks the sliver.",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.vector import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("c_label")),
+        )
+        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 5)
+
+
+@register(
+    "pmi_cooccurrence",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS l0 FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN l0 IS NULL OR (len(l0) = 1 AND l0[1] = '')
+                      THEN CAST([] AS VARCHAR[]) ELSE l0 END AS l
+          FROM base),
+    pr AS (SELECT unnest(flatten(list_transform(range(1, len(l)),
+               i -> list_transform(range(i+1, least(i+2, len(l))+1),
+                    j -> CASE WHEN l[i] <= l[j] THEN l[i] || ' ' || l[j]
+                              ELSE l[j] || ' ' || l[i] END)))) AS pair
+           FROM g WHERE len(l) >= 2),
+    pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM pr GROUP BY pair),
+    un AS (SELECT t, CAST(count(*) AS BIGINT) AS n_tok
+           FROM (SELECT unnest(l) AS t FROM g) GROUP BY t),
+    tot AS (SELECT (SELECT sum(n_pair) FROM pc) AS np,
+                   (SELECT sum(n_tok) FROM un) AS nt),
+    top AS (SELECT pair, n_pair FROM pc WHERE n_pair >= 5
+            ORDER BY n_pair DESC, pair LIMIT 50)
+    SELECT t.pair, t.n_pair,
+           a.n_tok AS count_a, b.n_tok AS count_b,
+           round(ln((t.n_pair / CAST(tot.np AS DOUBLE))
+                    / ((a.n_tok / CAST(tot.nt AS DOUBLE))
+                       * (b.n_tok / CAST(tot.nt AS DOUBLE)))), 6) AS pmi
+    FROM top t
+    JOIN un a ON a.t = string_split(t.pair, ' ')[1]
+    JOIN un b ON b.t = string_split(t.pair, ' ')[2]
+    CROSS JOIN tot
+    """,
+    doc="PMI collocation mining (operators/tfidf.py::pmi_pairs): token "
+    "pairs co-occurring within a 2-token window, scored by pointwise "
+    "mutual information — the phrase-discovery / count-based-embedding "
+    "statistic. Pair generation is in-row (≤ window pairs per token, "
+    "never an explode self-join); counts are map-side-combined hash "
+    "aggs; selection is top-50 by exact integer count so membership is "
+    "engine-deterministic, PMI reported alongside.",
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import pmi_pairs
+
+    return pmi_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        window=2,
+        min_count=5,
+        top_n=50,
+    )

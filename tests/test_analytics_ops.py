@@ -295,3 +295,55 @@ def test_quantile_interpolated_finalizer(spark):
     # bin 4 holds 40..49 (10 rows, cum_before 40): target 50 → frac 1.0
     # → 40 + 10·1.0 = 50; target 95 → bin 9, frac (95-90)/10 → 95.0
     assert (out["p50"], out["p95"]) == (50.0, 95.0)
+
+
+def test_pmi_pairs_collocation_scores(spark):
+    import math
+
+    from scotustician_spark.operators.tfidf import pmi_pairs
+
+    # 'new york' always adjacent; 'foo' and 'bar' never co-occur
+    docs = spark.createDataFrame(
+        [(i, "new york is big and foo " + ("bar " if i % 2 else "baz ")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r["pair"]: r for r in pmi_pairs(docs, "doc_id", "text", window=2, min_count=5, top_n=50).collect()}
+    assert "new york" in out
+    ny = out["new york"]
+    assert ny["n_pair"] == 10 and ny["count_a"] == 10 and ny["count_b"] == 10
+    # PMI sanity: observed co-occurrence far above independence -> positive
+    assert ny["pmi"] > 0
+    # hand-check: p(ab)=10/N_pairs, p(a)=p(b)=10/N_toks
+    toks_per_doc = 7
+    N_tok = 10 * toks_per_doc
+    # window-2 pairs per doc: (n-1) + (n-2) = 6 + 5 = 11
+    N_pair_total = 10 * 11
+    want = math.log((10 / N_pair_total) / ((10 / N_tok) * (10 / N_tok)))
+    assert abs(ny["pmi"] - want) < 1e-6
+
+
+def test_event_rate_anomaly_flags_spike(spark, tmp_path):
+    import datetime as dt
+
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    # 30 hours of steady traffic (2/hour ± 1 alternating), then a 40x spike
+    for h in range(30):
+        n = 40 if h == 29 else (2 if h % 2 == 0 else 3)
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=eid % 50), 1, "view", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["hour_s"]: r for r in QUERY_REGISTRY["event_rate_anomaly"].fn(spark, str(tmp_path)).collect()}
+    spike = out[(base + dt.timedelta(hours=29)).strftime("%Y-%m-%d %H:%M:%S")]
+    assert spike["cnt"] == 40 and spike["is_anomaly"]
+    normal = out[(base + dt.timedelta(hours=28)).strftime("%Y-%m-%d %H:%M:%S")]
+    assert not normal["is_anomaly"]
+    # rows only exist once 24 trailing buckets accumulated
+    assert all(k >= (base + dt.timedelta(hours=24)).strftime("%Y-%m-%d %H:%M:%S") for k in out)
