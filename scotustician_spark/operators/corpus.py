@@ -435,3 +435,49 @@ def stride_chunks(
             F.array_join("c.ctoks", " ").alias("chunk_text"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    hex_off: int = 27,
+) -> DataFrame:
+    """Temperature-weighted source mixing: sampling rates derived from
+    the source sizes themselves, p_s ∝ count_s^(α−1), normalized so the
+    SMALLEST source keeps 100% — the multilingual/multi-source rebalance
+    (α < 1 upweights small sources toward uniform; α = 1 is natural
+    proportions; expected output sizes ∝ count_s^α). The self-tuning
+    sibling of ``dataset_mix``, which takes externally-fixed weights.
+
+    rate_s = floor(1000 · (count_min / count_s)^(1−α)) per mille via
+    the deterministic md5 bucket. At α = 0.5 the exponent is a square
+    root — IEEE sqrt (and double division) are exactly rounded, so the
+    per-mille rates are BIT-IDENTICAL on any engine and the survivor
+    set is engine-deterministic (a generic pow() is only
+    faithfully rounded — last-ulp differences could flip a floor()).
+
+    Same physical shape as dataset_mix: per-source counts (one tiny
+    relation) and the min (one row) broadcast onto the scan; the
+    corpus never shuffles.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__cnt"))
+    mn = counts.agg(F.min("__cnt").alias("__mn"))
+    ratio = F.col("__mn") / F.col("__cnt")
+    factor = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, 1.0 - alpha)
+    rates = (
+        counts.crossJoin(F.broadcast(mn))
+        .select(
+            source_col,
+            F.least(F.lit(1000).cast("bigint"), F.floor(F.lit(1000.0) * factor))
+            .cast("int")
+            .alias("__rate"),
+        )
+    )
+    b = hash_bucket(id_col, 1000, hex_off=hex_off)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(b < F.col("__rate"))
+        .drop("__rate")
+    )

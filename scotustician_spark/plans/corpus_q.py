@@ -534,3 +534,37 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[F.round(F.col(f"m{j}") / fn, 6).alias(f"e{j}") for j in range(dim)],
     )
+
+
+@register(
+    "dataset_mix_temperature",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    mn AS (SELECT min(cnt) AS mn FROM counts),
+    rates AS (SELECT lang,
+                     CAST(least(1000, floor(
+                         1000.0 * sqrt(mn.mn / CAST(cnt AS DOUBLE)))) AS INTEGER)
+                         AS rate
+              FROM counts CROSS JOIN mn)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {_bucket_sql(1000, hex_off=27, id_expr="d.doc_id")} < r.rate
+    """,
+    doc="Temperature-weighted source mixing "
+    "(operators/corpus.py::temperature_mix, α = 0.5): sampling rates "
+    "derive from source sizes (p_s ∝ count_s^(α−1), smallest source "
+    "keeps 100%) — the multilingual-rebalance step where dataset_mix "
+    "takes fixed external weights. α = 0.5 makes the exponent a "
+    "square root, which IEEE rounds exactly, so per-mille rates and "
+    "the md5-bucket survivor set are bit-identical across engines. "
+    "Broadcast counts + min steer the row filter; zero corpus "
+    "shuffles.",
+)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lang, not source: the synthetic sources are equal-sized (nothing
+    # to rebalance) while languages are skewed (en dominates) — the
+    # rebalance path actually downsamples here
+    out = CP.temperature_mix(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.5, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang")

@@ -534,3 +534,31 @@ def test_incremental_components_chain_of_batches(spark):
     want = {r["doc_id"]: r["component_id"] for r in full.collect()}
     assert got == want
     assert got[6] == 1  # 6-5-2-1 chain collapsed across three batches
+
+
+def test_temperature_mix_rebalances_toward_small_sources(spark):
+    import math
+
+    from scotustician_spark.operators.corpus import temperature_mix
+
+    # 400 'big' docs vs 25 'small' docs
+    rows = [(i, "big" if i < 400 else "small") for i in range(425)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(df, "src", alpha=0.5, id_col="doc_id")
+    kept = {}
+    for r in out.collect():
+        kept[r["src"]] = kept.get(r["src"], 0) + 1
+    # the smallest source keeps everything
+    assert kept["small"] == 25
+    # big keeps ~ floor(1000*sqrt(25/400))/1000 = 25% (md5-bucket noise)
+    want_rate = math.floor(1000 * math.sqrt(25 / 400)) / 1000
+    assert abs(kept["big"] / 400 - want_rate) < 0.08
+    # deterministic: identical survivor set on re-run and re-partition
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(7, "src"), "src", alpha=0.5, id_col="doc_id"
+        ).collect()
+    )
+    assert a == b

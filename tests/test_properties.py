@@ -309,3 +309,74 @@ def test_duplicate_spans_cover_exactly_the_repeated_windows(spark, toks):
         else:
             spans.append((s, s + k))
     assert got == sorted(spans), (toks, got, spans)
+
+
+entropy_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # tiny alphabet -> repeats + spaces
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(entropy_texts)
+def test_token_entropy_matches_python(spark, texts):
+    """Entropy equals the collections.Counter computation and respects
+    0 <= H <= ln(d) (rounding tolerance)."""
+    import math
+    from collections import Counter
+
+    from scotustician_spark.operators.quality import token_entropy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        toks = t.lower().split()
+        r = got[i]
+        if not toks:
+            assert r["entropy"] is None and r["n_tokens"] == 0
+            continue
+        n = len(toks)
+        cnt = Counter(toks)
+        want = sum((c / n) * math.log(n / c) for c in cnt.values())
+        assert abs(r["entropy"] - want) < 1e-5
+        assert -1e-9 <= r["entropy"] <= math.log(max(2, len(cnt))) + 1e-5
+        if len(cnt) > 1:
+            assert abs(r["norm_entropy"] - want / math.log(len(cnt))) < 1e-5
+
+
+chunk_texts = st.lists(
+    st.text(alphabet=st.sampled_from("xy z"), min_size=0, max_size=60),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SLOW
+@given(chunk_texts)
+def test_stride_chunks_cover_and_reconstruct(spark, texts):
+    """Coverage property: chunk starts advance by stride, every token
+    index is covered, and at stride == size the chunks concatenate back
+    to exactly the tokenized text."""
+    from scotustician_spark.operators.corpus import stride_chunks
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = stride_chunks(df, "doc_id", "text", size=5, stride=5).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in rows:
+        toks = t.split()
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt = " ".join(c["chunk_text"] for c in chunks).split()
+        assert rebuilt == toks  # disjoint cover at stride == size
+        assert sum(c["n_chunk_tokens"] for c in chunks) == len(toks)
