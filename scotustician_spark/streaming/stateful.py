@@ -19,8 +19,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -68,5 +71,117 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("open_hour", LongType()),
+        StructField("open_cnt", LongType()),
+    ]
+)
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hour_epoch", LongType()),
+        StructField("cnt", LongType()),
+        StructField("mu", DoubleType()),
+        StructField("sigma", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+_ANOMALY_WINDOW = 24
+
+
+def _anomaly_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-type state: the last 24 OBSERVED hourly counts (ring) plus
+    the currently-open hour. A strictly-later event hour CLOSES the
+    open hour — it is scored against the ring (z vs mean/stddev of the
+    24 trailing buckets, exactly the batch event_rate_anomaly frame)
+    and then enters the ring, evicting the oldest. State is O(25)
+    longs per key forever; late events for already-closed hours drop
+    (bound lateness with an upstream watermark)."""
+    import math
+    from collections import Counter
+
+    (etype,) = key
+    if state.exists:
+        hours, counts, open_h, open_c = state.get
+        hours, counts = list(hours), list(counts)
+    else:
+        hours, counts, open_h, open_c = [], [], -1, 0
+
+    delta: Counter = Counter()
+    for pdf in pdfs:
+        for h in (pdf["ts"].astype("int64") // (3600 * 10**9)).tolist():
+            delta[int(h)] += 1
+
+    rows = []
+    for h in sorted(delta):
+        if open_h == -1:
+            open_h, open_c = h, 0
+        if h < open_h:
+            continue  # late beyond the closed horizon
+        if h > open_h:
+            # close the open hour: score against the ring, then rotate
+            if len(counts) == _ANOMALY_WINDOW:
+                mu = sum(counts) / len(counts)
+                var = sum((c - mu) ** 2 for c in counts) / (len(counts) - 1)
+                sigma = math.sqrt(var)
+                z = (open_c - mu) / sigma if sigma > 0 else None
+                zr = round(z, 6) if z is not None else None
+                rows.append(
+                    (
+                        etype,
+                        open_h,
+                        open_c,
+                        round(mu, 6),
+                        round(sigma, 6),
+                        zr,
+                        (abs(zr) > 3.0) if zr is not None else None,
+                    )
+                )
+            hours.append(open_h)
+            counts.append(open_c)
+            if len(hours) > _ANOMALY_WINDOW:
+                hours.pop(0)
+                counts.pop(0)
+            open_h, open_c = h, 0
+        open_c += delta[h]
+
+    state.update((hours, counts, open_h, open_c))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "event_type",
+            "hour_epoch",
+            "cnt",
+            "mu",
+            "sigma",
+            "z",
+            "is_anomaly",
+        ],
+    )
+
+
+def streaming_rate_anomaly(events: DataFrame) -> DataFrame:
+    """events(ts, event_type) stream → one scored row per CLOSED hour
+    per type once 24 trailing observed buckets exist — the streaming
+    twin of the batch ``event_rate_anomaly`` query, with O(25) longs
+    of state per key instead of a growing hourly table. Append-mode
+    output (a closed hour's verdict is final)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _anomaly_update,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

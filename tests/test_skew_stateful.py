@@ -146,3 +146,85 @@ def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
     assert all(len(v) <= 2 * 8 for v in seen.values()), {
         s: len(v) for s, v in seen.items()
     }
+
+
+def test_streaming_rate_anomaly_matches_batch_on_closed_hours(spark, tmp_path):
+    """The stateful streaming detector's closed-hour verdicts must equal
+    the batch event_rate_anomaly rows (the last, still-open hour is the
+    only legitimate difference), across TWO AvailableNow runs so state
+    survives a restart."""
+    import datetime as dt
+    import json
+
+    from scotustician_spark.plans import QUERY_REGISTRY
+    from scotustician_spark.streaming.stateful import streaming_rate_anomaly
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(31):
+        n = 45 if h == 28 else (2 if h % 2 == 0 else 4)
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                {
+                    "ts": (base + dt.timedelta(hours=h, minutes=eid % 55)).isoformat(),
+                    "event_type": "view",
+                    "event_id": eid,
+                }
+            )
+    src = tmp_path / "anomaly_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "anomaly_ckpt")
+    out_dir = str(tmp_path / "anomaly_out")
+    split = len(rows) // 2
+    schema = "ts timestamp, event_type string, event_id long"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        (
+            streaming_rate_anomaly(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:split]))
+    run()
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[split:]))
+    run()
+
+    got = {
+        r["hour_epoch"]: r for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch oracle over the same events written as an events table
+    ev = spark.createDataFrame(
+        [
+            (r["event_id"], dt.datetime.fromisoformat(r["ts"]), 1, "view", 0.0, "{}")
+            for r in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    batch = {
+        int(
+            dt.datetime.strptime(r["hour_s"], "%Y-%m-%d %H:%M:%S").timestamp()
+            // 3600
+        ): r
+        for r in QUERY_REGISTRY["event_rate_anomaly"].fn(spark, str(tmp_path)).collect()
+    }
+    # streaming closes every hour except the final one
+    assert set(got) == set(batch) - {max(batch)}
+    for h, s in got.items():
+        b = batch[h]
+        assert s["cnt"] == b["cnt"]
+        assert abs(s["mu"] - b["mu"]) < 1e-6
+        assert abs(s["sigma"] - b["sigma"]) < 1e-6
+        assert s["is_anomaly"] == b["is_anomaly"]
+    # the spike hour was flagged
+    spike_h = int((base + dt.timedelta(hours=28)).timestamp() // 3600)
+    assert got[spike_h]["is_anomaly"]
