@@ -66,3 +66,39 @@ def write_xml(utterances: DataFrame, path: str) -> None:
     transcript_to_xml(utterances).write.partitionBy("term").mode("overwrite").parquet(
         path
     )
+
+
+# attribute-prefixed struct schema for Spark 4's native XML parser
+# (attributes surface as _name, element text as _VALUE)
+TRANSCRIPT_XML_SCHEMA = (
+    "_case_id STRING, "
+    "utterance ARRAY<STRUCT<_index BIGINT, _section BIGINT, _speaker STRING, "
+    "_start_ms BIGINT, _stop_ms BIGINT, _VALUE STRING>>"
+)
+
+
+def parse_transcript_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """S11 read-back: the XML corpus parses back to utterance rows with
+    Spark 4's NATIVE ``from_xml`` expression (JVM-side, codegen — no
+    external spark-xml package, no Python). Entity escapes reverse in
+    the parser, so ``transcript_to_xml → parse_transcript_xml`` is a
+    lossless roundtrip on (case_id, utterance_index, section_id,
+    speaker_name, times, text) — pinned by the roundtrip test.
+
+    A single-document transcript with N utterances parses as one
+    struct row and explodes to N rows: one map stage plus the explode,
+    shuffle-free at any corpus size.
+    """
+    parsed = df.withColumn("__p", F.from_xml(F.col(xml_col), TRANSCRIPT_XML_SCHEMA))
+    return parsed.select(
+        F.col("__p._case_id").alias("case_id"),
+        F.explode("__p.utterance").alias("u"),
+    ).select(
+        "case_id",
+        F.col("u._index").alias("utterance_index"),
+        F.col("u._section").alias("section_id"),
+        F.col("u._speaker").alias("speaker_name"),
+        F.col("u._start_ms").alias("start_time_ms"),
+        F.col("u._stop_ms").alias("end_time_ms"),
+        F.col("u._VALUE").alias("text"),
+    )

@@ -159,3 +159,38 @@ def test_xml_roundtrip(utterances):
             assert el.text == e["text"]
             assert el.get("speaker") == e["speaker_name"]
             assert int(el.get("index")) == e["utterance_index"]
+
+
+def test_xml_native_parse_roundtrip(spark):
+    """transcript_to_xml → from_xml-based parse must reproduce the
+    utterance relation (escape/unescape lossless, order preserved)."""
+    from scotustician_spark.documents.flatten import flatten_utterances
+    from scotustician_spark.documents.schema import OA_DOCUMENT
+    from scotustician_spark.documents.xml_sink import (
+        parse_transcript_xml,
+        transcript_to_xml,
+    )
+    from tests.fixtures_oa import make_corpus
+
+    docs = make_corpus(n_docs=3, seed=11)
+    df = spark.createDataFrame(docs, OA_DOCUMENT)
+    utt = flatten_utterances(df)
+    xml = transcript_to_xml(utt)
+    back = parse_transcript_xml(xml)
+    want = {
+        (r["case_id"], r["utterance_index"]): (
+            r["section_id"],
+            r["speaker_name"],
+            r["text"],
+        )
+        for r in utt.collect()
+    }
+    got = {
+        (r["case_id"], r["utterance_index"]): (
+            r["section_id"],
+            r["speaker_name"],
+            r["text"],
+        )
+        for r in back.collect()
+    }
+    assert got == want and len(got) > 0
