@@ -418,3 +418,73 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_prev"),
     )
     return stats.filter(F.col("n_prev") == 24).drop("n_prev")
+
+
+@register(
+    "event_cusum_changepoint",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    stats AS (SELECT event_type, avg(cnt) AS mu0, stddev_samp(cnt) AS s0
+              FROM hourly GROUP BY 1),
+    cus AS (
+        SELECT h.event_type, h.h,
+               sum((h.cnt - s.mu0) / s.s0)
+                   OVER (PARTITION BY h.event_type ORDER BY h.h
+                         ROWS UNBOUNDED PRECEDING) AS cusum
+        FROM hourly h JOIN stats s USING (event_type)),
+    r AS (SELECT event_type, h,
+                 round(cusum, 6) AS c, round(abs(cusum), 6) AS a,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY round(abs(cusum), 6) DESC, h) AS rn
+          FROM cus)
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS cp_hour_s,
+           c AS peak_cusum, a AS abs_peak
+    FROM r WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection per event type: hourly counts "
+    "standardize against the type's global mean/stddev, the cumulative "
+    "sum of deviations runs over the ordered hours, and the hour of "
+    "peak |CUSUM| is the level-shift estimate — the offline "
+    "changepoint locator next to event_rate_anomaly's online z-score. "
+    "All windows run on the pre-aggregated |types|×|hours| relation; "
+    "the raw stream pays one map-combined groupBy.",
+)
+def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu0"), F.stddev_samp("cnt").alias("s0")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cus = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum((F.col("cnt") - F.col("mu0")) / F.col("s0")).over(wcum),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.abs("cusum"), 6)), F.asc("h")
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("cp_hour_s"),
+            F.round("cusum", 6).alias("peak_cusum"),
+            F.round(F.abs("cusum"), 6).alias("abs_peak"),
+        )
+    )

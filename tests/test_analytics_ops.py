@@ -347,3 +347,28 @@ def test_event_rate_anomaly_flags_spike(spark, tmp_path):
     assert not normal["is_anomaly"]
     # rows only exist once 24 trailing buckets accumulated
     assert all(k >= (base + dt.timedelta(hours=24)).strftime("%Y-%m-%d %H:%M:%S") for k in out)
+
+
+def test_event_cusum_changepoint_locates_level_shift(spark, tmp_path):
+    import datetime as dt
+
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    # 2/hour for 50 hours, then 10/hour for 50 hours: the level shift
+    # at hour 50 is where CUSUM of standardized deviations peaks (the
+    # minimum of the drifting-down segment before the mean crosses)
+    for h in range(100):
+        for _ in range(2 if h < 50 else 10):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=eid % 45), 1, "view", 0.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERY_REGISTRY["event_cusum_changepoint"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    cp = dt.datetime.strptime(out[0]["cp_hour_s"], "%Y-%m-%d %H:%M:%S")
+    # peak |CUSUM| lands exactly at the last pre-shift hour
+    assert cp == base + dt.timedelta(hours=49)
+    assert out[0]["abs_peak"] > 10
