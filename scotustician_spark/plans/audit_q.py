@@ -512,3 +512,72 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import key_skew_profile
 
     return key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
+
+
+@register(
+    "integrity_audit",
+    """
+    SELECT 0 AS check_idx, 'dup_lineitem_pk' AS check_name,
+           (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+               AS n_violations
+    UNION ALL
+    SELECT 1, 'orphan_lineitem_order',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 2, 'orphan_order_customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 3, 'nonpositive_quantity',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0)
+    """,
+    doc="Declarative data-contract audit (the reference's dbt "
+    "unique/not_null/relationship test strategy, SURVEY §5, as ONE "
+    "query): duplicate-primary-key surplus, two referential-integrity "
+    "orphan checks (anti-join — the processed-keys discipline applied "
+    "to FK validation), and a domain predicate, unioned into a "
+    "(check, n_violations) relation a pipeline gate can assert on. "
+    "Each check is one keyed aggregation or anti-join; at scale the "
+    "orphan checks broadcast-or-shuffle on the key like any semi join.",
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("v"))
+    )
+    orphan_li = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    orphan_o = (
+        o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    nonpos = li.filter(F.col("l_quantity") <= 0).agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    checks = [
+        (0, "dup_lineitem_pk", dup),
+        (1, "orphan_lineitem_order", orphan_li),
+        (2, "orphan_order_customer", orphan_o),
+        (3, "nonpositive_quantity", nonpos),
+    ]
+    out = None
+    for idx, name, df in checks:
+        row = df.select(
+            F.lit(idx).cast("int").alias("check_idx"),
+            F.lit(name).alias("check_name"),
+            F.col("v").alias("n_violations"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -340,3 +340,35 @@ def test_key_skew_profile_topn_uses_take_ordered(spark, sf_dir):
     # the top-N must compile to TakeOrderedAndProject (per-partition
     # local top-N + driver merge), never a global Sort over all keys
     assert "TakeOrderedAndProject" in plan
+
+
+def test_integrity_audit_detects_violations(spark, tmp_path):
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    # minimal star with seeded violations: a dup lineitem PK, an orphan
+    # lineitem, an orphan order, a non-positive quantity
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 999)], "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "a")], "c_custkey long, c_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [
+            (1, 1, 5.0),
+            (1, 1, 6.0),  # dup PK (surplus 1)
+            (1, 2, -1.0),  # non-positive qty
+            (77, 1, 3.0),  # orphan orderkey
+        ],
+        "l_orderkey long, l_linenumber int, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in QUERY_REGISTRY["integrity_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "dup_lineitem_pk": 1,
+        "orphan_lineitem_order": 1,
+        "orphan_order_customer": 1,  # o_custkey 999
+        "nonpositive_quantity": 1,
+    }
