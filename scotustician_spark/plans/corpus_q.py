@@ -568,3 +568,80 @@ def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "lang", alpha=0.5, id_col="doc_id"
     )
     return out.select("doc_id", "lang")
+
+
+def _chunk_lang_oracle() -> str:
+    from ..functions import text as TX
+    from .registry import QUERY_REGISTRY
+    from .vectors_text import _SW
+
+    ctoks = (
+        "regexp_split_to_array("
+        "regexp_replace(lower(chunk_text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    )
+    cnt = {
+        c: f"len(list_filter({ctoks}, x -> list_contains({_SW[c]}, x)))"
+        for c in sorted(TX.STOPWORDS)
+    }
+    sels = ", ".join(f"{v} AS c_{c}" for c, v in cnt.items())
+    mx = "greatest(" + ", ".join(f"c_{c}" for c in sorted(TX.STOPWORDS)) + ")"
+    case = " ".join(f"WHEN c_{c} = mx THEN '{c}'" for c in sorted(TX.STOPWORDS))
+    return f"""
+    WITH ch AS ({QUERY_REGISTRY["doc_stride_chunks"].oracle}),
+    counts AS (SELECT doc_id, chunk_idx, {sels} FROM ch),
+    m0 AS (SELECT *, {mx} AS mx FROM counts),
+    cl AS (SELECT doc_id,
+                  CASE WHEN mx = 0 THEN 'und' {case} END AS lp
+           FROM m0),
+    cnts AS (SELECT doc_id, lp, CAST(count(*) AS BIGINT) AS c
+             FROM cl GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM cnts GROUP BY 1),
+    maj AS (SELECT doc_id, lp, c FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, lp DESC) AS rn
+                FROM cnts) WHERE rn = 1)
+    SELECT t.doc_id, t.n_chunks, t.n_langs, m.lp AS major_lang,
+           round(m.c / CAST(t.n_chunks AS DOUBLE), 6) AS major_frac,
+           t.n_langs > 1 AS is_mixed
+    FROM tot t JOIN maj m USING (doc_id)
+    """
+
+
+@register(
+    "chunk_lang_consistency",
+    _chunk_lang_oracle(),
+    doc="Mixed-language detection by chunk-level language ID: stride "
+    "chunks (doc_stride_chunks) each vote a language (the doc_langid "
+    "stopword classifier applied per 64-token window), then per "
+    "document the vote distribution yields the majority language, its "
+    "share, and the is_mixed flag — the segmentation-aware upgrade of "
+    "whole-document langid that catches code-switched / concatenated "
+    "documents a single vote misses. Chunking and voting are in-row; "
+    "the rollup is two doc-keyed aggregations. Majority tie-break "
+    "(count desc, lang desc) is the same lexicographic struct-max on "
+    "both engines.",
+)
+def chunk_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    chunks = CP.stride_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=32
+    )
+    cl = chunks.select("doc_id", TX.lang_id("chunk_text").alias("lp"))
+    cnts = cl.groupBy("doc_id", "lp").agg(F.count("*").alias("c"))
+    tot = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chunks"), F.count("*").alias("n_langs")
+    )
+    maj = cnts.groupBy("doc_id").agg(F.max(F.struct("c", "lp")).alias("m"))
+    return tot.join(maj, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "n_langs",
+        F.col("m.lp").alias("major_lang"),
+        F.round(F.col("m.c") / F.col("n_chunks").cast("double"), 6).alias(
+            "major_frac"
+        ),
+        (F.col("n_langs") > 1).alias("is_mixed"),
+    )

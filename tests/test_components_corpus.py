@@ -562,3 +562,27 @@ def test_temperature_mix_rebalances_toward_small_sources(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_chunk_lang_consistency_flags_code_switching(spark, tmp_path):
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    en = "the cat is in the house and that is good " * 8  # ~80 tokens
+    es = "el perro es de la casa y que es un dia " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, en + es, "en", "s", 0),  # code-switched: en chunk(s) + es chunk(s)
+            (2, en, "en", "s", 0),  # monolingual
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in QUERY_REGISTRY["chunk_lang_consistency"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[2]["n_langs"] == 1 and not out[2]["is_mixed"]
+    assert out[2]["major_lang"] == "en" and out[2]["major_frac"] == 1.0
+    assert out[1]["is_mixed"] and out[1]["n_langs"] >= 2
+    assert out[1]["major_lang"] in ("en", "es")
+    assert out[1]["major_frac"] < 1.0
