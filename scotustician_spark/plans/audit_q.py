@@ -544,6 +544,7 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(check, n_violations) relation a pipeline gate can assert on. "
     "Each check is one keyed aggregation or anti-join; at scale the "
     "orphan checks broadcast-or-shuffle on the key like any semi join.",
+bench=True,
 )
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

@@ -622,6 +622,7 @@ def _chunk_lang_oracle() -> str:
     "the rollup is two doc-keyed aggregations. Majority tie-break "
     "(count desc, lang desc) is the same lexicographic struct-max on "
     "both engines.",
+bench=True,
 )
 def chunk_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX

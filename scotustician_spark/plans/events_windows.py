@@ -391,6 +391,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|types|×|hours| rows, never the raw stream), z-score > 3 flags "
     "the spike. The operational monitor every event pipeline runs; "
     "the only raw-data pass is one map-side-combined groupBy.",
+bench=True,
 )
 def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W

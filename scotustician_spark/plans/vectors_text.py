@@ -863,6 +863,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never an explode self-join); counts are map-side-combined hash "
     "aggs; selection is top-50 by exact integer count so membership is "
     "engine-deterministic, PMI reported alongside.",
+bench=True,
 )
 def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tfidf import pmi_pairs
