@@ -372,3 +372,21 @@ def test_integrity_audit_detects_violations(spark, tmp_path):
         "orphan_order_customer": 1,  # o_custkey 999
         "nonpositive_quantity": 1,
     }
+
+
+def test_source_length_ks_hand_distributions(spark, tmp_path):
+    """KS distance against scipy-free hand math: A = {1..10}, B = {6..15}
+    → ECDFs diverge maximally at value 5 (F_A=0.5, F_B=0.0)."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    rows = [(i, "x", "en", "src0", v) for i, v in enumerate(range(1, 11))] + [
+        (100 + i, "x", "en", "src1", v) for i, v in enumerate(range(6, 16))
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERY_REGISTRY["source_length_ks"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (10, 10)
+    assert r["ks_d"] == 0.5 and r["at_value"] == 5
