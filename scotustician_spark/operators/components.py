@@ -148,3 +148,79 @@ def incremental_components(
     return connected_components(
         edges, verts, "id_a", "id_b", id_col, max_iter=max_iter
     )
+
+
+def scripted_connected_components(
+    spark,
+    edges_view: str,
+    verts_view: str,
+    table_prefix: str = "cc_script",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The hash-min fixpoint expressed as a PURE SQL SCRIPT (Spark 4
+    SQL scripting: DECLARE / WHILE / IF): the driver-side Python loop
+    of ``connected_components`` moves into the engine, with ping-pong
+    parquet tables as the per-round materialization (INSERT OVERWRITE
+    cannot read its own target, and a self-replacing temp view would
+    resolve cyclically) and the label SUM in DECIMAL(38,0) as the
+    convergence signal (labels only decrease; a BIGINT sum of hashes
+    would overflow under ANSI). Demonstrates that even iterative graph
+    algorithms fit the declarative surface — the script ships to any
+    Spark SQL endpoint (Connect, Thrift) with no client-side loop.
+
+    ``edges_view`` (u, v) and ``verts_view`` (doc_id) must be
+    registered views; numeric vertex ids (the decimal-sum signal
+    assumes them — the Python loop's xxhash64 checksum is the
+    type-agnostic variant). Creates and drops managed tables
+    ``{table_prefix}_a/_b``.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    a, b = f"{table_prefix}_a", f"{table_prefix}_b"
+    script = f"""
+    BEGIN
+      DECLARE prev DECIMAL(38,0) DEFAULT -1;
+      DECLARE cur DECIMAL(38,0) DEFAULT -2;
+      DECLARE rounds INT DEFAULT 0;
+      CREATE OR REPLACE TEMPORARY VIEW {table_prefix}_sym AS
+        SELECT u, v FROM {edges_view} UNION SELECT v, u FROM {edges_view};
+      DROP TABLE IF EXISTS {a};
+      DROP TABLE IF EXISTS {b};
+      CREATE TABLE {a} USING parquet AS
+        SELECT doc_id AS u, doc_id AS comp FROM {verts_view};
+      CREATE TABLE {b} USING parquet AS
+        SELECT u, comp FROM {a} WHERE 1 = 0;
+      WHILE prev <> cur AND rounds < {max_iter} DO
+        SET prev = cur;
+        IF rounds % 2 = 0 THEN
+          INSERT OVERWRITE TABLE {b}
+            SELECT u, min(comp) AS comp FROM (
+              SELECT u, comp FROM {a}
+              UNION ALL
+              SELECT s.v AS u, l.comp
+              FROM {table_prefix}_sym s JOIN {a} l ON s.u = l.u
+            ) GROUP BY u;
+          SET cur = (SELECT sum(CAST(comp AS DECIMAL(38,0))) FROM {b});
+        ELSE
+          INSERT OVERWRITE TABLE {a}
+            SELECT u, min(comp) AS comp FROM (
+              SELECT u, comp FROM {b}
+              UNION ALL
+              SELECT s.v AS u, l.comp
+              FROM {table_prefix}_sym s JOIN {b} l ON s.u = l.u
+            ) GROUP BY u;
+          SET cur = (SELECT sum(CAST(comp AS DECIMAL(38,0))) FROM {a});
+        END IF;
+        SET rounds = rounds + 1;
+      END WHILE;
+      IF rounds % 2 = 1 THEN
+        SELECT u AS doc_id, comp AS component_id FROM {b};
+      ELSE
+        SELECT u AS doc_id, comp AS component_id FROM {a};
+      END IF;
+    END
+    """
+    out = spark.sql(script).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {a}")
+    spark.sql(f"DROP TABLE IF EXISTS {b}")
+    spark.catalog.dropTempView(f"{table_prefix}_sym")
+    return out

@@ -586,3 +586,36 @@ def test_chunk_lang_consistency_flags_code_switching(spark, tmp_path):
     assert out[1]["is_mixed"] and out[1]["n_langs"] >= 2
     assert out[1]["major_lang"] in ("en", "es")
     assert out[1]["major_frac"] < 1.0
+
+
+def test_scripted_components_match_python_loop(spark):
+    """The SQL-scripting fixpoint (DECLARE/WHILE/IF, ping-pong tables)
+    must produce exactly the Python-loop labeling on a random graph."""
+    rng = random.Random(7)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e_df = spark.createDataFrame(edges, "u long, v long")
+    v_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    e_df.createOrReplaceTempView("t_script_edges")
+    v_df.createOrReplaceTempView("t_script_verts")
+
+    from scotustician_spark.operators.components import (
+        scripted_connected_components,
+    )
+
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in scripted_connected_components(
+            spark, "t_script_edges", "t_script_verts", "t_cc_demo"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(
+            e_df, v_df, src="u", dst="v"
+        ).collect()
+    }
+    assert got == want
+    # managed ping-pong tables are cleaned up
+    assert not [t.name for t in spark.catalog.listTables() if "t_cc_demo" in t.name]
