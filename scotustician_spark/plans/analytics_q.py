@@ -733,3 +733,53 @@ def orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
     return sequence_gaps(o, "o_orderkey", bucket_width=1024)
+
+
+@register(
+    "winsorized_order_stats",
+    """
+    WITH b AS (SELECT o_orderpriority,
+                      quantile_cont(o_totalprice, 0.05) AS lo,
+                      quantile_cont(o_totalprice, 0.95) AS hi
+               FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 4) AS mean_raw,
+           round(avg(least(greatest(o_totalprice, lo), hi)), 4) AS mean_winsor,
+           CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+           CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_hi
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    doc="Winsorized robust statistics per group: exact interpolated "
+    "p05/p95 bounds (one percentile aggregation, broadcast back) clip "
+    "the value column, yielding the outlier-robust mean next to the "
+    "raw one plus clip counts — the standard heavy-tail preprocessing "
+    "before averaging money-like columns. Two passes over the fact "
+    "table, both map-side-combined aggregations; the bounds relation "
+    "is |groups| rows.",
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.join(F.broadcast(b), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsor"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_hi"),
+        )
+    )

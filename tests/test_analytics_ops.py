@@ -372,3 +372,24 @@ def test_event_cusum_changepoint_locates_level_shift(spark, tmp_path):
     # peak |CUSUM| lands exactly at the last pre-shift hour
     assert cp == base + dt.timedelta(hours=49)
     assert out[0]["abs_peak"] > 10
+
+
+def test_winsorized_stats_hand_values(spark, tmp_path):
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    # 21 values 0..18 plus outliers -1000 and +1000: p05 of n=21 sits
+    # exactly on index 1 ((n-1)*0.05 = 1.0 -> value 0), p95 on index 19
+    # (value 18); the two outliers clip to [0, 18]
+    vals = [-1000.0] + [float(v) for v in range(19)] + [1000.0]
+    rows = [(i, "P", v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = QUERY_REGISTRY["winsorized_order_stats"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 21 and r["n_clip_lo"] == 1 and r["n_clip_hi"] == 1
+    # winsorized mean: (0 + sum(0..18) + 18) / 21
+    want = (0 + sum(range(19)) + 18) / 21
+    assert abs(r["mean_winsor"] - round(want, 4)) < 1e-9
+    assert r["mean_raw"] == round(sum(vals) / 21, 4)
