@@ -162,18 +162,23 @@ def scripted_connected_components(
     of ``connected_components`` moves into the engine, with ping-pong
     parquet tables as the per-round materialization (INSERT OVERWRITE
     cannot read its own target, and a self-replacing temp view would
-    resolve cyclically) and the label SUM in DECIMAL(38,0) as the
-    convergence signal (labels only decrease; a BIGINT sum of hashes
-    would overflow under ANSI). Demonstrates that even iterative graph
+    resolve cyclically) and the label-hash SUM in DECIMAL(38,0) as the
+    convergence signal (labels only decrease, so the label multiset is
+    stable iff its xxhash64-sum is; a BIGINT sum of hashes would
+    overflow under ANSI). Demonstrates that even iterative graph
     algorithms fit the declarative surface — the script ships to any
     Spark SQL endpoint (Connect, Thrift) with no client-side loop.
 
     ``edges_view`` (u, v) and ``verts_view`` (doc_id) must be
-    registered views; numeric vertex ids (the decimal-sum signal
-    assumes them — the Python loop's xxhash64 checksum is the
-    type-agnostic variant). Creates and drops managed tables
-    ``{table_prefix}_a/_b``.
+    registered views; vertex ids may be any orderable type — the
+    convergence signal is ``sum(xxhash64(comp))`` in DECIMAL(38,0),
+    the same type-agnostic checksum the Python loop uses, so string
+    ids (docket numbers like '80-1538') work identically to numeric
+    ones. Creates and drops managed tables ``{table_prefix}_a/_b``;
+    cleanup and the prior ``scripting.enabled`` value are restored
+    even if the script fails mid-run.
     """
+    prior_scripting = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     a, b = f"{table_prefix}_a", f"{table_prefix}_b"
     script = f"""
@@ -199,7 +204,7 @@ def scripted_connected_components(
               SELECT s.v AS u, l.comp
               FROM {table_prefix}_sym s JOIN {a} l ON s.u = l.u
             ) GROUP BY u;
-          SET cur = (SELECT sum(CAST(comp AS DECIMAL(38,0))) FROM {b});
+          SET cur = (SELECT sum(CAST(xxhash64(comp) AS DECIMAL(38,0))) FROM {b});
         ELSE
           INSERT OVERWRITE TABLE {a}
             SELECT u, min(comp) AS comp FROM (
@@ -208,7 +213,7 @@ def scripted_connected_components(
               SELECT s.v AS u, l.comp
               FROM {table_prefix}_sym s JOIN {b} l ON s.u = l.u
             ) GROUP BY u;
-          SET cur = (SELECT sum(CAST(comp AS DECIMAL(38,0))) FROM {a});
+          SET cur = (SELECT sum(CAST(xxhash64(comp) AS DECIMAL(38,0))) FROM {a});
         END IF;
         SET rounds = rounds + 1;
       END WHILE;
@@ -219,8 +224,14 @@ def scripted_connected_components(
       END IF;
     END
     """
-    out = spark.sql(script).localCheckpoint(eager=True)
-    spark.sql(f"DROP TABLE IF EXISTS {a}")
-    spark.sql(f"DROP TABLE IF EXISTS {b}")
-    spark.catalog.dropTempView(f"{table_prefix}_sym")
+    try:
+        out = spark.sql(script).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
+        spark.catalog.dropTempView(f"{table_prefix}_sym")
+        if prior_scripting is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior_scripting)
     return out

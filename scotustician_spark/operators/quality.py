@@ -291,6 +291,15 @@ def chunk_boilerplate_removal(
     )
 
 
+# Above this many eval-set characters the pandas kernel's driver-side
+# collect is refused and contamination_pairs falls back to the
+# broadcast-join expression formulation (zero driver materialization).
+# 64 MB of raw text ≈ 10M shingles — far past any real eval suite, but
+# a bound means a misdirected "eval set" (e.g. a corpus split passed by
+# mistake) degrades to a distributed plan instead of OOMing the driver.
+EVAL_COLLECT_CHAR_CAP = 64_000_000
+
+
 def contamination_pairs(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -298,6 +307,7 @@ def contamination_pairs(
     text_col: str,
     n: int = 5,
     kernel: str = "pandas",
+    max_collect_chars: int = EVAL_COLLECT_CHAR_CAP,
 ) -> DataFrame:
     """Per corpus document: how many of its word ``n``-grams appear in
     ANY eval-set document, and the flag a decontamination filter keys
@@ -317,10 +327,23 @@ def contamination_pairs(
     single map pass — no explode, no groupBy, no shuffle of corpus
     data at all. NOTE the pandas kernel collects the eval shingle set
     eagerly when the plan is BUILT (it is eval-suite-sized, not
-    corpus-sized).
+    corpus-sized); that collect is COUNT-GATED — if the eval set holds
+    more than ``max_collect_chars`` characters of text (measured by one
+    tiny agg action) the call falls back to the ``expr`` broadcast-join
+    formulation, which never materializes eval data on the driver.
     """
     if kernel == "pandas":
-        return _contamination_pairs_pandas(corpus, eval_set, id_col, text_col, n)
+        ev_chars = (
+            eval_set.agg(
+                F.sum(F.length(F.col(text_col))).alias("c")
+            ).collect()[0]["c"]
+            or 0
+        )
+        if ev_chars <= max_collect_chars:
+            return _contamination_pairs_pandas(
+                corpus, eval_set, id_col, text_col, n
+            )
+        # eval set too large to hold on the driver: distributed path
     eval_arr = eval_set.select(
         F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
     ).filter(F.col("shingle").isNotNull()).agg(
@@ -387,8 +410,6 @@ def _contamination_pairs_pandas(
     explode+distinct job it replaces paid ~1 s of codegen + shuffle
     per invocation — and identical-by-construction tokenization
     removes the one place the two sides could drift."""
-    import re as _re
-
     import pandas as pd
     from pyspark.sql.types import (
         BooleanType,

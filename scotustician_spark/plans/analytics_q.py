@@ -739,8 +739,8 @@ def orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winsorized_order_stats",
     """
     WITH b AS (SELECT o_orderpriority,
-                      quantile_cont(o_totalprice, 0.05) AS lo,
-                      quantile_cont(o_totalprice, 0.95) AS hi
+                      round(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+                      round(quantile_cont(o_totalprice, 0.95), 6) AS hi
                FROM orders GROUP BY 1)
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
@@ -763,9 +763,12 @@ def orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # bounds rounded to 6dp on BOTH engines before the clip/compare:
+    # the interpolated percentile can differ cross-engine in the last
+    # ulp, which would flip n_clip_lo/hi when a rank lands on a value
     b = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+        F.round(F.expr("percentile(o_totalprice, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("hi"),
     )
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
     return (

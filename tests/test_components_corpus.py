@@ -619,3 +619,59 @@ def test_scripted_components_match_python_loop(spark):
     assert got == want
     # managed ping-pong tables are cleaned up
     assert not [t.name for t in spark.catalog.listTables() if "t_cc_demo" in t.name]
+
+
+def test_scripted_components_string_ids(spark):
+    """String vertex ids (docket numbers) through the SQL script: the
+    xxhash64 convergence checksum must handle non-numeric labels, and a
+    diameter-2 chain must still fully converge (regression for the
+    numeric CAST signal that crashed/mislabeled on string ids)."""
+    # chain A-B-C (diameter 2) plus a singleton and a disjoint pair
+    edges = [
+        ("80-1538", "81-0042"),
+        ("81-0042", "79-0991"),
+        ("99-2000", "99-2001"),
+    ]
+    verts = ["80-1538", "81-0042", "79-0991", "99-2000", "99-2001", "zz-solo"]
+    e_df = spark.createDataFrame(edges, "u string, v string")
+    v_df = spark.createDataFrame([(x,) for x in verts], "doc_id string")
+    e_df.createOrReplaceTempView("t_script_edges_s")
+    v_df.createOrReplaceTempView("t_script_verts_s")
+
+    from scotustician_spark.operators.components import (
+        scripted_connected_components,
+    )
+
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in scripted_connected_components(
+            spark, "t_script_edges_s", "t_script_verts_s", "t_cc_str"
+        ).collect()
+    }
+    assert got == {
+        "80-1538": "79-0991",
+        "81-0042": "79-0991",
+        "79-0991": "79-0991",
+        "99-2000": "99-2000",
+        "99-2001": "99-2000",
+        "zz-solo": "zz-solo",
+    }
+    assert not [t.name for t in spark.catalog.listTables() if "t_cc_str" in t.name]
+
+
+def test_scripted_components_restores_conf_and_cleans_on_failure(spark):
+    """A failing script must still drop the ping-pong tables and restore
+    the prior scripting.enabled conf value."""
+    import pytest as _pytest
+
+    from scotustician_spark.operators.components import (
+        scripted_connected_components,
+    )
+
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
+    with _pytest.raises(Exception):
+        scripted_connected_components(
+            spark, "no_such_edges_view", "no_such_verts_view", "t_cc_fail"
+        )
+    assert spark.conf.get("spark.sql.scripting.enabled", None) == prior
+    assert not [t.name for t in spark.catalog.listTables() if "t_cc_fail" in t.name]

@@ -94,6 +94,47 @@ def test_contamination_pairs_and_broadcast_plan(spark):
             assert "Join" not in plan and "ArrowEvalPython" in plan
 
 
+def test_contamination_large_eval_set_gates_to_join_path(spark):
+    """An eval set above the collect cap must route through the
+    broadcast-join (expr) formulation — no driver-side text collect —
+    and still produce the identical per-doc verdicts (regression for
+    the unbounded eval_set.collect())."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    # ~200 rows of synthetic eval text: "large" relative to a 10-char cap
+    eval_set = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("zzz one two three four five filler "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    gated = contamination_pairs(
+        corpus, eval_set, "doc_id", "text", n=5, kernel="pandas",
+        max_collect_chars=10,
+    )
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    # proof the gate fired: the expr path's broadcast row join, and no
+    # Arrow kernel (the pandas path's signature node)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan
+    want = {
+        r["doc_id"]: r
+        for r in contamination_pairs(
+            corpus, eval_set, "doc_id", "text", n=5, kernel="expr"
+        ).collect()
+    }
+    got = {r["doc_id"]: r for r in gated.collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k].asDict() == want[k].asDict(), k
+    assert got[1]["is_contaminated"] and not got[2]["is_contaminated"]
+
+
 def test_normalize_text_nfc_and_whitespace(spark):
     from scotustician_spark.operators.quality import normalize_text
 
