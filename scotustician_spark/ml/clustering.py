@@ -88,34 +88,43 @@ def tsne_hdbscan_driver(
     perplexity: int = 30,
     min_cluster_size: int = 5,
     seed: int = 42,
+    _tsne_cls=None,
+    _hdbscan_cls=None,
 ) -> DataFrame:
     """Reference-exact escape hatch (M1+M2): collect the (small) case
     matrix, run sklearn t-SNE + hdbscan with the reference's parameter
     guardrails (clustering/helpers.py:105-110,133-138), return a
-    DataFrame of (ids…, x, y, cluster). Requires sklearn + hdbscan —
-    unavailable here, so this raises with a clear message; the
+    DataFrame of (ids…, x, y, cluster). Requires sklearn + hdbscan by
+    default and raises a clear NotImplementedError without them; the
     distributed path (pca_project_2d + kmeans_assign) covers the same
-    pipeline contract.
+    pipeline contract. ``_tsne_cls`` / ``_hdbscan_cls`` inject
+    API-compatible stand-ins (``fit_transform`` / ``fit_predict``) so
+    the collect → guardrail → project → cluster → rebuild path is
+    executable in environments without the heavy libraries
+    (tests/test_ml_clustering.py exercises it on the 500-row matrix).
     """
-    try:
-        import hdbscan  # noqa: F401
-        from sklearn.manifold import TSNE  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "driver-side t-SNE/HDBSCAN needs sklearn+hdbscan; use "
-            "pca_project_2d + kmeans_assign for the distributed path"
-        ) from e
-    import numpy as np  # pragma: no cover - exercised only with sklearn
+    if _tsne_cls is None or _hdbscan_cls is None:
+        try:
+            import hdbscan
+            from sklearn.manifold import TSNE
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "driver-side t-SNE/HDBSCAN needs sklearn+hdbscan; use "
+                "pca_project_2d + kmeans_assign for the distributed path"
+            ) from e
+        _tsne_cls = _tsne_cls or TSNE
+        _hdbscan_cls = _hdbscan_cls or hdbscan.HDBSCAN
+    import numpy as np
 
     pdf = df.select(*id_cols, vec_col).toPandas()
     mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     n = len(mat)
     eff_perp = min(perplexity, max(5, n // 4))
-    coords = TSNE(
+    coords = _tsne_cls(
         n_components=2, perplexity=eff_perp, random_state=seed
     ).fit_transform(mat)
     eff_mcs = max(2, min(min_cluster_size, n // 8))
-    labels = hdbscan.HDBSCAN(min_cluster_size=eff_mcs).fit_predict(coords)
+    labels = _hdbscan_cls(min_cluster_size=eff_mcs).fit_predict(coords)
     pdf["x"], pdf["y"], pdf["cluster"] = coords[:, 0], coords[:, 1], labels
     return df.sparkSession.createDataFrame(pdf.drop(columns=[vec_col]))
 

@@ -7,19 +7,31 @@ stages (the only sane shape for Python media libs at scale: one
 pandas batch per task, library initialized once per partition, bytes
 never round-trip through the driver).
 
-The actual media decode is STUBBED: real decoders (PIL/cv2/ffmpeg)
-are not in this container, so ``mode='real'`` raises
-NotImplementedError at the single clearly-marked point, and
-``mode='fake'`` substitutes a deterministic byte-level feature
-extractor (md5/length-derived) — the Spark-side plumbing (schema,
-batching, partitioning, UDF signatures) is real and tested either
-way, and the fake is SQL-reproducible so the driver oracle can verify
-the full distributed path.
+Decode surface, by dependency weight:
+
+- ``mode='fake'`` (default for the oracle-gated queries): a
+  deterministic byte-level feature extractor (md5/length-derived) —
+  SQL-reproducible, so the driver oracle verifies the full
+  distributed path end-to-end.
+- ``mode='real'``: actual decoding. WAV audio decodes with the
+  STDLIB ``wave`` + ``struct`` (always available — per-chunk RMS
+  energy features, true duration); PNG/JPEG/GIF header metadata
+  (width/height) parses with pure ``struct`` (see
+  ``probe_media_metadata``); image PIXEL decode requires PIL and is
+  import-gated — absent PIL it raises NotImplementedError at the one
+  clearly-marked point. Unknown byte formats raise rather than
+  silently fake.
+
+Either way the Spark-side plumbing (schema, Arrow batching,
+partitioning, UDF signatures, decoder-initialized-once-per-partition)
+is identical and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,6 +59,119 @@ def _fake_features(content: bytes, n_dims: int) -> list[float]:
     return [float(ord(h[j])) for j in range(n_dims)]
 
 
+# ---- real decoders ------------------------------------------------
+
+def sniff_media(content: bytes) -> str | None:
+    """Magic-byte container sniff: 'wav' | 'png' | 'jpeg' | 'gif' or
+    None for unrecognized bytes."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
+
+
+def _decode_wav(content: bytes, n_dims: int) -> tuple[list[float], dict]:
+    """REAL audio decode with the stdlib ``wave`` module: parse the
+    RIFF container, read the PCM frames, and summarize them as
+    ``n_dims`` per-chunk RMS energies (normalized to [0, 1]) — the
+    classic fixed-width audio fingerprint. Returns (features, meta)."""
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    fmt = {1: "b", 2: "h", 4: "i"}.get(width)
+    if fmt is None:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    samples = struct.unpack(f"<{len(raw) // width}{fmt}", raw)
+    full_scale = float(1 << (8 * width - 1))
+    feats = []
+    n = len(samples)
+    for j in range(n_dims):
+        chunk = samples[j * n // n_dims : (j + 1) * n // n_dims]
+        if not chunk:
+            feats.append(0.0)
+            continue
+        rms = (sum(s * s for s in chunk) / len(chunk)) ** 0.5
+        feats.append(rms / full_scale)
+    meta = {
+        "media_type": "audio",
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "duration_s": n_frames / rate if rate else None,
+    }
+    return feats, meta
+
+
+def _image_dims(content: bytes, kind: str) -> tuple[int | None, int | None]:
+    """Pure-``struct`` width/height from PNG IHDR / GIF logical screen
+    descriptor / JPEG SOF markers — header metadata needs no pixel
+    decoder."""
+    if kind == "png" and len(content) >= 24:
+        w, h = struct.unpack(">II", content[16:24])
+        return int(w), int(h)
+    if kind == "gif" and len(content) >= 10:
+        w, h = struct.unpack("<HH", content[6:10])
+        return int(w), int(h)
+    if kind == "jpeg":
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dims
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+    return None, None
+
+
+def _decode_image_pixels(content: bytes, n_dims: int) -> list[float]:
+    """Pixel-level image features — requires PIL (import-gated; the
+    container used for CI has no image codec, so this is the one
+    NotImplementedError left in the real path)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image PIXEL decode needs PIL (pip install pillow); header "
+            "metadata (width/height) works without it via "
+            "probe_media_metadata, and mode='fake' exercises the full "
+            "distributed plumbing"
+        ) from exc
+    img = Image.open(io.BytesIO(content)).convert("L")
+    hist = img.histogram()  # 256 gray bins
+    total = float(sum(hist)) or 1.0
+    # pool 256 bins into n_dims buckets, normalized mass per bucket
+    return [
+        sum(hist[j * 256 // n_dims : (j + 1) * 256 // n_dims]) / total
+        for j in range(n_dims)
+    ]
+
+
+def _real_features(content: bytes, n_dims: int) -> list[float]:
+    kind = sniff_media(content)
+    if kind == "wav":
+        return _decode_wav(content, n_dims)[0]
+    if kind in ("png", "jpeg", "gif"):
+        return _decode_image_pixels(content, n_dims)
+    raise NotImplementedError(
+        f"unrecognized media container (first bytes {content[:8]!r}); "
+        "supported: WAV (stdlib), PNG/JPEG/GIF (PIL-gated)"
+    )
+
+
 def extract_media_features(
     df: DataFrame,
     content_col: str = "content",
@@ -57,14 +182,17 @@ def extract_media_features(
     """binary content → (id, n_bytes, content_md5, features[n_dims]).
 
     Arrow-batched mapInPandas: each task processes whole record
-    batches; a real decoder would be initialized once per partition in
+    batches; the decoder dispatch is resolved once per partition in
     the generator prologue (the predict_batch_udf pattern, C4).
+
+    ``mode='real'`` decodes: WAV via the stdlib ``wave`` parser
+    (per-chunk RMS features), PNG/JPEG/GIF pixels via PIL
+    (import-gated — NotImplementedError without it), anything else
+    raises. ``mode='fake'`` is the deterministic md5 extractor the
+    SQL oracle replays.
     """
-    if mode == "real":
-        raise NotImplementedError(
-            "real media decode needs PIL/cv2/ffmpeg (not in this container); "
-            "use mode='fake' for the deterministic byte-level extractor"
-        )
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")
 
     schema = T.StructType(
         [
@@ -76,7 +204,8 @@ def extract_media_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # <- real decoder init would go here, once per partition
+        # decoder resolved once per partition, not once per row
+        extract = _real_features if mode == "real" else _fake_features
         for pdf in batches:
             content = pdf[content_col]
             yield pd.DataFrame(
@@ -87,7 +216,60 @@ def extract_media_features(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                     "features": content.map(
-                        lambda b: _fake_features(bytes(b), n_dims)
+                        lambda b: extract(bytes(b), n_dims)
+                    ),
+                }
+            )
+
+    return repartition_for_compute(df.select(id_col, content_col)).mapInPandas(
+        run, schema
+    )
+
+
+def probe_media_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL header-level media probe, zero optional deps: sniff the
+    container by magic bytes and parse format headers with ``struct``
+    — PNG IHDR / GIF screen descriptor / JPEG SOF for width+height,
+    the WAV RIFF header for duration. Returns (id, media_meta) with
+    the MEDIA_META struct filled where the format carries the field.
+    Pure map stage (mapInPandas), no shuffle — metadata extraction at
+    ingest is exactly this shape at 100 TB."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("media_meta", MEDIA_META)]
+    )
+
+    def probe_one(b: bytes) -> dict:
+        kind = sniff_media(b)
+        if kind == "wav":
+            return _decode_wav(b, 1)[1]
+        if kind in ("png", "jpeg", "gif"):
+            w, h = _image_dims(b, kind)
+            return {
+                "media_type": "image",
+                "format": kind,
+                "width": w,
+                "height": h,
+                "duration_s": None,
+            }
+        return {
+            "media_type": None,
+            "format": None,
+            "width": None,
+            "height": None,
+            "duration_s": None,
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "media_meta": pdf[content_col].map(
+                        lambda b: probe_one(bytes(b))
                     ),
                 }
             )
@@ -112,7 +294,9 @@ def sample_frames(
     """
     if mode == "real":
         raise NotImplementedError(
-            "real frame decode needs ffmpeg bindings; mode='fake' slices bytes"
+            "real VIDEO keyframe decode needs ffmpeg bindings (no stdlib "
+            "path exists); mode='fake' runs the identical slicing/fan-out "
+            "plumbing over raw byte ranges"
         )
 
     schema = T.StructType(

@@ -445,46 +445,67 @@ def pq_topk_onestep(
     )
 
 
-def ivfpq_topk_onestep(
+def _pq_subvecs(
+    df: DataFrame, id_cols: list[str], vcol: str, m: int, sub: int
+) -> DataFrame:
+    """Explode an array column into its ``m`` subspace slices:
+    one row per (ids…, j, sv) with sv = dims [j*sub, (j+1)*sub)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col(vcol), j * sub + 1, sub)
+                .cast("array<double>")
+                .alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(*id_cols, F.explode(parts).alias("s")).select(
+        *id_cols, F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_d2(a: str, b: str, d2_round: int) -> F.Column:
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        d2_round,
+    )
+
+
+def ivfpq_build(
     corpus: DataFrame,
-    queries: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_cells: int = 8,
-    n_probe: int = 2,
     m: int = 4,
     n_codes: int = 8,
     d2_round: int = 6,
-) -> DataFrame:
-    """IVF + PQ composed (the FAISS IVFADC design): the coarse one-step-
-    Lloyd quantizer shards the corpus into ``n_cells`` inverted lists,
-    each vector stores only the PQ codes of its RESIDUAL (v − centroid),
-    and a query ranks candidates in its ``n_probe`` nearest cells by
-    asymmetric distance — per-(query, probed cell) lookup tables over
-    the residual codebooks, summed per candidate. This composition is
-    the actual 100 TB ANN layout: the probe bounds *which* vectors are
-    touched (inverted lists), PQ bounds *how much* of each is read
-    (m bytes, not dim floats), so scan cost is
-    |probed lists| × m bytes — independent of both corpus size and
-    embedding width.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVFPQ index construction — the BUILD half of the FAISS IVFADC
+    layout, split from the probe so the index can be built once,
+    persisted (``operators/ann_index.py``) and probed many times.
 
-    Residual encoding is what makes the composition better than either
-    part alone: residuals have far less variance than raw vectors, so
-    the same codebook budget quantizes them much more finely.
+    Returns three relations:
+    - centroids (cell int, centroid array<double>) — n_cells rows
+    - codebooks (j int, code int, cw array<double>) — m × n_codes rows
+    - codes (cid, cell, j, code) — m rows per corpus vector: the PQ
+      codes of the vector's RESIDUAL (v − centroid(cell))
 
-    Determinism discipline shared with ``ivf_topk_onestep`` /
-    ``pq_topk_onestep``: cell seeds and codeword seeds come from the
-    lowest-id vectors, every distance rounds before an argmin or rank,
-    ties break by cell / code / id asc — a SQL oracle replays the whole
-    index build + search bit-for-bit.
+    Deterministic end-to-end (one-step-Lloyd seeds from the lowest-id
+    vectors, distances rounded before every argmin, ties by cell/code
+    asc) so a SQL oracle replays the build bit-for-bit — which also
+    makes the persisted index reproducible: rebuilding from the same
+    corpus yields byte-identical tables.
 
-    Plan shape: centroids (n_cells) and codebooks (m × n_codes) are
-    tiny and broadcast; corpus passes are map-side (assignment,
-    residual, encoding); the probe is one equi-join on cell; the ADC
-    sum is a groupBy over m rows per candidate. The corpus never
-    shuffles on anything wider than (id, cell, j, code).
+    Plan shape: centroids and codebooks are tiny and broadcast;
+    corpus passes are map-side (assignment, residual, encoding); the
+    corpus never shuffles on anything wider than (id, cell, j, code).
     """
     sub = dim // m
     assert sub * m == dim, "dim must divide evenly into m subspaces"
@@ -500,36 +521,10 @@ def ivfpq_topk_onestep(
         F.zip_with("c_vec", "centroid", lambda x, ce: x - ce).alias("r_vec"),
     )
 
-    def _subvecs(df: DataFrame, id_cols: list[str], vcol: str) -> DataFrame:
-        parts = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.slice(F.col(vcol), j * sub + 1, sub)
-                    .cast("array<double>")
-                    .alias("sv"),
-                )
-                for j in range(m)
-            ]
-        )
-        return df.select(*id_cols, F.explode(parts).alias("s")).select(
-            *id_cols, F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
-        )
-
-    def _d2(a: str, b: str) -> F.Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-            d2_round,
-        )
-
-    rsub = _subvecs(resid, ["cid"], "r_vec")
+    rsub = _pq_subvecs(resid, ["cid"], "r_vec", m, sub)
     # codebook seeds: residual subvectors of the n_codes lowest-id vectors
-    seeds = _subvecs(
-        resid.orderBy("cid").limit(n_codes), ["cid"], "r_vec"
+    seeds = _pq_subvecs(
+        resid.orderBy("cid").limit(n_codes), ["cid"], "r_vec", m, sub
     ).select(
         "j",
         (F.row_number().over(W.partitionBy("j").orderBy("cid")) - 1)
@@ -543,7 +538,7 @@ def ivfpq_topk_onestep(
         # with map-side partials instead of a sort window
         return (
             sv.join(F.broadcast(cb), "j")
-            .withColumn("d2r", _d2("sv", "cw"))
+            .withColumn("d2r", _pq_d2("sv", "cw", d2_round))
             .groupBy("cid", "j")
             .agg(F.min(F.struct("d2r", "code", "sv")).alias("__m"))
             .select(
@@ -566,18 +561,41 @@ def ivfpq_topk_onestep(
     )
     codes = (
         _assign_codes(rsub, cb1)
-        .select(F.col("cid").alias("neighbor_id"), "j", "code")
-        .join(
-            resid.select(F.col("cid").alias("neighbor_id"), "cell"),
-            "neighbor_id",
-        )
+        .select("cid", "j", "code")
+        .join(resid.select("cid", "cell"), "cid")
     )
+    return cents1, cb1, codes
 
-    # probes: n_probe nearest cells per query (rounded d2, cell-asc ties)
+
+def ivfpq_probe(
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    d2_round: int = 6,
+) -> DataFrame:
+    """The PROBE half of IVFPQ: rank each query's candidates in its
+    ``n_probe`` nearest cells by asymmetric distance — a per-(query,
+    probed cell) lookup table over the residual codebooks, summed per
+    candidate over its m codes. Takes the three index relations from
+    ``ivfpq_build`` (in-memory or read back from a persisted index) —
+    the serving-path cost is therefore |probed lists| × m codes,
+    independent of corpus size, embedding width, and (crucially) of
+    the index BUILD cost, which is paid once, not per query.
+    """
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     wp = W.partitionBy("query_id").orderBy(F.asc("d2r"), F.asc("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cents1))
+        q.crossJoin(F.broadcast(centroids))
         .withColumn("d2r", F.round(_sq_l2("q_vec", "centroid"), d2_round))
         .withColumn("p_rnk", F.row_number().over(wp))
         .filter(F.col("p_rnk") <= n_probe)
@@ -589,12 +607,16 @@ def ivfpq_topk_onestep(
     )
     # per-(query, probed cell) ADC lookup table: queries×n_probe×m×n_codes
     lut = (
-        _subvecs(probes, ["query_id", "cell"], "qr_vec")
-        .join(F.broadcast(cb1), "j")
-        .select("query_id", "cell", "j", "code", _d2("sv", "cw").alias("lut_d2"))
+        _pq_subvecs(probes, ["query_id", "cell"], "qr_vec", m, sub)
+        .join(F.broadcast(codebooks), "j")
+        .select(
+            "query_id", "cell", "j", "code",
+            _pq_d2("sv", "cw", d2_round).alias("lut_d2"),
+        )
     )
     approx = (
-        codes.join(F.broadcast(lut), ["cell", "j", "code"])
+        codes.select(F.col("cid").alias("neighbor_id"), "cell", "j", "code")
+        .join(F.broadcast(lut), ["cell", "j", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("lut_d2"), d2_round).alias("approx_d2"))
@@ -602,6 +624,47 @@ def ivfpq_topk_onestep(
     w = W.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
     return approx.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rnk") <= k
+    )
+
+
+def ivfpq_topk_onestep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    d2_round: int = 6,
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC design): the coarse one-step-
+    Lloyd quantizer shards the corpus into ``n_cells`` inverted lists,
+    each vector stores only the PQ codes of its RESIDUAL (v − centroid),
+    and a query ranks candidates in its ``n_probe`` nearest cells by
+    asymmetric distance. This composition is the actual 100 TB ANN
+    layout: the probe bounds *which* vectors are touched (inverted
+    lists), PQ bounds *how much* of each is read (m bytes, not dim
+    floats), so scan cost is |probed lists| × m bytes — independent of
+    both corpus size and embedding width.
+
+    Residual encoding is what makes the composition better than either
+    part alone: residuals have far less variance than raw vectors, so
+    the same codebook budget quantizes them much more finely.
+
+    One-shot convenience composition of ``ivfpq_build`` + ``ivfpq_probe``
+    — build cost is paid inside the call. For the serving shape (build
+    once, persist, probe many times) use ``operators/ann_index.py``.
+    Deterministic end-to-end, so a SQL oracle replays the whole
+    index build + search bit-for-bit.
+    """
+    cents1, cb1, codes = ivfpq_build(
+        corpus, dim, id_col, vec_col, n_cells, m, n_codes, d2_round
+    )
+    return ivfpq_probe(
+        cents1, cb1, codes, queries, dim, id_col, vec_col, k, n_probe, m, d2_round
     )
 
 

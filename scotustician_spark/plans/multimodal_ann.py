@@ -13,11 +13,14 @@ bucket computation.
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import ann_index as ANN
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from .registry import register
@@ -473,6 +476,74 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "approx_d2", "rnk")
 
 
+# ---- served (persisted) IVFPQ index -------------------------------
+# Build-once/probe-many: the index tables live under the repo's
+# spark-warehouse keyed by a fingerprint of the embeddings files
+# (path + size + mtime) and the build parameters, so a regenerated
+# testdata set or a parameter change triggers a rebuild while repeat
+# probes — the serving reality — read the persisted tables only.
+# write_ivfpq_index writes meta/ LAST, so meta/_SUCCESS marks a
+# complete index; a partial write is rebuilt. (Fingerprinting stats
+# the local filesystem — swap for a catalog/manifest check on an
+# object store.)
+
+_INDEX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "ann_index",
+)
+_IVFPQ_DIM = 64
+_IVFPQ_PARAMS = {"n_cells": 8, "m": 4, "n_codes": 8, "d2_round": 6}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    p = f"{sf_dir}/embeddings.parquet"
+    st = []
+    if os.path.isdir(p):
+        for root, _, files in sorted(os.walk(p)):
+            for fn in sorted(files):
+                fp = os.path.join(root, fn)
+                s = os.stat(fp)
+                st.append((fp, s.st_size, int(s.st_mtime)))
+    else:
+        s = os.stat(p)
+        st.append((p, s.st_size, int(s.st_mtime)))
+    st.append(tuple(sorted(_IVFPQ_PARAMS.items())) + (_IVFPQ_DIM,))
+    return hashlib.md5(repr(st).encode()).hexdigest()[:16]
+
+
+def _served_ivfpq_index(spark: SparkSession, sf_dir: str) -> ANN.IvfPqIndex:
+    path = os.path.join(_INDEX_ROOT, f"ivfpq_{_embeddings_fingerprint(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
+        ANN.write_ivfpq_index(idx, path)
+    return ANN.read_ivfpq_index(spark, path)
+
+
+@register(
+    "ann_probe_only",
+    _ivfpq_oracle(),
+    bench=True,
+    doc="Serving-path ANN: the IVFPQ probe against a PERSISTED index "
+    "(operators/ann_index.py — centroids/codebooks broadcast from tiny "
+    "parquet tables, packed codes partitioned BY CELL so the probe "
+    "scan partition-prunes to the probed inverted lists). The index "
+    "builds once per dataset fingerprint and is reused across calls — "
+    "the FAISS/pgvector serving reality, vs ivfpq_ann_topk which pays "
+    "the build inside every call. Same oracle as ivfpq_ann_topk: the "
+    "persisted build is deterministic and parquet round-trips exactly.",
+)
+def ann_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _served_ivfpq_index(spark, sf_dir)
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 10
+    )
+    return ANN.probe_ivfpq_index(idx, q, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "approx_d2", "rnk"
+    )
+
+
 def _rerank_oracle(k: int = 5, n_candidates: int = 50, r: int = 6) -> str:
     # stage 1 = the IVFPQ oracle at k=n_candidates, nested as a CTE
     # (its own WITH chain scopes inside the parentheses); stage 2 =
@@ -508,28 +579,26 @@ def _rerank_oracle(k: int = 5, n_candidates: int = 50, r: int = 6) -> str:
     "ann_rerank_topk",
     _rerank_oracle(),
     bench=True,
-    doc="Two-stage retrieval (operators/similarity.py::ann_rerank_topk) "
-    "— the production ANN serving shape: the compressed-domain IVFPQ "
-    "index nominates 50 candidates per query, then ONLY that sliver's "
-    "raw vectors are fetched for an exact cosine re-rank to 5. Recall "
-    "is bought back from the lossy index at a constant per-query cost "
-    "(candidates × dim floats) regardless of corpus size; the oracle "
-    "replays both stages (index build, ADC nomination, exact re-rank).",
+    doc="Two-stage retrieval from the PERSISTED index "
+    "(operators/ann_index.py::rerank_from_index) — the production ANN "
+    "serving shape: the ADC probe nominates 50 candidates per query "
+    "from the cell-partitioned codes, then ONLY that sliver's raw "
+    "vectors (the index's id-range-sorted vectors table — the fetch "
+    "prunes row groups) are read for the exact cosine re-rank to 5. "
+    "Recall is bought back from the lossy index at a constant "
+    "per-query cost regardless of corpus size, and the index build is "
+    "paid once per dataset, not per call (the one-shot composition "
+    "remains as similarity.ann_rerank_topk). The oracle replays index "
+    "build + ADC nomination + re-rank; the persisted build is "
+    "deterministic, so served results match it exactly.",
 )
 def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.ann_rerank_topk(
-        e,
-        e.filter(F.col("vec_id") < 10),
-        dim=64,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=5,
-        n_candidates=50,
-        n_cells=8,
-        n_probe=2,
-        m=4,
-        n_codes=8,
+    idx = _served_ivfpq_index(spark, sf_dir)
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 10
+    )
+    return ANN.rerank_from_index(
+        idx, q, k=5, n_candidates=50, n_probe=2, sim_round=6
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 

@@ -2,8 +2,10 @@
 ingest/main.py:52-72,121-136 — 1 req/s token wait + tenacity
 exponential backoff ×3 around every Oyez call).
 
-Design: the fetch function is injected (tests use fakes; production
-wires urllib/requests), and fetching runs INSIDE ``mapPartitions`` so
+Design: the fetch function is injected (tests use fakes) with a thin
+stdlib ``urllib`` default matching the reference's live contract
+(GET + timeout + User-Agent, non-2xx raises), and fetching runs
+INSIDE ``mapPartitions`` so
 a large key list distributes across executors — each partition
 enforces its own token-bucket, so the cluster-wide rate is
 ``rate_per_sec × num_partitions`` (choose partitions = global_budget /
@@ -21,10 +23,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def urllib_fetcher(
+    timeout_s: float = 30.0, user_agent: str = "scotustician-spark/1.0"
+) -> Callable[[str], str]:
+    """Default LIVE fetcher — the reference's HTTP contract
+    (ingest/main.py:121-136: GET with timeout and a User-Agent header,
+    non-2xx raises, body is UTF-8 text) on nothing but the stdlib.
+    Returns a closure so it pickles cleanly into ``mapPartitions``
+    tasks; urllib imports lazily inside the call, once per fetch path.
+    Supports any urllib scheme — ``file://`` URLs make it fully
+    testable offline. Still injection-replaceable: pass any
+    ``key -> payload`` callable to ``fetch_keys`` instead (retries,
+    rate limiting and quarantine behave identically either way)."""
+
+    def fetch(url: str) -> str:
+        import urllib.request
+
+        req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = getattr(resp, "status", None)
+            if status is not None and status >= 300:
+                raise OSError(f"HTTP {status} for {url}")
+            return resp.read().decode("utf-8")
+
+    return fetch
+
+
 def fetch_keys(
     spark: SparkSession,
     keys: list[str],
-    fetcher: Callable[[str], str],
+    fetcher: Callable[[str], str] | None = None,
     rate_per_sec: float = 1.0,
     max_retries: int = 3,
     backoff_base_s: float = 0.1,
@@ -35,7 +63,12 @@ def fetch_keys(
     Failed keys are returned with ``error`` set instead of failing the
     job — the caller routes them to the junk sink (S4), mirroring the
     reference's per-case try/except (ingest/main.py:169-207).
+
+    ``fetcher`` defaults to the live ``urllib_fetcher()`` (keys are
+    then URLs); inject a fake for offline tests.
     """
+    if fetcher is None:
+        fetcher = urllib_fetcher()
     min_interval = 1.0 / rate_per_sec if rate_per_sec > 0 else 0.0
 
     def run_partition(it: Iterator) -> Iterator[tuple[str, str | None, int, str | None]]:

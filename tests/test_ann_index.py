@@ -1,0 +1,107 @@
+"""Persistent IVFPQ index: build/probe split correctness.
+
+The serving contract: probing a PERSISTED index must return exactly
+what the one-shot build+probe composition returns (parquet round-trips
+doubles and ints losslessly; the build is deterministic), and the
+probe plan must not contain the build (no Lloyd assignment work)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from scotustician_spark.operators.ann_index import (
+    build_ivfpq_index,
+    probe_ivfpq_index,
+    read_ivfpq_index,
+    rerank_from_index,
+    write_ivfpq_index,
+)
+from scotustician_spark.operators.similarity import (
+    ann_rerank_topk,
+    ivfpq_topk_onestep,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # deterministic synthetic vectors: vec_id 0..59, 16 dims
+    return spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda i: F.sin(F.col("id") * 7 + i * 13),
+        ).alias("embedding"),
+    )
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    idx = build_ivfpq_index(corpus, DIM, n_cells=4, m=4, n_codes=4)
+    write_ivfpq_index(idx, path)
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persisted_probe_equals_oneshot(spark, corpus, index_dir):
+    queries = corpus.filter(F.col("vec_id") < 5)
+    idx = read_ivfpq_index(spark, index_dir)
+    assert idx.params == {
+        "dim": DIM, "n_cells": 4, "m": 4, "n_codes": 4, "d2_round": 6,
+    }
+    got = probe_ivfpq_index(idx, queries, k=3, n_probe=2)
+    want = ivfpq_topk_onestep(
+        corpus, queries, DIM, k=3, n_cells=4, n_probe=2, m=4, n_codes=4
+    )
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 15  # 5 queries × k=3
+
+
+def test_persisted_rerank_equals_oneshot(spark, corpus, index_dir):
+    queries = corpus.filter(F.col("vec_id") < 5)
+    idx = read_ivfpq_index(spark, index_dir)
+    got = rerank_from_index(
+        idx, queries, k=3, n_candidates=10, n_probe=2
+    )
+    want = ann_rerank_topk(
+        corpus, queries, DIM, k=3, n_candidates=10,
+        n_cells=4, n_probe=2, m=4, n_codes=4,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_probe_plan_contains_no_build(spark, corpus, index_dir):
+    """The probe over a persisted index must SCAN the code/centroid
+    tables, not rebuild them: no Lloyd-step aggregation over the
+    corpus (the build's signature posexplode-avg re-centering) may
+    appear, and far fewer exchanges than the one-shot plan."""
+    queries = corpus.filter(F.col("vec_id") < 5)
+    idx = read_ivfpq_index(spark, index_dir)
+    probe_plan = probe_ivfpq_index(idx, queries, k=3, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    oneshot_plan = ivfpq_topk_onestep(
+        corpus, queries, DIM, k=3, n_cells=4, n_probe=2, m=4, n_codes=4
+    )._jdf.queryExecution().executedPlan().toString()
+    # the persisted probe reads parquet index tables
+    assert "parquet" in probe_plan.lower()
+    assert probe_plan.count("Exchange") < oneshot_plan.count("Exchange")
+    # build signature: the codebook re-centering aggregates posexploded
+    # subvector elements — absent from the probe
+    assert "posexplode" in oneshot_plan
+    codes_scans = probe_plan.lower().count("partitionfilters")
+    assert codes_scans >= 1  # cell-partitioned codes scan is prunable
+
+
+def test_index_rebuild_is_reproducible(spark, corpus, tmp_path):
+    """Same corpus → byte-identical index relations (determinism
+    contract that makes cache-by-fingerprint sound)."""
+    a = build_ivfpq_index(corpus, DIM, n_cells=4, m=4, n_codes=4)
+    b = build_ivfpq_index(corpus, DIM, n_cells=4, m=4, n_codes=4)
+    assert _rows(a.codes) == _rows(b.codes)
+    assert _rows(a.centroids) == _rows(b.centroids)
+    assert _rows(a.codebooks) == _rows(b.codebooks)

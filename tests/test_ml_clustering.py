@@ -111,6 +111,82 @@ def test_tsne_hdbscan_gated(edf):
             tsne_hdbscan_driver(edf, "embedding", ["vec_id"])
 
 
+class _StandinTSNE:
+    """API-compatible t-SNE stand-in (SVD 2-D projection) so the
+    escape hatch's collect→guardrail→project→cluster path executes
+    without sklearn. Records the params it was handed."""
+
+    last_params: dict = {}
+
+    def __init__(self, n_components, perplexity, random_state):
+        type(self).last_params = {
+            "n_components": n_components,
+            "perplexity": perplexity,
+            "random_state": random_state,
+        }
+
+    def fit_transform(self, mat):
+        import numpy as np
+
+        centered = mat - mat.mean(axis=0)
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        return centered @ vt[:2].T
+
+
+class _StandinHDBSCAN:
+    """fit_predict stand-in: quadrant labels over the 2-D coords."""
+
+    last_params: dict = {}
+
+    def __init__(self, min_cluster_size):
+        type(self).last_params = {"min_cluster_size": min_cluster_size}
+
+    def fit_predict(self, coords):
+        return (coords[:, 0] > 0).astype(int) * 2 + (coords[:, 1] > 0).astype(int)
+
+
+def test_tsne_hdbscan_hatch_executes_on_500_row_matrix(spark):
+    """Run the reference-faithful hatch end-to-end on the 500-row case
+    matrix with seed 42 — real sklearn/hdbscan when available,
+    injected API stand-ins otherwise — and pin the parameter
+    guardrails (eff_perp = min(p, max(5, n//4)), eff_mcs =
+    max(2, min(mcs, n//8)))."""
+    import pyspark.sql.functions as F
+
+    cases = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.sin(F.col("id") * 3 + i),
+        ).alias("embedding"),
+    )
+    try:
+        import hdbscan  # noqa: F401
+        import sklearn  # noqa: F401
+
+        kwargs = {}
+        check_params = False
+    except ImportError:
+        kwargs = {"_tsne_cls": _StandinTSNE, "_hdbscan_cls": _StandinHDBSCAN}
+        check_params = True
+    out = tsne_hdbscan_driver(
+        cases, "embedding", ["vec_id"], perplexity=1000,
+        min_cluster_size=5, seed=42, **kwargs,
+    )
+    rows = out.collect()
+    assert len(rows) == 500
+    assert set(out.columns) == {"vec_id", "x", "y", "cluster"}
+    assert len({r["cluster"] for r in rows}) >= 2
+    # every x/y is a finite float
+    assert all(abs(r["x"]) < 1e9 and abs(r["y"]) < 1e9 for r in rows)
+    if check_params:
+        # guardrails: perplexity clamps to n//4=125, mcs passes through
+        assert _StandinTSNE.last_params == {
+            "n_components": 2, "perplexity": 125, "random_state": 42,
+        }
+        assert _StandinHDBSCAN.last_params == {"min_cluster_size": 5}
+
+
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     from scotustician_spark.operators.similarity import brute_force_topk, ivf_topk
 

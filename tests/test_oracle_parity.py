@@ -16,6 +16,32 @@ from scotustician_spark.testing import compare_spark_duckdb
 
 ALL = sorted(QUERY_REGISTRY)
 
+# The declared rows-only set: every other query MUST carry an oracle.
+# Growing this set is a deliberate decision, not drift — add the name
+# here WITH a reason in the query's doc, or the coverage test fails.
+ROWS_ONLY = {
+    "als_recommendations",   # BLAS nondeterminism across platforms
+    "cluster_report",        # KMeans quantizer not SQL-expressible
+    "ivf_kmeans_topk",       # KMeans quantizer not SQL-expressible
+    "kmeans_cluster_sizes",  # KMeans quantizer not SQL-expressible
+    "pca_projection",        # iterative SVD not SQL-expressible
+}
+
+
+def test_registry_oracle_coverage_does_not_drift():
+    """The driver samples ~50 queries per round; this pins the full
+    registry's oracle coverage so unsampled oracles cannot silently
+    disappear: every non-declared query has an oracle, and the
+    per-query parametrization below therefore runs the identical
+    driver comparison over ALL of them every CI run."""
+    total = len(QUERY_REGISTRY)
+    no_oracle = {n for n, q in QUERY_REGISTRY.items() if not q.oracle}
+    assert total >= 138, f"registry shrank to {total}"
+    assert no_oracle == ROWS_ONLY, (
+        f"oracle coverage drifted: unexpected rows-only {sorted(no_oracle - ROWS_ONLY)}, "
+        f"missing {sorted(ROWS_ONLY - no_oracle)}"
+    )
+
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(name, spark, duck, sf_dir):

@@ -91,6 +91,49 @@ def test_fetch_keys_retry_and_quarantine(spark):
     assert [r["id"] for r in ok.select("id").collect()] == ["ok1"]
 
 
+def test_default_urllib_fetcher_offline(spark, tmp_path):
+    """The DEFAULT fetcher is the live urllib one; file:// URLs
+    exercise it end-to-end without a network — real urllib open,
+    decode, and error→quarantine path through the same retry loop."""
+    good = tmp_path / "doc.json"
+    good.write_text(
+        '{"id": "d1", "case_id": "c", "docket_number": "1", '
+        '"transcript": {"sections": []}}'
+    )
+    urls = [f"file://{good}", f"file://{tmp_path}/missing.json"]
+    fetched = fetch_keys(
+        spark, urls, rate_per_sec=1000, backoff_base_s=0.0
+    )
+    rows = {r["key"]: r for r in fetched.collect()}
+    ok_row = rows[urls[0]]
+    assert ok_row["error"] is None and ok_row["attempts"] == 1
+    assert '"id": "d1"' in ok_row["payload"]
+    bad_row = rows[urls[1]]
+    assert bad_row["error"] is not None and bad_row["attempts"] == 3
+
+    ok, junk = parse_fetched(fetched, OA_DOCUMENT)
+    assert [r["id"] for r in ok.select("id").collect()] == ["d1"]
+    assert junk.count() == 1
+
+
+def test_urllib_fetcher_contract():
+    """Direct contract check: UTF-8 text back, OSError family on a
+    missing target (what the retry loop catches)."""
+    from scotustician_spark.sources.rest_source import urllib_fetcher
+
+    import tempfile, os
+    f = urllib_fetcher(timeout_s=5.0)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as t:
+        t.write("héllo")
+        p = t.name
+    try:
+        assert f(f"file://{p}") == "héllo"
+        with pytest.raises(Exception):
+            f(f"file://{p}.nope")
+    finally:
+        os.unlink(p)
+
+
 def test_merge_upsert(spark, tmp_path):
     from scotustician_spark.sources.sinks import merge_upsert
 
