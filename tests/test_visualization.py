@@ -53,3 +53,49 @@ def test_representative_table(outputs):
     ).collect()
     # one representative row per cluster, and it is a member of the cluster
     assert len(reps) == outputs["cluster_report"].count()
+
+
+def test_dashboard_server_serves_panels(spark, outputs, tmp_path_factory):
+    """The stdlib serving surface: panels materialize once, JSON and
+    HTML endpoints serve them, unknown panels 404."""
+    import json
+    import urllib.request
+
+    from scotustician_spark.serving import DashboardServer
+
+    panels = {
+        "cluster_sizes": cluster_size_distribution(outputs["cluster_results"]),
+        "term_trend": term_trend(outputs["utterances"]),
+    }
+    srv = DashboardServer(panels, port=0)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        health = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert health["ok"] and health["panels"] == ["cluster_sizes", "term_trend"]
+        sizes = json.load(urllib.request.urlopen(f"{base}/api/panel/cluster_sizes"))
+        assert sizes["columns"] == ["cluster", "count"]
+        assert sum(r[1] for r in sizes["rows"]) == 9
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "cluster_sizes" in page and "<table" in page
+        try:
+            urllib.request.urlopen(f"{base}/api/panel/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+
+
+def test_build_panels_composes_all(spark, outputs, tmp_path_factory):
+    """build_panels wires the full reference panel set over a real run
+    directory (same exports load_results reads)."""
+    from scotustician_spark.serving import build_panels
+
+    d = tmp_path_factory.mktemp("viz2")
+    write_corpus_json(make_corpus(n_docs=6, seed=5), str(d / "corpus"))
+    run_pipeline(spark, str(d / "corpus"), out_dir=str(d / "out"), n_clusters=2)
+    panels = build_panels(spark, str(d / "out"))
+    assert set(panels) == {"cluster_sizes", "term_trend", "representatives"}
+    assert panels["cluster_sizes"].count() >= 1
+    assert panels["representatives"].count() >= 1
