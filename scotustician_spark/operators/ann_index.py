@@ -155,6 +155,85 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     )
 
 
+def append_to_ivfpq_index(
+    index: IvfPqIndex,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Incremental index maintenance — the FAISS ``add()`` contract:
+    centroids and codebooks are FROZEN (retraining is a rebuild
+    decision, made offline when drift warrants it); new vectors are
+    assigned to their nearest existing cell, their residuals encoded
+    with the existing codebooks, and the (codes, vectors) relations
+    grow by exactly |delta|. The base corpus is never rescanned —
+    the partial-state-merge discipline (MV / top-k / components
+    family) applied to the ANN index. Cost: two broadcast joins over
+    the delta only.
+
+    Probing the appended index is exactly equivalent to probing an
+    index whose build had quantized the delta with the same frozen
+    quantizer — the differential tests pin appended codes equal to
+    direct encoding. Write the result back with ``write_ivfpq_index``
+    (cell-partitioned codes mean an appended cell directory rewrites,
+    untouched cells don't move under dynamic partition overwrite).
+    """
+    p = index.params
+    dim, m, d2r = p["dim"], p["m"], p["d2_round"]
+    sub = dim // m
+    d = delta.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+
+    # nearest existing cell per delta vector (struct-min argmin — same
+    # rounding/tie-break discipline as the build)
+    assigned = (
+        d.crossJoin(F.broadcast(index.centroids))
+        .withColumn(
+            "d2r",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "c_vec", "centroid", lambda x, c: (x - c) * (x - c)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                d2r,
+            ),
+        )
+        .groupBy("cid")
+        .agg(F.min(F.struct("d2r", "cell", "c_vec")).alias("__m"))
+        .select(
+            "cid",
+            F.col("__m.cell").alias("cell"),
+            F.col("__m.c_vec").alias("c_vec"),
+        )
+    )
+    resid = assigned.join(F.broadcast(index.centroids), "cell").select(
+        "cid",
+        "cell",
+        F.zip_with("c_vec", "centroid", lambda x, ce: x - ce).alias("r_vec"),
+    )
+    from .similarity import _pq_d2, _pq_subvecs
+
+    rsub = _pq_subvecs(resid, ["cid", "cell"], "r_vec", m, sub)
+    new_codes = (
+        rsub.join(F.broadcast(index.codebooks), "j")
+        .withColumn("d2c", _pq_d2("sv", "cw", d2r))
+        .groupBy("cid", "cell", "j")
+        .agg(F.min(F.struct("d2c", "code")).alias("__m"))
+        .select("cid", "cell", "j", F.col("__m.code").alias("code"))
+    )
+    return IvfPqIndex(
+        centroids=index.centroids,
+        codebooks=index.codebooks,
+        codes=index.codes.select("cid", "cell", "j", "code").unionByName(
+            new_codes
+        ),
+        vectors=index.vectors.unionByName(d),
+        params=dict(index.params),
+    )
+
+
 def probe_ivfpq_index(
     index: IvfPqIndex,
     queries: DataFrame,

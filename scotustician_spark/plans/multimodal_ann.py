@@ -339,7 +339,16 @@ def _ivfpq_oracle(
     n_codes: int = 8,
     k: int = 5,
     r: int = 6,
+    base_pred: str = "TRUE",
 ) -> str:
+    # ``base_pred``: the TRAINING population (seeds, centroid means,
+    # codebook means are computed over base rows only). With the
+    # default TRUE this is the plain one-shot build; with a narrower
+    # predicate it replays build-on-base + frozen-quantizer encoding
+    # of the rest — exactly ann_index.append_to_ivfpq_index, because
+    # cell assignment (d1) and code assignment (pd1) are per-vector
+    # argmins over the frozen tables, the same formula for base and
+    # appended vectors.
     sub = dim // m
     return f"""
     WITH ex AS (
@@ -348,13 +357,15 @@ def _ivfpq_oracle(
         FROM embeddings),
     seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
-        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+        FROM (SELECT DISTINCT vec_id FROM embeddings
+              WHERE {base_pred} ORDER BY vec_id LIMIT {n_cells})),
     seedvecs AS (
         SELECT s.cell, e.pos, e.v FROM seeds s JOIN ex e ON e.vec_id = s.vec_id),
     d0 AS (
         SELECT e.vec_id, sv.cell,
                round(sum((e.v - sv.v) * (e.v - sv.v)), {r}) AS d2r
         FROM ex e JOIN seedvecs sv ON sv.pos = e.pos
+        WHERE e.vec_id IN (SELECT vec_id FROM embeddings WHERE {base_pred})
         GROUP BY e.vec_id, sv.cell),
     a0 AS (
         SELECT vec_id, cell FROM (
@@ -382,7 +393,8 @@ def _ivfpq_oracle(
         JOIN cents c ON c.cell = a1.cell AND c.pos = e.pos),
     seed_ids AS (
         SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_codes})),
+        FROM (SELECT DISTINCT vec_id FROM embeddings
+              WHERE {base_pred} ORDER BY vec_id LIMIT {n_codes})),
     pqseeds AS (
         SELECT s.j, si.code, s.spos, s.rv
         FROM rsub s JOIN seed_ids si ON s.vec_id = si.vec_id),
@@ -390,6 +402,7 @@ def _ivfpq_oracle(
         SELECT s.vec_id, s.j, sd.code,
                round(sum((s.rv - sd.rv) * (s.rv - sd.rv)), {r}) AS d2r
         FROM rsub s JOIN pqseeds sd ON sd.j = s.j AND sd.spos = s.spos
+        WHERE s.vec_id IN (SELECT vec_id FROM embeddings WHERE {base_pred})
         GROUP BY s.vec_id, s.j, sd.code),
     pa0 AS (
         SELECT vec_id, j, code FROM (
@@ -496,7 +509,7 @@ _IVFPQ_DIM = 64
 _IVFPQ_PARAMS = {"n_cells": 8, "m": 4, "n_codes": 8, "d2_round": 6}
 
 
-def _embeddings_fingerprint(sf_dir: str) -> str:
+def _embeddings_fingerprint(sf_dir: str, extra: str = "") -> str:
     p = f"{sf_dir}/embeddings.parquet"
     st = []
     if os.path.isdir(p):
@@ -508,14 +521,23 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     else:
         s = os.stat(p)
         st.append((p, s.st_size, int(s.st_mtime)))
-    st.append(tuple(sorted(_IVFPQ_PARAMS.items())) + (_IVFPQ_DIM,))
+    st.append(tuple(sorted(_IVFPQ_PARAMS.items())) + (_IVFPQ_DIM, extra))
     return hashlib.md5(repr(st).encode()).hexdigest()[:16]
 
 
-def _served_ivfpq_index(spark: SparkSession, sf_dir: str) -> ANN.IvfPqIndex:
-    path = os.path.join(_INDEX_ROOT, f"ivfpq_{_embeddings_fingerprint(sf_dir)}")
+def _served_ivfpq_index(
+    spark: SparkSession, sf_dir: str, base_pred: str | None = None
+) -> ANN.IvfPqIndex:
+    """Open (building if absent) the persisted index for ``sf_dir``.
+    ``base_pred`` restricts the indexed population (the append query
+    trains on a base slice and appends the rest); it participates in
+    the cache key."""
+    fp = _embeddings_fingerprint(sf_dir, base_pred or "")
+    path = os.path.join(_INDEX_ROOT, f"ivfpq_{fp}")
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if base_pred:
+            e = e.filter(F.expr(base_pred))
         idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
         ANN.write_ivfpq_index(idx, path)
     return ANN.read_ivfpq_index(spark, path)
@@ -540,6 +562,36 @@ def ann_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < 10
     )
     return ANN.probe_ivfpq_index(idx, q, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "approx_d2", "rnk"
+    )
+
+
+_APPEND_BASE = "vec_id % 10 < 9"
+
+
+@register(
+    "ann_append_probe",
+    _ivfpq_oracle(base_pred=_APPEND_BASE),
+    bench=True,
+    doc="Incremental index maintenance (the FAISS add() contract, "
+    "operators/ann_index.py::append_to_ivfpq_index): the persisted "
+    "IVFPQ index trains on a 90% base slice, the 10% delta is "
+    "assigned to its nearest FROZEN cell and encoded with the FROZEN "
+    "residual codebooks — two broadcast joins over the delta only, "
+    "the base corpus never rescanned — then the probe runs over the "
+    "merged inverted lists. Oracle: the IVFPQ oracle with training "
+    "CTEs restricted to the base predicate; per-vector cell/code "
+    "assignment is the same frozen-argmin formula for base and "
+    "appended vectors, so append == build-with-frozen-training "
+    "exactly.",
+)
+def ann_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _served_ivfpq_index(spark, sf_dir, base_pred=_APPEND_BASE)
+    delta = e.filter(~F.expr(_APPEND_BASE))
+    appended = ANN.append_to_ivfpq_index(idx, delta)
+    q = e.filter(F.col("vec_id") < 10)
+    return ANN.probe_ivfpq_index(appended, q, k=5, n_probe=2).select(
         "query_id", "neighbor_id", "approx_d2", "rnk"
     )
 

@@ -105,3 +105,75 @@ def test_index_rebuild_is_reproducible(spark, corpus, tmp_path):
     assert _rows(a.codes) == _rows(b.codes)
     assert _rows(a.centroids) == _rows(b.centroids)
     assert _rows(a.codebooks) == _rows(b.codebooks)
+
+
+def test_append_frozen_quantizer_semantics(spark, corpus, index_dir):
+    """FAISS add() contract: appended vectors encode with the FROZEN
+    centroids/codebooks. A delta vector identical to a base vector
+    must land in the same cell with the same codes; counts grow by
+    exactly |delta|; batch-split append composes associatively."""
+    from scotustician_spark.operators.ann_index import append_to_ivfpq_index
+
+    idx = read_ivfpq_index(spark, index_dir)
+    base_codes = idx.codes.collect()
+    n_base = len(base_codes)
+
+    # delta: clones of vec_id 7 and 23 under new ids, plus one new vector
+    clones = corpus.filter(F.col("vec_id").isin(7, 23)).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    novel = spark.range(1).select(
+        F.lit(2000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda i: F.cos(i * 3.1),
+        ).alias("embedding"),
+    )
+    delta = clones.unionByName(novel)
+
+    appended = append_to_ivfpq_index(idx, delta)
+    all_codes = appended.codes.collect()
+    assert len(all_codes) == n_base + 3 * 4  # m=4 codes per new vector
+    assert appended.vectors.count() == idx.vectors.count() + 3
+
+    by_id = {}
+    for r in all_codes:
+        by_id.setdefault(r["cid"], {})[r["j"]] = (r["cell"], r["code"])
+    # clones encode identically to their base twins
+    for orig, clone in [(7, 1007), (23, 1023)]:
+        assert by_id[orig] == by_id[clone], orig
+
+    # associativity: append(B1 ∪ B2) == append(B1) then append(B2)
+    one_shot = append_to_ivfpq_index(idx, delta)
+    two_step = append_to_ivfpq_index(
+        append_to_ivfpq_index(idx, clones), novel
+    )
+    assert _rows(one_shot.codes) == _rows(two_step.codes)
+
+
+def test_append_then_probe_finds_new_vectors(spark, corpus, index_dir):
+    """An appended clone must be retrievable by its twin: it shares
+    the twin's codes, so ADC ranks it at the twin's own quantization
+    distance (ADC cannot separate same-code vectors — that is the
+    re-rank stage's job), and the exact re-rank then surfaces it at
+    cosine 1.0 as the top neighbor."""
+    from scotustician_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        rerank_from_index,
+    )
+
+    idx = read_ivfpq_index(spark, index_dir)
+    clone = corpus.filter(F.col("vec_id") == 7).select(
+        F.lit(1007).alias("vec_id"), "embedding"
+    )
+    appended = append_to_ivfpq_index(idx, clone)
+    q = corpus.filter(F.col("vec_id") == 7)
+    adc = probe_ivfpq_index(appended, q, k=60, n_probe=1).collect()
+    by_id = {r["neighbor_id"]: r["approx_d2"] for r in adc}
+    assert 1007 in by_id
+    # clone's ADC distance is the minimum over all candidates (it has
+    # the query's own codes)
+    assert by_id[1007] == min(by_id.values())
+    top = rerank_from_index(appended, q, k=1, n_candidates=60, n_probe=1).collect()
+    assert len(top) == 1
+    assert top[0]["neighbor_id"] == 1007 and top[0]["sim"] == 1.0
