@@ -234,6 +234,83 @@ def append_to_ivfpq_index(
     )
 
 
+# ---- versioned publication + streaming maintenance ----------------
+
+def _latest_version(spark: SparkSession, root: str) -> int | None:
+    """Read the LATEST pointer (one JSON row written through Spark).
+    Returns None when no version has been published."""
+    try:
+        rows = spark.read.json(f"{root}/LATEST").collect()
+    except Exception:
+        return None
+    return int(rows[0]["version"]) if rows else None
+
+
+def publish_ivfpq_version(index: IvfPqIndex, root: str) -> int:
+    """Publish ``index`` as the next immutable version under
+    ``root/v<N>`` and flip the LATEST pointer — the serving contract
+    for index updates: a reader that opened v<N-1> keeps a consistent
+    snapshot while v<N> lands, and the pointer flip is the only
+    mutation (tiny, last, readable atomically enough for any store;
+    on S3-like stores pair it with conditional puts). Returns N."""
+    spark = index.centroids.sparkSession
+    cur = _latest_version(spark, root)
+    nxt = 1 if cur is None else cur + 1
+    write_ivfpq_index(index, f"{root}/v{nxt}")
+    from pyspark.sql import Row
+
+    spark.createDataFrame([Row(version=nxt)]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{root}/LATEST")
+    return nxt
+
+
+def read_latest_ivfpq(spark: SparkSession, root: str) -> IvfPqIndex:
+    v = _latest_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no published index version under {root}")
+    return read_ivfpq_index(spark, f"{root}/v{v}")
+
+
+def ivfpq_stream_sink(
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """``foreachBatch`` function maintaining a versioned IVFPQ index
+    from a stream of new vectors: per micro-batch, open LATEST,
+    anti-join the batch against the index's own vectors (ids already
+    indexed are skipped — a REPLAYED batch after checkpoint recovery
+    publishes nothing twice, the repo's MERGE/idempotency discipline),
+    frozen-quantizer append, publish the next version. Versioning
+    means the self-overwrite hazard never exists: the new version is
+    written to a fresh directory while the old one remains readable.
+
+    Use::
+
+        stream.writeStream.foreachBatch(ivfpq_stream_sink(root))
+              .option("checkpointLocation", cp).trigger(availableNow=True)
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = read_latest_ivfpq(spark, root)
+        seen = idx.vectors.select(F.col("cid").alias(id_col))
+        fresh = (
+            batch_df.select(id_col, vec_col)
+            .dropDuplicates([id_col])
+            .join(seen, id_col, "left_anti")
+            # materialize: the append below must not lazily re-read
+            # LATEST-version tables mid-publish
+            .localCheckpoint(eager=True)
+        )
+        if not fresh.take(1):
+            return
+        publish_ivfpq_version(append_to_ivfpq_index(idx, fresh, id_col, vec_col), root)
+
+    return apply_batch
+
+
 def probe_ivfpq_index(
     index: IvfPqIndex,
     queries: DataFrame,

@@ -177,3 +177,84 @@ def test_append_then_probe_finds_new_vectors(spark, corpus, index_dir):
     top = rerank_from_index(appended, q, k=1, n_candidates=60, n_probe=1).collect()
     assert len(top) == 1
     assert top[0]["neighbor_id"] == 1007 and top[0]["sim"] == 1.0
+
+
+def test_versioned_publish_and_stream_sink(spark, corpus, tmp_path):
+    """Versioned serving contract: publish v1 from a base build, feed
+    two micro-batches through the foreachBatch sink (fresh ids append
+    + publish v2/v3), replay the last batch (no new version — the
+    anti-join idempotency guard), and the final LATEST equals a direct
+    append of all delta rows."""
+    from scotustician_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        ivfpq_stream_sink,
+        publish_ivfpq_version,
+        read_latest_ivfpq,
+        _latest_version,
+    )
+
+    root = str(tmp_path / "served")
+    base = corpus.filter(F.col("vec_id") < 40)
+    delta1 = corpus.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+    delta2 = corpus.filter(F.col("vec_id") >= 50)
+
+    v = publish_ivfpq_version(
+        build_ivfpq_index(base, DIM, n_cells=4, m=4, n_codes=4), root
+    )
+    assert v == 1
+
+    sink = ivfpq_stream_sink(root)
+    sink(delta1, batch_id=0)
+    sink(delta2, batch_id=1)
+    assert _latest_version(spark, root) == 3
+    # replay of batch 2 (checkpoint recovery): ids already indexed
+    sink(delta2, batch_id=1)
+    assert _latest_version(spark, root) == 3
+
+    latest = read_latest_ivfpq(spark, root)
+    direct = append_to_ivfpq_index(
+        read_ivfpq_index(spark, f"{root}/v1"), delta1.unionByName(delta2)
+    )
+    assert _rows(latest.codes) == _rows(direct.codes)
+    assert latest.vectors.count() == 60
+    # older versions remain readable (snapshot isolation for readers)
+    assert read_ivfpq_index(spark, f"{root}/v1").vectors.count() == 40
+
+
+def test_stream_sink_through_real_stream(spark, corpus, tmp_path):
+    """End-to-end through Structured Streaming: file source →
+    AvailableNow → foreachBatch index maintenance; rerunning the
+    stream with the same checkpoint publishes nothing new."""
+    from scotustician_spark.operators.ann_index import (
+        ivfpq_stream_sink,
+        publish_ivfpq_version,
+        _latest_version,
+    )
+
+    root = str(tmp_path / "sroot")
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    publish_ivfpq_version(
+        build_ivfpq_index(
+            corpus.filter(F.col("vec_id") < 50), DIM, n_cells=4, m=4, n_codes=4
+        ),
+        root,
+    )
+    corpus.filter(F.col("vec_id") >= 50).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(ivfpq_stream_sink(root))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert _latest_version(spark, root) == 2
+    run()  # no new files -> no new version
+    assert _latest_version(spark, root) == 2
