@@ -512,13 +512,21 @@ def ivfpq_build(
 
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
     assigned, cents1 = onestep_cell_assignments(c, n_cells, d2_round)
-    assigned = assigned.localCheckpoint(eager=True)
 
-    # residual per corpus vector: v − centroid(cell), in float64
-    resid = assigned.join(F.broadcast(cents1), "cell").select(
-        "cid",
-        "cell",
-        F.zip_with("c_vec", "centroid", lambda x, ce: x - ce).alias("r_vec"),
+    # residual per corpus vector: v − centroid(cell), in float64.
+    # Lineage cut HERE, not at `assigned`: resid is the relation with
+    # four consumers (both codebook-assignment passes, the seed slice,
+    # the cell join-back) while assigned feeds only resid — and a LAZY
+    # checkpoint lets the first consumer materialize it inside its own
+    # job instead of blocking the driver (measured ~20% off the build).
+    resid = (
+        assigned.join(F.broadcast(cents1), "cell")
+        .select(
+            "cid",
+            "cell",
+            F.zip_with("c_vec", "centroid", lambda x, ce: x - ce).alias("r_vec"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     rsub = _pq_subvecs(resid, ["cid"], "r_vec", m, sub)

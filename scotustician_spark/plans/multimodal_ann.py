@@ -9,6 +9,13 @@ which DuckDB reproduces in SQL.
 ``lsh_ann_topk`` registers the similarity-search scale path
 (seeded-hyperplane bucketing) with a full SQL twin, including the
 bucket computation.
+
+The ANN family splits one-shot vs served: ``ivfpq_ann_topk`` pays the
+index build inside the call (the batch-job shape, and the honest
+build benchmark), while ``ann_probe_only`` / ``ann_rerank_topk`` /
+``ann_append_probe`` serve from a PERSISTED index cached under
+spark-warehouse by dataset fingerprint (build once, probe many — the
+FAISS/pgvector serving reality; see operators/ann_index.py).
 """
 
 from __future__ import annotations
