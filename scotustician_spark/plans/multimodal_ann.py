@@ -801,3 +801,116 @@ def incremental_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 10))
     state = SIM.rank_topk(SIM.score_queries(queries, base), k=5)
     return SIM.incremental_topk(state, queries, delta, k=5)
+
+
+# ---- ANN self-diagnostics ------------------------------------------
+
+from .registry import QUERY_REGISTRY as _REG  # noqa: E402  (import-order
+# safe: vectors_text registers cosine_topk before this module loads)
+
+_RECALL_ORACLE = f"""
+    WITH exact AS ({_REG["cosine_topk"].oracle}),
+    approx AS ({_ivfpq_oracle()})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+               AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "ann_recall_at_k",
+    _RECALL_ORACLE,
+    doc="Recall@k of the IVFPQ index against the exact brute-force "
+    "top-k, per query — the metric an ANN deployment is actually "
+    "tuned by (n_probe/m/n_codes trade recall for scan cost). "
+    "Spark side joins the served-index probe (ann_probe_only's plan) "
+    "against cosine_topk's exact ranking; the oracle composes the two "
+    "registered oracle CTEs and replays the identical overlap count. "
+    "Self-measuring quality: the harness that evaluates the index "
+    "ships with the index.",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _REG["cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        ann_probe_only(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k_exact"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias("recall_at_k"),
+        )
+    )
+
+
+_KNN_ORACLE = f"""
+    WITH exact AS ({_REG["cosine_topk"].oracle}),
+    votes AS (
+        SELECT e.query_id, CAST(emb.label AS INT) AS label, count(*) AS c
+        FROM exact e JOIN embeddings emb ON emb.vec_id = e.neighbor_id
+        GROUP BY 1, 2),
+    pred AS (
+        SELECT query_id, label AS predicted FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, label) AS rn
+            FROM votes) WHERE rn = 1)
+    SELECT p.query_id, CAST(q.label AS INT) AS actual, p.predicted,
+           CAST(q.label AS INT) = p.predicted AS correct
+    FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+    """
+
+
+@register(
+    "knn_label_accuracy",
+    _KNN_ORACLE,
+    doc="Leave-one-out kNN classification over the embedding table: "
+    "each query's exact top-5 cosine neighbors vote on its label "
+    "(count desc, label asc tie-break) — the standard embedding-"
+    "quality probe (a good embedding space classifies its own labels "
+    "by neighborhood). Composes cosine_topk with a broadcast label "
+    "join and a per-query argmax; the oracle replays the vote in SQL.",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = e.select("vec_id", F.col("label").cast("int").alias("label"))
+    exact = _REG["cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    votes = (
+        exact.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted"))
+    )
+    actual = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual")
+    )
+    return pred.join(F.broadcast(actual), "query_id").select(
+        "query_id",
+        "actual",
+        "predicted",
+        (F.col("actual") == F.col("predicted")).alias("correct"),
+    )
