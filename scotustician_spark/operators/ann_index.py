@@ -234,6 +234,111 @@ def append_to_ivfpq_index(
     )
 
 
+# ---- IVF-flat (raw-vector inverted lists, pgvector ivfflat) --------
+
+@dataclass
+class IvfFlatIndex:
+    """The simpler serving sibling of IVFPQ — pgvector's ``ivfflat``
+    layout: raw vectors stored in cell-partitioned inverted lists,
+    probed cells re-ranked EXACTLY (no compression, no re-rank stage
+    needed). Right when vectors fit the storage budget and probe
+    selectivity alone bounds the scan; IVFPQ takes over when the
+    vector bytes themselves are the bottleneck."""
+
+    centroids: DataFrame  # (cell, centroid)
+    vectors: DataFrame    # (cid, cell, c_vec)
+    params: dict
+
+
+def build_ivfflat_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    d2_round: int = 6,
+) -> IvfFlatIndex:
+    """One-step-Lloyd cells over the corpus; vectors keep their raw
+    form, labeled by cell (the inverted-list key). Same deterministic
+    quantizer as the IVFPQ build, so the same SQL oracle family
+    replays it."""
+    from .similarity import onestep_cell_assignments
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    assigned, cents = onestep_cell_assignments(c, n_cells, d2_round)
+    return IvfFlatIndex(
+        centroids=cents,
+        vectors=assigned.select("cid", "cell", "c_vec"),
+        params={"n_cells": n_cells, "d2_round": d2_round},
+    )
+
+
+def write_ivfflat_index(index: IvfFlatIndex, path: str) -> None:
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    index.vectors.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    spark = index.centroids.sparkSession
+    from pyspark.sql import Row
+
+    spark.createDataFrame([Row(**index.params)]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
+
+
+def read_ivfflat_index(spark: SparkSession, path: str) -> IvfFlatIndex:
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    return IvfFlatIndex(
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        vectors=spark.read.parquet(f"{path}/vectors").withColumn(
+            "cell", F.col("cell").cast("int")
+        ),
+        params={k: int(meta[k]) for k in ("n_cells", "d2_round")},
+    )
+
+
+def probe_ivfflat_index(
+    index: IvfFlatIndex,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    sim_round: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k inside each query's ``n_probe`` nearest
+    cells: broadcast centroids pick the cells, the vectors scan
+    partition-prunes to those lists, candidates re-rank exactly.
+    Identical results to ``similarity.ivf_topk_onestep`` (the oracle
+    anchor) minus the per-call quantizer build."""
+    from pyspark.sql.window import Window as W
+
+    from .similarity import _sq_l2, rank_topk
+    from ..functions.vector import cosine_similarity
+
+    d2r = index.params["d2_round"]
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2r"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(index.centroids))
+        .withColumn("d2r", F.round(_sq_l2("q_vec", "centroid"), d2r))
+        .withColumn("p_rnk", F.row_number().over(wp))
+        .filter(F.col("p_rnk") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        index.vectors.select(F.col("cid").alias("neighbor_id"), "cell", "c_vec")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity("q_vec", "c_vec"), sim_round)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return rank_topk(scored, k)
+
+
 # ---- versioned publication + streaming maintenance ----------------
 
 def _latest_version(spark: SparkSession, root: str) -> int | None:

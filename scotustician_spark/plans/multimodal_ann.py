@@ -573,6 +573,40 @@ def ann_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _served_ivfflat_index(spark: SparkSession, sf_dir: str) -> ANN.IvfFlatIndex:
+    fp = _embeddings_fingerprint(sf_dir, "flat")
+    path = os.path.join(_INDEX_ROOT, f"ivfflat_{fp}")
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ANN.write_ivfflat_index(
+            ANN.build_ivfflat_index(e, n_cells=8, d2_round=6), path
+        )
+    return ANN.read_ivfflat_index(spark, path)
+
+
+@register(
+    "ivfflat_probe_only",
+    _ivf_oracle(),
+    bench=True,
+    doc="Served IVF-FLAT probe (pgvector's ivfflat layout, "
+    "operators/ann_index.py::IvfFlatIndex — the reference's warehouse "
+    "would use exactly this index for its case-embedding search): raw "
+    "vectors in cell-partitioned inverted lists, probed cells "
+    "re-ranked EXACTLY — no compression, no separate re-rank stage. "
+    "Same persisted-index serving discipline as ann_probe_only; same "
+    "oracle as ivf_ann_topk (identical deterministic quantizer, "
+    "identical exact in-cell cosine).",
+)
+def ivfflat_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _served_ivfflat_index(spark, sf_dir)
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 10
+    )
+    return ANN.probe_ivfflat_index(idx, q, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+
+
 _APPEND_BASE = "vec_id % 10 < 9"
 
 

@@ -258,3 +258,27 @@ def test_stream_sink_through_real_stream(spark, corpus, tmp_path):
     assert _latest_version(spark, root) == 2
     run()  # no new files -> no new version
     assert _latest_version(spark, root) == 2
+
+
+def test_ivfflat_persisted_probe_equals_oneshot(spark, corpus, tmp_path):
+    """IVF-flat serving sibling: persisted cell-partitioned raw-vector
+    lists probe to exactly ivf_topk_onestep's results, and the probe
+    scan is partition-prunable on cell."""
+    from scotustician_spark.operators.ann_index import (
+        build_ivfflat_index,
+        probe_ivfflat_index,
+        read_ivfflat_index,
+        write_ivfflat_index,
+    )
+    from scotustician_spark.operators.similarity import ivf_topk_onestep
+
+    path = str(tmp_path / "flat")
+    write_ivfflat_index(build_ivfflat_index(corpus, n_cells=4), path)
+    idx = read_ivfflat_index(spark, path)
+    assert idx.params == {"n_cells": 4, "d2_round": 6}
+    q = corpus.filter(F.col("vec_id") < 5)
+    got = probe_ivfflat_index(idx, q, k=3, n_probe=2)
+    want = ivf_topk_onestep(corpus, q, k=3, n_cells=4, n_probe=2)
+    assert _rows(got) == _rows(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
