@@ -494,3 +494,60 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import token_entropy
 
     return token_entropy(_d(spark, sf_dir), "doc_id", "text")
+
+
+def _keep_best_oracle() -> str:
+    q = QUERY_REGISTRY
+    return f"""
+    WITH comps AS ({q["dedup_components"].oracle}),
+    dq AS ({q["doc_quality"].oracle}),
+    j AS (SELECT c.doc_id, c.component_id, c.component_size, d.quality
+          FROM comps c JOIN dq d USING (doc_id)),
+    best AS (SELECT component_id, doc_id AS best_doc FROM (
+        SELECT component_id, doc_id,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM j) WHERE rn = 1)
+    SELECT j.doc_id, j.component_id, j.component_size, j.quality,
+           j.doc_id = b.best_doc AS is_best
+    FROM j JOIN best b USING (component_id)
+    """
+
+
+@register(
+    "dedup_keep_best",
+    _keep_best_oracle(),
+    doc="Quality-aware duplicate resolution: where dedup_components "
+    "keeps the MIN-ID document per duplicate cluster (arbitrary), "
+    "this keeps the HIGHEST-QUALITY member (doc_quality score, "
+    "doc_id-asc tie-break) — the policy a real corpus pipeline wants: "
+    "near-duplicates differ in boilerplate/truncation, and the keeper "
+    "should be the best exemplar, not the lowest key. Composes two "
+    "registered oracles (recursive-CTE components + quality) as CTEs; "
+    "the Spark plan joins the component labeling to the quality map "
+    "stage and takes a per-component argmax.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    q = QUERY_REGISTRY
+    comps = q["dedup_components"].fn(spark, sf_dir).select(
+        "doc_id", "component_id", "component_size"
+    )
+    dq = q["doc_quality"].fn(spark, sf_dir).select("doc_id", "quality")
+    j = comps.join(dq, "doc_id")
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("best_doc"))
+    )
+    return j.join(best, "component_id").select(
+        "doc_id",
+        "component_id",
+        "component_size",
+        "quality",
+        (F.col("doc_id") == F.col("best_doc")).alias("is_best"),
+    )
