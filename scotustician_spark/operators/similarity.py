@@ -715,7 +715,7 @@ def pairwise_cosine_blocked(
     ).select("ba", F.col("blk").alias("bb"), F.lit(1).alias("side"), "id", "vec")
     both = left.unionByName(right)
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = key
         lmask = pdf["side"] == 0
         L, R = pdf[lmask], pdf[~lmask]
