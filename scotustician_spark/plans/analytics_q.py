@@ -786,3 +786,71 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clip_hi"),
         )
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (SELECT o_orderpriority,
+                        round(quantile_cont(o_totalprice, 0.5), 6) AS med
+                 FROM orders GROUP BY 1),
+    dev AS (SELECT o.o_orderpriority, o.o_totalprice, m.med,
+                   abs(o.o_totalprice - m.med) AS adev
+            FROM orders o JOIN med m USING (o_orderpriority)),
+    mad AS (SELECT o_orderpriority,
+                   round(quantile_cont(adev, 0.5), 6) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           m2.med AS median_price,
+           m3.mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m3.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m2 USING (o_orderpriority)
+    JOIN mad m3 ON m3.o_orderpriority = d.o_orderpriority
+    GROUP BY 1, 3, 4
+    """,
+    doc="Robust outlier detection via median absolute deviation: "
+    "per-group exact median (broadcast back), median of absolute "
+    "deviations, flag count at the 3-sigma-equivalent 3*1.4826*MAD "
+    "threshold — the heavy-tail-safe sibling of z-scoring (and of "
+    "winsorized_order_stats' clipping). Both medians round to 6dp "
+    "before the threshold compare, the repo's cross-engine rank-"
+    "interpolation discipline. Two map-side-combined passes over the "
+    "fact table; the median/MAD relations are |groups| rows.",
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("med").alias("median_price"),
+            "mad",
+            "n_outliers",
+        )
+    )

@@ -178,3 +178,50 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "is_current",
     )
+
+
+@register(
+    "ewma_user_value",
+    """
+    WITH seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           vals[-1] AS last_value,
+           round(list_reduce(vals,
+                 (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ewma
+    FROM seq
+    """,
+    doc="Exponentially weighted moving average of each user's event "
+    "values (alpha=0.2, seeded from the first value) — the standard "
+    "monitoring smoother for per-entity rates. The sequential fold is "
+    "inherently ordered, so it runs as one in-row lambda over the "
+    "ordered collect (array_sort(collect_list(struct)) then "
+    "F.aggregate) — one shuffle on user_id, the fold itself is "
+    "codegen, no window and no UDF; the oracle is DuckDB's "
+    "list_reduce over the identically-ordered list, so the "
+    "fold order (and thus every IEEE rounding step) matches "
+    "exactly. Last-value and count ride along for the monitoring "
+    "readout.",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.col("s").getField("value")
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return seq.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n_events"),
+        F.element_at(vals, -1).alias("last_value"),
+        F.round(ewma, 6).alias("ewma"),
+    )
