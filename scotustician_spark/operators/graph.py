@@ -156,3 +156,43 @@ def pagerank(
             F.col("r").alias("pagerank"),
         )
     )
+
+
+def kcore_peel(
+    edges,
+    k: int,
+    rounds: int,
+    src: str = "item_a",
+    dst: str = "item_b",
+):
+    """Bounded k-core peeling: ``rounds`` iterations of "keep vertices
+    with degree ≥ k in the current induced subgraph, drop edges
+    touching removed vertices". Equal to the true k-core whenever the
+    peel reaches a fixpoint within ``rounds`` (tests assert that on
+    the driver data; at scale run to convergence with the
+    components-style checksum loop — each round is one groupBy + two
+    semi-joins keyed on vertex ids, AQE-coalescible). The bounded form
+    exists so a SQL oracle can replay it exactly: the loop unrolls to
+    ``rounds`` CTE pairs. Returns (vertex, core_degree) over the
+    surviving subgraph.
+
+    k-core is the standard community-skeleton filter next to triangle
+    counting (`triangle_counts`): the 2-core strips pendant chains,
+    higher k isolates dense commercial clusters.
+    """
+    from pyspark.sql import functions as F
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        keep = e.groupBy("u").count().filter(F.col("count") >= k).select("u")
+        e = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy("u").agg(F.count("*").cast("bigint").alias("core_degree")).select(
+        F.col("u").alias("vertex"), "core_degree"
+    )

@@ -582,3 +582,60 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    # the peel loop unrolled: each round keeps vertices with degree>=k
+    # in the previous round's induced subgraph
+    parts = [
+        _COPURCHASE_EDGES_SQL.strip(),
+        # AS MATERIALIZED: every eN is referenced three times by round
+        # N+1; without the hint DuckDB inlines single-plan copies and the
+        # unrolled chain expands exponentially (measured: >120 s at
+        # sf0.01 inlined vs sub-second materialized)
+        "e0 AS MATERIALIZED (SELECT item_a AS u, item_b AS v FROM pairs"
+        " UNION ALL SELECT item_b, item_a FROM pairs)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT u FROM {prev} GROUP BY u"
+            f" HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e"
+            f" JOIN d{r} a ON e.u = a.u"
+            f" JOIN d{r} b ON e.v = b.u)"
+        )
+        prev = f"e{r}"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT u AS l_partkey, CAST(count(*) AS BIGINT)"
+        f" AS core_degree FROM {prev} GROUP BY u"
+    )
+
+
+@register(
+    "kcore_copurchase",
+    _kcore_oracle(),
+    doc="2-core of the co-purchase graph via 6 bounded peeling rounds "
+    "(operators/graph.py::kcore_peel): repeatedly drop vertices with "
+    "degree < 2 in the current induced subgraph — strips pendant "
+    "chains, leaving the community skeleton triangle counting scores. "
+    "Bounded form = the loop unrolled to 6 CTE pairs so the oracle "
+    "replays it exactly; equal to the true 2-core when peeling "
+    "converges within 6 rounds (fixpoint asserted in tests; at scale "
+    "run to convergence with the components-style checksum loop). "
+    "Each round is one map-side-combined degree count + two "
+    "semi-joins keyed on vertex ids.",
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=10, pair_min_support=2
+    )
+    return kcore_peel(pairs, k=2, rounds=6).select(
+        F.col("vertex").alias("l_partkey"), "core_degree"
+    )

@@ -390,3 +390,48 @@ def test_source_length_ks_hand_distributions(spark, tmp_path):
     r = out[0]
     assert (r["n_a"], r["n_b"]) == (10, 10)
     assert r["ks_d"] == 0.5 and r["at_value"] == 5
+
+
+def test_kcore_bounded_peel_fixpoint_and_python_oracle(spark):
+    """2-core peel: pendant chain fully dissolves (each round exposes a
+    new degree-1 endpoint), triangle and square survive with degree 2;
+    6 rounds reaches the fixpoint (round 7 identical); a pure-Python
+    peel agrees."""
+    import pyspark.sql.functions as F
+
+    from scotustician_spark.operators.graph import kcore_peel
+
+    edges = [
+        # pendant chain hanging off the triangle: dissolves under k=2
+        ("a", "b"), ("b", "c"), ("c", "x"),
+        # triangle
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        # disjoint square (4-cycle)
+        ("p", "q"), ("q", "r"), ("r", "s"), ("p", "s"),
+    ]
+    e_df = spark.createDataFrame(edges, "item_a string, item_b string")
+
+    def rows(df):
+        return sorted((r["vertex"], r["core_degree"]) for r in df.collect())
+
+    got6 = rows(kcore_peel(e_df, k=2, rounds=6))
+    got7 = rows(kcore_peel(e_df, k=2, rounds=7))
+    assert got6 == got7  # fixpoint within 6 rounds
+
+    # pure-Python peel
+    import collections
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for u in list(adj):
+            if len(adj[u]) < 2:
+                for v in adj.pop(u):
+                    adj[v].discard(u)
+                changed = True
+    want = sorted((u, len(vs)) for u, vs in adj.items())
+    assert got6 == want
+    assert {u for u, _ in got6} == {"x", "y", "z", "p", "q", "r", "s"}
