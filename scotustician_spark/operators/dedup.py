@@ -772,3 +772,79 @@ def simhash_near_pairs(
 
 def _colref(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def prefix_filtered_jaccard_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+):
+    """Set-similarity self-join with PREFIX FILTERING (the
+    AllPairs/PPJoin principle, Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08) over word-``shingle_n``-gram sets: order each document's
+    distinct shingles rare-first (global document frequency asc,
+    shingle asc), index only the first ``len − ⌈t·len⌉ + 1`` — any
+    pair with Jaccard ≥ t MUST share at least one prefix shingle, so
+    the candidate equi-join runs over the rare-shingle postings only,
+    then candidates verify exactly with an in-row
+    ``array_intersect``.
+
+    Versus the df-capped postings join (``ngram_jaccard_pairs``): the
+    prefix filter is LOSSLESS (no df-cap heuristics — equality with
+    brute force is a theorem, and the oracle pins it) while still
+    skipping the frequent-shingle postings that dominate join
+    fan-out; candidate cost scales with rare-shingle collision
+    counts, never corpus². Shingles (not bare tokens) are the unit
+    because word ORDER is what separates near-dups from same-domain
+    text — token SETS converge on template corpora. Returns
+    (id_a, id_b, jaccard≥t), jaccard rounded to 6dp before the
+    threshold compare (cross-engine discipline).
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import word_shingles
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_n)
+            ).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+        .localCheckpoint(eager=False)  # feeds postings, prefix AND verify
+    )
+    ex = toks.select(
+        "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("t")
+    )
+    tok_freq = ex.groupBy("t").agg(F.count("*").alias("tdf"))
+    w = W.partitionBy("doc_id").orderBy(F.asc("tdf"), F.asc("t"))
+    ranked = ex.join(tok_freq, "t").withColumn(
+        "pos", F.row_number().over(w)
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "t")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    vb = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = F.round(
+        inter / (F.size("ts_a") + F.size("ts_b") - inter), 6
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

