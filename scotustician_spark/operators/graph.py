@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def triangle_counts(
@@ -195,4 +196,44 @@ def kcore_peel(
         )
     return e.groupBy("u").agg(F.count("*").cast("bigint").alias("core_degree")).select(
         F.col("u").alias("vertex"), "core_degree"
+    )
+
+
+def label_propagation(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", rounds: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), determinized: label_0(v) = v; each round every vertex
+    adopts the most frequent label among its neighbors' previous-round
+    labels, ties broken by the smallest label. A fixed round count (no
+    convergence probe) keeps the pass deterministic — synchronous LPA
+    can oscillate on bipartite structure, and a bounded replay
+    sidesteps that nondeterminism entirely — and lets the SQL oracle
+    replay the recurrence as an unrolled MATERIALIZED-CTE chain,
+    exactly like the k-core peel.
+
+    Each round is one equi-join (previous labels → symmetric edges on
+    the neighbor endpoint) + one map-side-combined (vertex, label)
+    count + one row_number keyed BY VERTEX (never a global window) —
+    all shuffles keyed on vertex ids, so AQE splits hub-vertex skew,
+    and lineage is cut per round with localCheckpoint like the
+    pagerank/components loops. Returns (vertex, community).
+    """
+    sym = symmetrize(pairs, src, dst).localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("v"), F.col("u").alias("lbl")).distinct()
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("v").alias("__nv"), "lbl"),
+            F.col("v") == F.col("__nv"),
+        )
+        cnt = nbr.groupBy("u", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("v"), "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("v").alias("vertex"), F.col("lbl").cast("long").alias("community")
     )

@@ -854,3 +854,175 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "kaplan_meier_retention",
+    """
+    WITH u AS (SELECT user_id, event_type, min(ts) AS f, max(ts) AS l
+               FROM events GROUP BY user_id, event_type),
+    ends AS (SELECT max(ts) AS obs_end FROM events),
+    lab AS (SELECT date_diff('day', f, l) AS day,
+                   CASE WHEN l >= obs_end - INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END AS cens
+            FROM u CROSS JOIN ends),
+    byday AS (SELECT day, sum(1 - cens) AS d, sum(cens) AS c
+              FROM lab GROUP BY day),
+    n AS (SELECT count(*) AS total FROM lab),
+    w AS (SELECT day, d, c,
+                 total - coalesce(sum(d + c) OVER
+                     (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS at_risk
+          FROM byday CROSS JOIN n),
+    s AS (SELECT day, d, c, at_risk,
+                 CASE WHEN max(CASE WHEN d >= at_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY day) = 1
+                      THEN 0.0
+                      ELSE exp(sum(ln(greatest(
+                               1.0 - CAST(d AS DOUBLE) / at_risk,
+                               1e-300))) OVER (ORDER BY day)) END AS surv
+          FROM w)
+    SELECT CAST(day AS INTEGER) AS day,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(c AS BIGINT) AS n_censored,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           round(surv, 6) AS survival
+    FROM s
+    """,
+    doc="Kaplan-Meier survival estimate of engagement lifetime per "
+    "(user, event_type) subject: duration = days between the subject's "
+    "first and last event, right-censored when "
+    "the last event falls inside the final 7 days of observation "
+    "(the user may still be active); S(t) = prod over churn days <= t "
+    "of (1 - d_t/n_t) with censored-at-t users still at risk at t — "
+    "the product-limit estimator survival/churn analyses report. "
+    "Events collapse to one row per user, then to one row per "
+    "DISTINCT DURATION DAY, so the cumulative windows run over a "
+    "relation bounded by the observation span in days (metadata-"
+    "sized carry-in, the repo's documented global-window exception), "
+    "never over users or events. S is exp(sum(ln ...)) in exact IEEE "
+    "order (ascending day), identical on both engines; the at-risk "
+    "exhaustion edge (d = n) pins survival to an exact 0.",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    ends = ev.agg(F.max("ts").alias("obs_end"))
+    lab = u.crossJoin(F.broadcast(ends)).select(
+        F.datediff("l", "f").alias("day"),
+        F.when(
+            F.col("l") >= F.col("obs_end") - F.expr("INTERVAL 7 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("cens"),
+    )
+    byday = lab.groupBy("day").agg(
+        F.sum(1 - F.col("cens")).alias("d"), F.sum("cens").alias("c")
+    )
+    n = lab.agg(F.count("*").alias("total"))
+    w_prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("day")
+    at_risk = F.col("total") - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+    )
+    staged = byday.crossJoin(F.broadcast(n)).withColumn("at_risk", at_risk)
+    exhausted = (
+        F.max((F.col("d") >= F.col("at_risk")).cast("int")).over(w_cum) == 1
+    )
+    surv = F.when(exhausted, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        1.0 - F.col("d").cast("double") / F.col("at_risk"),
+                        F.lit(1e-300),
+                    )
+                )
+            ).over(w_cum)
+        )
+    )
+    return staged.select(
+        F.col("day").cast("int").alias("day"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+@register(
+    "chi_squared_independence",
+    """
+    WITH obs AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
+                        count(*) AS c
+                 FROM orders GROUP BY 1, 2),
+    rm AS (SELECT p, sum(c) AS rc FROM obs GROUP BY p),
+    cm AS (SELECT s, sum(c) AS cc FROM obs GROUP BY s),
+    n AS (SELECT sum(c) AS tot FROM obs),
+    grid AS (SELECT rm.p, cm.s, rm.rc, cm.cc FROM rm CROSS JOIN cm),
+    terms AS (SELECT g.p, g.s,
+                     coalesce(o.c, 0) AS oc,
+                     g.rc * g.cc / CAST(tot AS DOUBLE) AS ec
+              FROM grid g
+              LEFT JOIN obs o ON o.p = g.p AND o.s = g.s
+              CROSS JOIN n),
+    agg AS (SELECT sum((oc - ec) * (oc - ec) / ec) AS chi2,
+                   count(DISTINCT p) AS nr, count(DISTINCT s) AS nc
+            FROM terms)
+    SELECT CAST(tot AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS INTEGER) AS dof,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (tot * least(nr - 1, nc - 1))), 6)
+               AS cramers_v
+    FROM agg CROSS JOIN n
+    """,
+    doc="Chi-squared test of independence between order priority and "
+    "order status (expected counts from the marginals), with Cramer's "
+    "V effect size — the categorical-association screen next to the "
+    "Benford goodness-of-fit audit. One scan collapses to the R x C "
+    "contingency table; marginals, the dense grid (absent cells still "
+    "contribute expectation), and the final sums are all "
+    "metadata-sized. chi2 rounds to 4 (the benford_audit discipline: "
+    "a ~15-term double sum is order-stable far beyond 1e-4).",
+)
+def chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").alias("c"))
+    rm = obs.groupBy("p").agg(F.sum("c").alias("rc"))
+    cm = obs.groupBy("s").agg(F.sum("c").alias("cc"))
+    n = obs.agg(F.sum("c").alias("tot"))
+    grid = rm.crossJoin(F.broadcast(cm))
+    terms = (
+        grid.join(obs, ["p", "s"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.coalesce("c", F.lit(0)).alias("oc"),
+            (F.col("rc") * F.col("cc") / F.col("tot").cast("double")).alias("ec"),
+        )
+    )
+    agg = terms.agg(
+        F.sum((F.col("oc") - F.col("ec")) ** 2 / F.col("ec")).alias("chi2")
+    )
+    shape = obs.agg(
+        F.countDistinct("p").alias("nr"), F.countDistinct("s").alias("nc")
+    )
+    return (
+        agg.crossJoin(F.broadcast(shape))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("tot").cast("long").alias("n"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+            F.round("chi2", 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("tot") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

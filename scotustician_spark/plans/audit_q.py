@@ -639,3 +639,59 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(pairs, k=2, rounds=6).select(
         F.col("vertex").alias("l_partkey"), "core_degree"
     )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    # synchronous LPA unrolled: each round every vertex takes the mode
+    # of its neighbors' previous-round labels (ties -> smallest label).
+    # AS MATERIALIZED for the same reason as the k-core oracle: lN is
+    # referenced by round N+1's join and would otherwise inline
+    # exponentially.
+    parts = [
+        _COPURCHASE_EDGES_SQL.strip(),
+        "e0 AS MATERIALIZED (SELECT item_a AS u, item_b AS v FROM pairs"
+        " UNION ALL SELECT item_b, item_a FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS lbl FROM e0)",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT e.u, l.lbl, count(*) AS c"
+            f" FROM e0 e JOIN {prev} l ON e.v = l.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT u AS v, lbl FROM"
+            f" (SELECT u, lbl, row_number() OVER (PARTITION BY u"
+            f" ORDER BY c DESC, lbl) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+        prev = f"l{r}"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT v AS l_partkey, CAST(lbl AS BIGINT) AS community"
+        f" FROM {prev}"
+    )
+
+
+@register(
+    "label_propagation_communities",
+    _lpa_oracle(rounds=4),
+    doc="Community detection over the co-purchase graph via synchronous "
+    "label propagation (Raghavan et al. 2007), 4 determinized rounds: "
+    "every vertex adopts the most frequent neighbor label, ties to the "
+    "smallest — near-linear community structure without the modularity "
+    "machinery, the standard first-pass next to k-core/triangles. "
+    "operators/graph.py::label_propagation; per round one vertex-keyed "
+    "join + count + per-vertex row_number (no global window), lineage "
+    "cut per round. Oracle replays the recurrence as an unrolled "
+    "MATERIALIZED-CTE chain like the k-core peel.",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=10, pair_min_support=2
+    )
+    return label_propagation(pairs, src="item_a", dst="item_b", rounds=4).select(
+        F.col("vertex").alias("l_partkey"), "community"
+    )

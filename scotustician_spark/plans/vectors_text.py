@@ -876,3 +876,167 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=5,
         top_n=50,
     )
+
+
+_RRF_K = 60
+_RRF_CAND = 50
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH bm AS ({{bm25}}),
+    t50 AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_text
+            FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RRF_CAND}),
+    ex AS ({_EMB_LONG}),
+    q AS (SELECT pos, v FROM ex WHERE vec_id = 0),
+    qn AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+    dots AS (SELECT c.vec_id, sum(c.v * q.v) AS dot
+             FROM ex c JOIN q USING (pos) GROUP BY c.vec_id),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    scored AS (SELECT d.vec_id,
+                      round(d.dot / (n.nrm * qn.nrm), 6) AS sim
+               FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn),
+    v50 AS (SELECT vec_id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id) AS rank_vec
+            FROM scored ORDER BY sim DESC, vec_id LIMIT {_RRF_CAND}),
+    fused AS (SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,
+                     t.rank_text, v.rank_vec,
+                     coalesce(1.0 / ({_RRF_K} + t.rank_text), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + v.rank_vec), 0.0) AS rrf
+              FROM t50 t FULL JOIN v50 v ON t.doc_id = v.vec_id)
+    SELECT doc_id, CAST(rank_text AS INTEGER) AS rank_text,
+           CAST(rank_vec AS INTEGER) AS rank_vec,
+           round(rrf, 6) AS rrf_score,
+           CAST(fused_rank AS INTEGER) AS fused_rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
+                        AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= 20
+    """.format(bm25=_bm25_oracle(_BM25_TERMS)),
+    doc="Hybrid retrieval serving: reciprocal-rank fusion "
+    "(Cormack/Clarke/Buettcher 2009) of a lexical ranker (Okapi BM25 "
+    "over the fixed query terms) and a dense ranker (cosine against "
+    "the vec_id=0 query embedding, doc_id = vec_id) — THE standard "
+    "two-tower search stack. Each ranker keeps only its top-50 via "
+    "TakeOrderedAndProject (never a global window over the corpus; "
+    "row_number runs on the 50-row candidate sets), the fuse is a "
+    "full-outer join of two candidate lists with 1/(60+rank) "
+    "contributions (absent = 0), top-20 by fused score. BM25 inputs "
+    "are integer-exact and cosine is rounded to 6 before ranking, so "
+    "both rankings are engine-deterministic; rrf is exact IEEE "
+    "arithmetic on integer ranks.",
+    bench=True,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    bm = bm25_scores(docs, _BM25_TERMS)
+    t_cand = bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_RRF_CAND)
+    t50 = t_cand.withColumn(
+        "rank_text",
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).select("doc_id", "rank_text")
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(V.cosine_similarity("q_vec", "embedding"), 6).alias("sim"),
+        )
+    )
+    v_cand = scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(_RRF_CAND)
+    v50 = v_cand.withColumn(
+        "rank_vec", F.row_number().over(W.orderBy(F.desc("sim"), F.asc("vec_id")))
+    ).select(F.col("vec_id").alias("doc_id"), "rank_vec")
+
+    fused = (
+        t50.join(v50, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_vec")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(W.orderBy(F.desc("rrf"), F.asc("doc_id"))),
+        )
+        .filter(F.col("fused_rank") <= 20)
+        .select(
+            "doc_id",
+            F.col("rank_text").cast("int").alias("rank_text"),
+            F.col("rank_vec").cast("int").alias("rank_vec"),
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""
+    WITH base AS (SELECT {_TOKS_G} AS l FROM documents),
+    prs AS (SELECT unnest(list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i+1])) AS pair
+            FROM base WHERE len(l) >= 2),
+    pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+           FROM prs GROUP BY pair),
+    top AS (SELECT pair, pair_count FROM pc
+            ORDER BY pair_count DESC, pair LIMIT 30)
+    SELECT string_split(pair, ' ')[1] AS left_tok,
+           string_split(pair, ' ')[2] AS right_tok,
+           pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+                AS INTEGER) AS merge_rank
+    FROM top
+    """,
+    doc="BPE-style merge-candidate mining: the 30 most frequent ADJACENT "
+    "token pairs across the corpus — the statistic a byte-pair-encoding "
+    "tokenizer trainer computes at every merge step (Sennrich et al. "
+    "2016); distinct from pmi_cooccurrence, which scores windowed "
+    "co-occurrence by information content, not adjacency count. Pair "
+    "generation is an in-row HOF over the token array (never an "
+    "explode self-join), counts are map-side-combined, selection is "
+    "TakeOrderedAndProject on exact integer counts (pair-string "
+    "tiebreak) with row_number only over the 30-row result.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pc = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )
+    top = pc.orderBy(F.desc("pair_count"), F.asc("pair")).limit(30)
+    return (
+        top.withColumn(
+            "merge_rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("pair_count"), F.asc("pair")))
+            .cast("int"),
+        )
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("left_tok"),
+            F.split(F.col("pair"), " ").getItem(1).alias("right_tok"),
+            "pair_count",
+            "merge_rank",
+        )
+    )
