@@ -976,3 +976,104 @@ def ann_rerank_topk(
         .select("query_id", "neighbor_id", "sim")
     )
     return rank_topk(scored, k)
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.7,
+    sim_round: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) of a cosine candidate page:
+
+        pick_1  = argmax rel(c)
+        pick_r  = argmax lam*rel(c) - (1-lam)*max_{s in picked} sim(c, s)
+
+    ``query`` is a single-row (vec,) relation. The candidate page is
+    the top-``n_candidates`` by relevance via TakeOrderedAndProject
+    (never a global window), pairwise candidate sims are a broadcast
+    self-join of the BOUNDED page (n_candidates^2 rows — serving-page
+    metadata, independent of corpus size), and the greedy loop is
+    ``k - 1`` unrolled rounds over those bounded relations: anti-join
+    the picked set, join the pairwise max, TakeOrdered 1. Fully
+    distributed — no driver-side collect; the oracle replays the same
+    recurrence as unrolled MATERIALIZED CTEs.
+
+    Determinism: rel and pairwise sims round to ``sim_round`` BEFORE
+    any argmax (HOF-fold cosine matches DuckDB's ascending-position
+    sum bit-for-bit), ties break on id ascending; the MMR score is
+    exact IEEE arithmetic on the rounded inputs. pick_1's mmr_score
+    is pinned to rel (no diversity term exists yet).
+
+    Returns (id_col, mmr_rank, relevance, mmr_score).
+    """
+    q = query.select(F.col(vec_col).alias("__q_vec"))
+    rel = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.round(cosine_similarity("__q_vec", vec_col), sim_round).alias("rel"),
+        )
+    )
+    cand = (
+        rel.orderBy(F.desc("rel"), F.asc("__id"))
+        .limit(n_candidates)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("__id").alias("ia"), F.col("__vec").alias("va"))
+    b = cand.select(F.col("__id").alias("ib"), F.col("__vec").alias("vb"))
+    pw = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine_similarity("va", "vb"), sim_round).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    page = cand.select("__id", "rel")
+    sel = (
+        page.orderBy(F.desc("rel"), F.asc("__id"))
+        .limit(1)
+        .select(
+            "__id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    for r in range(2, k + 1):
+        picked = sel.select(F.col("__id").alias("ib"))
+        rem = page.join(
+            picked.select(F.col("ib").alias("__id")), "__id", "left_anti"
+        )
+        mx = (
+            pw.join(F.broadcast(picked), "ib")
+            .groupBy("ia")
+            .agg(F.max("s").alias("max_s"))
+        )
+        pick = (
+            rem.join(mx, rem["__id"] == mx["ia"])
+            .select(
+                "__id",
+                "rel",
+                (F.lit(lam) * F.col("rel")
+                 - F.lit(1.0 - lam) * F.col("max_s")).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("__id"))
+            .limit(1)
+            .withColumn("mmr_rank", F.lit(r))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        F.col("__id").alias(id_col),
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "rel",
+        F.round("mmr_score", sim_round).alias("mmr_score"),
+    )

@@ -758,3 +758,64 @@ _PREFIX_JACCARD_ORACLE = f"""
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.prefix_filtered_jaccard_pairs(docs, "doc_id", "text", 0.5)
+
+
+_QN_FRACTIONS = [(c - 0.5) / 100.0 for c in range(1, 101)]
+
+
+@register(
+    "quantile_normalize_sources",
+    f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ntile(100) OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS centile
+        FROM documents),
+    pooled AS (
+        SELECT quantile_cont(n_chars,
+                   [{", ".join(repr(f) for f in _QN_FRACTIONS)}]) AS qs
+        FROM documents),
+    g AS (SELECT source, centile,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 round(avg(n_chars), 6) AS avg_raw
+          FROM ranked GROUP BY source, centile)
+    SELECT g.source, g.centile, g.n_docs, g.avg_raw,
+           round(qs[g.centile], 6) AS normalized
+    FROM g CROSS JOIN pooled
+    """,
+    doc="Quantile normalization of document length across sources (the "
+    "microarray/batch-effect leveler applied to corpus mixing): each "
+    "source's docs are equi-depth-bucketed into centiles (ntile over a "
+    "SOURCE-KEYED window, deterministic via the doc_id tiebreak), and "
+    "every centile maps onto the POOLED distribution's exact "
+    "interpolated percentile at the bucket midpoint — after mapping, "
+    "every source has the same length distribution, so length-based "
+    "quality filters can share one threshold across heterogeneous "
+    "sources. The pooled reference is ONE global aggregate (a "
+    "100-element array riding a broadcast); output is (source x "
+    "centile) — metadata-sized. Spark `percentile` and DuckDB "
+    "`quantile_cont` share the linear-interpolation definition "
+    "(percentiles_by_group precedent).",
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", F.ntile(100).over(w).alias("centile"))
+    pooled = docs.agg(
+        F.percentile(
+            "n_chars", F.array(*[F.lit(f) for f in _QN_FRACTIONS])
+        ).alias("qs")
+    )
+    g = ranked.groupBy("source", "centile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_raw"),
+    )
+    return g.crossJoin(F.broadcast(pooled)).select(
+        "source",
+        "centile",
+        "n_docs",
+        "avg_raw",
+        F.round(F.element_at("qs", F.col("centile")), 6).alias("normalized"),
+    )

@@ -1040,3 +1040,83 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_rank",
         )
     )
+
+
+def _mmr_oracle(k: int = 10, cand: int = 50, lam: float = 0.7) -> str:
+    # (1.0 - {lam}) spelled as the SUBTRACTION, not its decimal value:
+    # Spark computes lit(1.0 - 0.7) in IEEE (0.30000000000000004) and
+    # the oracle must hit the same bits.
+    parts = [
+        f"ex AS ({_EMB_LONG})",
+        "q AS (SELECT pos, v FROM ex WHERE vec_id = 0)",
+        "qn AS (SELECT sqrt(sum(v * v)) AS nrm FROM q)",
+        "norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm"
+        " FROM ex GROUP BY vec_id)",
+        "dots AS (SELECT c.vec_id, sum(c.v * q.v) AS dot"
+        " FROM ex c JOIN q USING (pos) GROUP BY c.vec_id)",
+        "relv AS (SELECT d.vec_id, round(d.dot / (n.nrm * qn.nrm), 6) AS rel"
+        " FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn)",
+        f"cand AS MATERIALIZED (SELECT vec_id, rel FROM relv"
+        f" ORDER BY rel DESC, vec_id LIMIT {cand})",
+        "cd AS (SELECT e.vec_id, e.pos, e.v FROM ex e"
+        " JOIN cand c USING (vec_id))",
+        "pwd AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.v * b.v) AS dot"
+        " FROM cd a JOIN cd b ON a.pos = b.pos AND a.vec_id <> b.vec_id"
+        " GROUP BY 1, 2)",
+        "pw AS MATERIALIZED (SELECT ia, ib,"
+        " round(d.dot / (na.nrm * nb.nrm), 6) AS s"
+        " FROM pwd d JOIN norms na ON d.ia = na.vec_id"
+        " JOIN norms nb ON d.ib = nb.vec_id)",
+        "s1 AS MATERIALIZED (SELECT vec_id, rel, rel AS mmr_score,"
+        " 1 AS mmr_rank FROM cand ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    prev = "s1"
+    for r in range(2, k + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED ("
+            f"SELECT c.vec_id, c.rel,"
+            f" {lam} * c.rel - (1.0 - {lam}) * mx.m AS mmr_score,"
+            f" {r} AS mmr_rank"
+            f" FROM cand c"
+            f" JOIN (SELECT ia, max(s) AS m FROM pw"
+            f" WHERE ib IN (SELECT vec_id FROM {prev}) GROUP BY ia) mx"
+            f" ON mx.ia = c.vec_id"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})"
+            f" ORDER BY {lam} * c.rel - (1.0 - {lam}) * mx.m DESC, c.vec_id"
+            f" LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM p{r})"
+        )
+        prev = f"s{r}"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel,"
+        f" round(mmr_score, 6) AS mmr_score FROM {prev}"
+    )
+
+
+@register(
+    "mmr_diversify_topk",
+    _mmr_oracle(k=10, cand=50, lam=0.7),
+    doc="Maximal-marginal-relevance diversified top-10 (Carbonell & "
+    "Goldstein 1998) from a 50-candidate cosine page against the "
+    "vec_id=0 query — the serving-side rerank that trades relevance "
+    "against redundancy (lambda=0.7), the standard answer to "
+    "near-duplicate result pages. operators/similarity.py::"
+    "mmr_diversify: candidate page via TakeOrderedAndProject, "
+    "pairwise sims a broadcast self-join of the BOUNDED page, greedy "
+    "selection k-1 unrolled rounds over those metadata-sized "
+    "relations (anti-join picked, join pairwise max, TakeOrdered 1) "
+    "— no driver collect, cost independent of corpus size. Oracle "
+    "replays the greedy recurrence as unrolled MATERIALIZED CTEs; "
+    "sims round to 6 before every argmax, ties to id.",
+)
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return SIM.mmr_diversify(
+        emb, query, id_col="vec_id", vec_col="embedding",
+        k=10, n_candidates=50, lam=0.7,
+    )
