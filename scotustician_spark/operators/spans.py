@@ -95,3 +95,71 @@ def duplicate_spans(
         (F.max("start") + k - F.min("start")).cast("long").alias("span_len"),
         F.count("*").cast("long").alias("n_shingles"),
     ).drop("island")
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Winnowing fingerprint matching (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every k-token window, slide a
+    w-hash window over the hash sequence and select the RIGHTMOST
+    MINIMAL hash of each window; two documents sharing >= min_shared
+    selected fingerprints are reported with their overlap count.
+    Winnowing guarantees any shared run of >= w+k-1 tokens produces a
+    shared selected fingerprint while keeping only ~2/(w+1) of all
+    hashes — position-robust document fingerprinting at a fraction of
+    the ExactSubstr footprint (duplicate_spans finds the spans; this
+    finds the PAIRS cheaply).
+
+    Scale shape: hashing AND window-min selection are in-row HOFs over
+    the token array (zero joins, zero windows — selection never leaves
+    the row); only selected fingerprints explode, a ~2/(w+1) reduction
+    of the shingle stream, and the pair join is keyed on fingerprint
+    like the LSH band join (pair cost bounded by true collisions).
+    md5 hex strings order identically in both engines (binary ASCII
+    collation), so the min-hash selection is engine-deterministic.
+
+    Returns (id_a, id_b, n_shared).
+    """
+    toks = F.coalesce(
+        tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
+    base = repartition_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("l")
+    )
+    n_f = F.size("l") - (k - 1)  # number of k-gram positions
+    fps = F.transform(
+        F.sequence(F.lit(0), n_f - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("l", i + 1, k))),
+    )
+    staged = base.filter(n_f >= w).select("doc_id", fps.alias("fps"))
+    # rightmost argmin per w-window, then distinct positions
+    sel_pos = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("fps") - w),
+            lambda i: F.array_max(
+                F.filter(
+                    F.sequence(i, i + w - 1),
+                    lambda j: F.element_at("fps", j + 1)
+                    == F.array_min(F.slice("fps", i + 1, w)),
+                )
+            ),
+        )
+    )
+    sel = staged.select(
+        "doc_id", F.explode(sel_pos).alias("pos"), F.col("fps")
+    ).select("doc_id", "pos", F.element_at("fps", F.col("pos") + 1).alias("fp"))
+    a = sel.select(F.col("doc_id").alias("id_a"), "fp").distinct()
+    b = sel.select(F.col("doc_id").alias("id_b"), "fp").distinct()
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

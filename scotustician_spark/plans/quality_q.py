@@ -551,3 +551,43 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.col("doc_id") == F.col("best_doc")).alias("is_best"),
     )
+
+
+@register(
+    "winnowing_pairs",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_GUARDED} AS l FROM documents),
+    st AS (SELECT doc_id,
+                  list_transform(range(0, len(l) - 4),
+                      i -> md5(array_to_string(l[i+1:i+5], ' '))) AS fps
+           FROM base WHERE len(l) - 4 >= 4),
+    selpos AS (SELECT doc_id, fps,
+                      list_distinct(list_transform(range(0, len(fps) - 3),
+                          i -> list_max(list_filter(range(i, i+4),
+                              j -> fps[j+1] = list_min(fps[i+1:i+4])))))
+                          AS sel
+               FROM st),
+    sel AS (SELECT DISTINCT doc_id, fps[p + 1] AS fp
+            FROM (SELECT doc_id, fps, unnest(sel) AS p FROM selpos))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    doc="Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken "
+    "2003, the MOSS algorithm): every 5-token window hashed, a 4-hash "
+    "sliding window keeps only the rightmost minimal hash, documents "
+    "sharing >= 2 selected fingerprints pair with their overlap count. "
+    "Guarantees any shared run of >= w+k-1 = 8 tokens yields a shared "
+    "fingerprint while keeping ~2/(w+1) of hashes — the cheap "
+    "position-robust complement to duplicate_spans' ExactSubstr pass. "
+    "Hashing AND window-min selection are in-row HOFs (selection never "
+    "leaves the row); only selected fingerprints explode and the pair "
+    "join is keyed on fingerprint like the LSH band join. "
+    "operators/spans.py::winnowing_pairs.",
+)
+def winnowing_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import winnowing_pairs
+
+    return winnowing_pairs(_d(spark, sf_dir), "doc_id", "text", k=5, w=4,
+                           min_shared=2)

@@ -1120,3 +1120,94 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query, id_col="vec_id", vec_col="embedding",
         k=10, n_candidates=50, lam=0.7,
     )
+
+
+from .registry import QUERY_REGISTRY as _REGQ  # noqa: E402  (cosine_topk
+# is registered above; composition below only reads earlier entries)
+
+_MRL_DIM = 16
+
+
+@register(
+    "matryoshka_recall",
+    f"""
+    WITH exact AS ({{exact}}),
+    ex AS (SELECT vec_id, pos, v FROM ({_EMB_LONG}) WHERE pos < {_MRL_DIM}),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.v * c.v) AS dot
+        FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id),
+    trunc5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored)
+        WHERE rnk <= 5),
+    hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN trunc5 t
+               ON e.query_id = t.query_id
+              AND e.neighbor_id = t.neighbor_id
+             GROUP BY 1)
+    SELECT q.query_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / 5.0, 6) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h USING (query_id)
+    """.format(exact=_REGQ["cosine_topk"].oracle),
+    doc="Matryoshka-embedding retrieval self-diagnostic (Kusupati et "
+    "al. 2022): rank by cosine over only the FIRST 16 of 64 dims (the "
+    "MRL prefix a serving tier uses at 4x less memory bandwidth) and "
+    "report per-query top-5 overlap against the full-dim exact "
+    "ranking — the measured answer to 'how much recall does prefix "
+    "truncation cost on THIS corpus'. Same shape as ann_recall_at_k: "
+    "the truncated ranking is a broadcast-query scan over sliced "
+    "vectors, the oracle composes the registered cosine_topk oracle "
+    "as a CTE. Queries missing from the truncated top-5 entirely "
+    "still report (recall 0) via the left join.",
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    trunc = e.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    q = trunc.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = trunc.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(V.cosine_similarity("q_vec", "c_vec"), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    trunc5 = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    exact = _REGQ["cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(trunc5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+    )
