@@ -1026,3 +1026,144 @@ def chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+@register(
+    "welch_ttest_sources",
+    """
+    WITH s AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(n_chars) AS BIGINT) AS sx,
+                      CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+               FROM documents GROUP BY source),
+    m AS (SELECT source, n, sx / CAST(n AS DOUBLE) AS mean,
+                 (sxx - sx * (sx / CAST(n AS DOUBLE))) / (n - 1) AS var
+          FROM s WHERE n >= 2),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS n_a, b.n AS n_b,
+                 a.mean - b.mean AS mean_diff,
+                 a.var / a.n + b.var / b.n AS se2,
+                 a.var / a.n AS va, b.var / b.n AS vb
+          FROM m a JOIN m b ON a.source < b.source)
+    SELECT source_a, source_b, n_a, n_b,
+           round(mean_diff, 6) AS mean_diff,
+           round(mean_diff / sqrt(se2), 6) AS t_stat,
+           round(se2 * se2 / (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 6)
+               AS welch_df
+    FROM p
+    """,
+    doc="Welch's unequal-variance t-test of mean document length "
+    "between every source pair, with the Welch-Satterthwaite degrees "
+    "of freedom — the inferential companion to source_length_ks "
+    "(KS asks 'same distribution?', Welch asks 'same mean, and how "
+    "confidently?'). Engine determinism by construction: per-source "
+    "moments come from INTEGER sums (sum(x), sum(x^2) as BIGINT — "
+    "exact at any aggregation order, unlike float var_samp whose "
+    "Welford vs naive rounding differs across engines), variance is "
+    "the same explicit formula on both sides. One scan to a "
+    "per-source row; the pair join is sources x sources — "
+    "metadata-sized.",
+)
+def welch_ttest_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    m = s.filter(F.col("n") >= 2).select(
+        "source",
+        "n",
+        (F.col("sx") / F.col("n").cast("double")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * (F.col("sx") / F.col("n").cast("double")))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.select(*[F.col(c).alias(f"a_{c}") for c in m.columns])
+    b = m.select(*[F.col(c).alias(f"b_{c}") for c in m.columns])
+    p = a.join(F.broadcast(b), F.col("a_source") < F.col("b_source")).select(
+        F.col("a_source").alias("source_a"),
+        F.col("b_source").alias("source_b"),
+        F.col("a_n").alias("n_a"),
+        F.col("b_n").alias("n_b"),
+        (F.col("a_mean") - F.col("b_mean")).alias("mean_diff"),
+        (F.col("a_var") / F.col("a_n") + F.col("b_var") / F.col("b_n")).alias("se2"),
+        (F.col("a_var") / F.col("a_n")).alias("va"),
+        (F.col("b_var") / F.col("b_n")).alias("vb"),
+    )
+    return p.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round(F.col("mean_diff") / F.sqrt("se2"), 6).alias("t_stat"),
+        F.round(
+            F.col("se2") * F.col("se2")
+            / (
+                F.col("va") * F.col("va") / (F.col("n_a") - 1)
+                + F.col("vb") * F.col("vb") / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH cr AS (SELECT o_orderpriority AS priority, o_custkey,
+                       CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+                           AS rev_cents
+                FROM orders GROUP BY 1, 2),
+    ranked AS (SELECT priority, rev_cents,
+                      row_number() OVER (PARTITION BY priority
+                                         ORDER BY rev_cents, o_custkey) AS i
+               FROM cr),
+    g AS (SELECT priority,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(rev_cents) AS BIGINT) AS tot,
+                 CAST(sum(i * rev_cents) AS BIGINT) AS wsum
+          FROM ranked GROUP BY priority)
+    SELECT priority, n_customers,
+           round(tot / 100.0, 2) AS total_revenue,
+           round(2.0 * wsum / (n_customers * CAST(tot AS DOUBLE))
+                 - (n_customers + 1.0) / n_customers, 6) AS gini
+    FROM g
+    """,
+    doc="Gini coefficient of revenue concentration across customers, "
+    "per order priority — the Lorenz-curve inequality statistic "
+    "(how much of the revenue the top customers own), the audit-side "
+    "companion to key_skew_profile. Revenue quantizes to integer "
+    "cents BEFORE the rank-weighted sum, so every aggregate is an "
+    "exact integer at any aggregation order and the final G is one "
+    "deterministic IEEE expression. Ranking window is keyed by "
+    "priority (never global), ties pinned by custkey.",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_cents")
+    )
+    w = W.partitionBy("priority").orderBy("rev_cents", "o_custkey")
+    ranked = cr.select(
+        "priority", "rev_cents", F.row_number().over(w).alias("i")
+    )
+    g = ranked.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("rev_cents")).cast("long").alias("wsum"),
+    )
+    return g.select(
+        "priority",
+        "n_customers",
+        F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("wsum") / (F.col("n_customers") * F.col("tot").cast("double"))
+            - (F.col("n_customers") + 1.0) / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+    )
