@@ -220,9 +220,15 @@ def label_propagation(
     pagerank/components loops. Returns (vertex, community).
     """
     sym = symmetrize(pairs, src, dst).localCheckpoint(eager=True)
-    labels = sym.select(F.col("u").alias("v"), F.col("u").alias("lbl")).distinct()
+    # round 1 collapses: with identity initial labels every neighbor
+    # label is distinct (edges are deduped), so every count is 1 and
+    # the mode-with-smallest-tie IS the minimum neighbor id — one
+    # aggregation replaces the generic join+count+rank round
+    labels = sym.groupBy("u").agg(F.min("v").alias("lbl")).select(
+        F.col("u").alias("v"), "lbl"
+    )
     w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("lbl"))
-    for _ in range(rounds):
+    for _ in range(rounds - 1):
         nbr = sym.join(
             labels.select(F.col("v").alias("__nv"), "lbl"),
             F.col("v") == F.col("__nv"),

@@ -684,6 +684,7 @@ def _lpa_oracle(rounds: int = 4) -> str:
     "join + count + per-vertex row_number (no global window), lineage "
     "cut per round. Oracle replays the recurrence as an unrolled "
     "MATERIALIZED-CTE chain like the k-core peel.",
+    bench=True,
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation

@@ -585,6 +585,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leaves the row); only selected fingerprints explode and the pair "
     "join is keyed on fingerprint like the LSH band join. "
     "operators/spans.py::winnowing_pairs.",
+    bench=True,
 )
 def winnowing_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spans import winnowing_pairs
