@@ -240,6 +240,9 @@ def label_propagation(
             .select(F.col("u").alias("v"), "lbl")
             .localCheckpoint(eager=False)
         )
+    # label rides in its NATIVE type — vertex ids may be strings
+    # (docket numbers); numeric casts here would crash under ANSI,
+    # the same footgun the components checksum fix removed
     return labels.select(
-        F.col("v").alias("vertex"), F.col("lbl").cast("long").alias("community")
+        F.col("v").alias("vertex"), F.col("lbl").alias("community")
     )

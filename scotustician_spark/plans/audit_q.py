@@ -694,5 +694,6 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         li, "l_orderkey", "l_partkey", min_support=10, pair_min_support=2
     )
     return label_propagation(pairs, src="item_a", dst="item_b", rounds=4).select(
-        F.col("vertex").alias("l_partkey"), "community"
+        F.col("vertex").alias("l_partkey"),
+        F.col("community").cast("long").alias("community"),
     )

@@ -393,3 +393,115 @@ def test_winsorized_stats_hand_values(spark, tmp_path):
     want = (0 + sum(range(19)) + 18) / 21
     assert abs(r["mean_winsor"] - round(want, 4)) < 1e-9
     assert r["mean_raw"] == round(sum(vals) / 21, 4)
+
+def test_mmr_diversify_greedy_order_and_diversity(spark):
+    """Hand-computable MMR. Candidates: the query itself (rel 1.0), a
+    near-duplicate of it, and a diverse vector. Rank 1 is always the
+    most relevant. At low lambda (diversity-heavy) the diverse
+    candidate must outrank the redundant near-duplicate; at lambda=1
+    MMR degenerates to pure relevance order."""
+    from scotustician_spark.operators.similarity import mmr_diversify
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # the query vector itself: rel 1.0
+        (1, [0.999, 0.04, 0.0]),  # near-duplicate of 0
+        (2, [0.6, 0.0, 0.8]),     # diverse, moderately relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select("embedding")
+
+    def order(lam, k=3):
+        out = mmr_diversify(
+            emb, q, id_col="vec_id", vec_col="embedding",
+            k=k, n_candidates=3, lam=lam,
+        ).collect()
+        return [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+
+    # lam=1.0: pure relevance => 0, then near-dup 1, then 2
+    assert order(1.0) == [0, 1, 2]
+    # lam=0.3: diversity dominates => the diverse 2 beats the near-dup:
+    # pick2 scores: near-dup 0.3*rel - 0.7*sim(0) ~ -0.4*1 = -0.4,
+    # diverse 0.3*0.6 - 0.7*0.6 = -0.24 => 2 wins
+    assert order(0.3) == [0, 2, 1]
+
+
+def test_kaplan_meier_hand_example(spark, tmp_path):
+    """KM estimator on a constructed cohort written as an events table:
+    one event_type, durations 1,1,2,9,10 with obs end at day 10 =>
+    users with last event in the final 7 days (durations 9, 10 here,
+    since their last events land on days 9 and 10 of a 10-day window)
+    are censored. Churn days: 1 (d=2, n=5) and 2 (d=1, n=3):
+    S(1) = 1 - 2/5 = 0.6; S(2) = 0.6 * (1 - 1/3) = 0.4."""
+    import datetime as dt
+
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+    spans = {1: 1, 2: 1, 3: 2, 4: 9, 5: 10}
+    rows = []
+    for uid, dur in spans.items():
+        rows.append((uid * 10, base, uid, "purchase", 1.0, "{}"))
+        rows.append(
+            (uid * 10 + 1, base + dt.timedelta(days=dur), uid, "purchase", 1.0, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+    out = QUERY_REGISTRY["kaplan_meier_retention"].fn(spark, str(tmp_path))
+    got = {r["day"]: r for r in out.collect()}
+    # churn day 1: 2 of 5 at risk
+    assert got[1]["n_churned"] == 2 and got[1]["n_at_risk"] == 5
+    assert abs(got[1]["survival"] - 0.6) < 1e-9
+    # churn day 2: 1 of 3 still at risk
+    assert got[2]["n_churned"] == 1 and got[2]["n_at_risk"] == 3
+    assert abs(got[2]["survival"] - 0.4) < 1e-9
+    # censored tail days: survival carries flat (no churn contribution)
+    assert got[9]["n_censored"] == 1 and abs(got[9]["survival"] - 0.4) < 1e-9
+    assert got[10]["n_censored"] == 1 and abs(got[10]["survival"] - 0.4) < 1e-9
+
+
+def test_welch_ttest_closed_form(spark, tmp_path):
+    """Welch t on a hand case: A = {1,2,3} (mean 2, var 1), B = {2,4,6}
+    (mean 4, var 4): t = -2/sqrt(1/3 + 4/3) = -1.549193,
+    df = (5/3)^2 / ((1/3)^2/2 + (4/3)^2/2) = 450/153 = 2.941176."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    rows = [(i, "t", "en", src, n) for i, (src, n) in enumerate(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 4), ("b", 6)]
+    )]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = QUERY_REGISTRY["welch_ttest_sources"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    assert abs(r["t_stat"] - (-1.549193)) < 1e-6
+    assert abs(r["welch_df"] - 2.941176) < 1e-6
+
+
+def test_gini_closed_form(spark, tmp_path):
+    """Gini on hand cases: equal revenues => 0; all revenue in one of
+    four customers => 2*(4*4)/(4*4) - 5/4 = 0.75."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    rows = (
+        [(i, "EQ", 100 + i, 5.0) for i in range(4)]
+        + [(10 + i, "SKEW", 200 + i, 0.0) for i in range(3)]
+        + [(13, "SKEW", 203, 4.0)]
+    )
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_custkey long, "
+        "o_totalprice double",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r["priority"]: r
+        for r in QUERY_REGISTRY["gini_revenue_concentration"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert abs(out["EQ"]["gini"] - 0.0) < 1e-9
+    assert abs(out["SKEW"]["gini"] - 0.75) < 1e-9

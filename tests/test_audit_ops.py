@@ -435,3 +435,47 @@ def test_kcore_bounded_peel_fixpoint_and_python_oracle(spark):
     want = sorted((u, len(vs)) for u, vs in adj.items())
     assert got6 == want
     assert {u for u, _ in got6} == {"x", "y", "z", "p", "q", "r", "s"}
+
+
+def test_label_propagation_two_communities_string_ids(spark):
+    """Determinized LPA on a barbell of two triangles joined by one
+    bridge edge: each triangle converges to its own min-id label and
+    the result is stable (round 5 == round 4). String vertex ids
+    exercise the same type-agnostic discipline as components."""
+    from scotustician_spark.operators.graph import label_propagation
+
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),   # triangle A
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),   # triangle B
+        ("a3", "b1"),                               # bridge
+    ]
+    e_df = spark.createDataFrame(edges, "item_a string, item_b string")
+
+    def comm(rounds):
+        out = label_propagation(e_df, src="item_a", dst="item_b", rounds=rounds)
+        return {r["vertex"]: r["community"] for r in out.collect()}
+
+    c4 = comm(4)
+    assert set(c4) == {"a1", "a2", "a3", "b1", "b2", "b3"}
+    # triangle A all share one label, triangle B another, and they differ
+    assert len({c4["a1"], c4["a2"], c4["a3"]}) == 1
+    assert len({c4["b1"], c4["b2"], c4["b3"]}) == 1
+    assert c4["a1"] != c4["b1"]
+    assert comm(5) == c4  # fixpoint reached — bounded replay is the answer
+
+
+def test_label_propagation_round1_is_min_neighbor(spark):
+    """The round-1 collapse (identity labels => mode == min neighbor)
+    must equal the generic recurrence: on a star graph the hub takes
+    the minimum leaf id and every leaf takes the hub id."""
+    from scotustician_spark.operators.graph import label_propagation
+
+    edges = [("hub", leaf) for leaf in ("l1", "l2", "l3")]
+    e_df = spark.createDataFrame(edges, "item_a string, item_b string")
+    out = {
+        r["vertex"]: r["community"]
+        for r in label_propagation(
+            e_df, src="item_a", dst="item_b", rounds=1
+        ).collect()
+    }
+    assert out == {"hub": "l1", "l1": "hub", "l2": "hub", "l3": "hub"}

@@ -282,3 +282,70 @@ def test_token_entropy_known_values(spark):
     assert rows[4]["entropy"] is None and rows[4]["norm_entropy"] is None
     assert rows[5]["entropy"] is None and rows[5]["norm_entropy"] is None
     assert rows[4]["n_tokens"] == 0 and rows[5]["n_tokens"] == 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing's two theorems on a constructed corpus: (1) any two
+    documents sharing a run of >= w+k-1 = 8 tokens share at least one
+    SELECTED fingerprint (detection guarantee); (2) disjoint-vocabulary
+    documents never pair; and the selected-fingerprint density stays
+    near the 2/(w+1) expectation, far below all-hashes."""
+    import random
+
+    from scotustician_spark.operators.spans import winnowing_pairs
+
+    rng = random.Random(7)
+    shared_run = " ".join(f"run{i}" for i in range(8))  # w+k-1 tokens
+
+    def noise(tag, n):
+        return " ".join(f"{tag}{rng.randint(0, 10**9)}" for _ in range(n))
+
+    rows = [
+        (1, f"{noise('a', 40)} {shared_run} {noise('b', 40)}"),
+        (2, f"{noise('c', 40)} {shared_run} {noise('d', 40)}"),
+        (3, noise("e", 90)),  # disjoint vocabulary — never pairs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_pairs(docs, "doc_id", "text", k=5, w=4, min_shared=1)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got, "shared 8-token run must yield a shared fingerprint"
+    assert not any(3 in p for p in got), "disjoint doc must not pair"
+
+
+def test_winnowing_selects_fraction_of_hashes(spark):
+    """Selection keeps roughly 2/(w+1) of the k-gram hashes — the whole
+    point of winnowing vs ExactSubstr's every-window explosion."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.spans import winnowing_pairs
+
+    rng = random.Random(11)
+    text = " ".join(str(rng.randint(0, 10**9)) for _ in range(2000))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # two identical docs share exactly the selected set, so n_shared
+    # counts the selected fingerprints of one document
+    toks = 2000
+    n_positions = toks - 4  # k=5
+    # count selected fingerprints by running the in-row expressions the
+    # same way the operator does, via a tiny local pipeline
+    sel = (
+        winnowing_pairs(
+            docs.unionByName(
+                spark.createDataFrame([(2, text)], "doc_id long, text string")
+            ),
+            "doc_id",
+            "text",
+            k=5,
+            w=4,
+            min_shared=1,
+        )
+        .filter((F.col("id_a") == 1) & (F.col("id_b") == 2))
+        .collect()
+    )
+    assert sel, "identical docs must pair"
+    n_shared = sel[0]["n_shared"]
+    frac = n_shared / n_positions
+    # expectation 2/(w+1) = 0.4; allow generous slack either side
+    assert 0.2 < frac < 0.6, f"selection density {frac} far from 2/(w+1)"
