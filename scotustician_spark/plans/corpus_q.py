@@ -16,7 +16,7 @@ from ..operators import components as CC
 from ..operators import corpus as CP
 from ..operators import dedup as DD
 from .registry import register
-from .vectors_text import _SHINGLES, _minhash_oracle, _t
+from .vectors_text import _SHINGLES, _TOKS_G, _minhash_oracle, _t
 
 # SQL twin of corpus.hash_bucket(id, n, hex_off)
 def _bucket_sql(n: int, hex_off: int = 1, id_expr: str = "doc_id") -> str:
@@ -818,4 +818,156 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "avg_raw",
         F.round(F.element_at("qs", F.col("centile")), 6).alias("normalized"),
+    )
+
+
+@register(
+    "source_length_emd",
+    """
+    WITH pool AS (
+        SELECT source, n_chars AS v FROM documents
+        WHERE source IN ('src0', 'src1')),
+    g AS (SELECT v,
+                 CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM pool GROUP BY v),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM g),
+    cum AS (SELECT v,
+                   sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+                   sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+                   lead(v) OVER (ORDER BY v) AS nxt
+            FROM g),
+    seg AS (SELECT abs(cuma * t.nb - cumb * t.na) * (nxt - v) AS piece,
+                   t.na, t.nb
+            FROM cum CROSS JOIN tot t WHERE nxt IS NOT NULL)
+    SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           round(sum(piece) / CAST(max(na) * max(nb) AS DOUBLE), 6) AS emd
+    FROM seg
+    """,
+    doc="1-D earth-mover (Wasserstein-1) distance between two sources' "
+    "document-length distributions — the MAGNITUDE companion to "
+    "source_length_ks (KS reports the worst ECDF gap; EMD integrates "
+    "ALL of it, so a long mild drift scores high even when no single "
+    "point does). Closed form in 1-D: integral of |F_A - F_B| = "
+    "sum over consecutive support values of |gap| x run length. The "
+    "accumulation is EXACT INTEGER arithmetic (|cumA*nB - cumB*nA| x "
+    "integer gap, summed as BIGINT, divided once at the end) — "
+    "bit-identical on any engine at any aggregation order. Windows "
+    "run on the distinct-value relation only.",
+)
+def source_length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    pool = d.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.col("n_chars").alias("v")
+    )
+    g = pool.groupBy("v").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = W.orderBy("v")
+    cum = g.select(
+        "v",
+        F.sum("ca").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cuma"),
+        F.sum("cb").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cumb"),
+        F.lead("v").over(w).alias("nxt"),
+    )
+    seg = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            (
+                F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+                * (F.col("nxt") - F.col("v"))
+            ).alias("piece"),
+            "na",
+            "nb",
+        )
+    )
+    return seg.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.sum("piece") / (F.max("na") * F.max("nb")).cast("double"), 6
+        ).alias("emd"),
+    )
+
+
+@register(
+    "zipf_slope",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_G}) AS t FROM documents),
+    cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+    top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS i
+            FROM (SELECT * FROM cnt ORDER BY c DESC, t LIMIT 1000)),
+    xy AS (SELECT ln(CAST(i AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+           FROM top),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM xy)
+    SELECT n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: OLS slope of "
+    "log(frequency) on log(rank) for the top-1000 tokens — natural "
+    "text sits near -1; heavy template/boilerplate corpora flatten, "
+    "spam/generated text steepens, so the slope is a one-number "
+    "corpus-health screen next to doc_token_entropy. Token counts are "
+    "map-side-combined; selection is TakeOrderedAndProject on exact "
+    "integer counts (token tiebreak); the regression runs over 1000 "
+    "aggregated log-points (double sums there round at 1e-13, six "
+    "decimals is far coarser — the repo's sums-of-continuous-doubles "
+    "rounding policy).",
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    cnt = (
+        d.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = (
+        cnt.orderBy(F.desc("c"), F.asc("t"))
+        .limit(1000)
+        .withColumn("i", F.row_number().over(W.orderBy(F.desc("c"), F.asc("t"))))
+    )
+    xy = top.select(
+        F.log(F.col("i").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
     )

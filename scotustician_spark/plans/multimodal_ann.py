@@ -948,3 +948,106 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted",
         (F.col("actual") == F.col("predicted")).alias("correct"),
     )
+
+
+# IDCG@k prefix table for binary relevance, IDCG(m) = sum_{i<=m} 1/log2(i+1),
+# embedded as LITERALS in both engines so the ideal side is bit-identical
+_IDCG_PREFIX = [
+    0.0,
+    1.0,
+    1.6309297535714575,
+    2.1309297535714578,
+    2.5616063116448506,
+    2.9484591188793923,
+]
+
+_NDCG_ORACLE = f"""
+    WITH exact AS ({_REG["cosine_topk"].oracle}),
+    lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+    rels AS (
+        SELECT e.query_id, e.rnk,
+               CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS rel
+        FROM exact e
+        JOIN lab ln ON ln.vec_id = e.neighbor_id
+        JOIN lab lq ON lq.vec_id = e.query_id),
+    agg AS (
+        SELECT query_id,
+               CAST(sum(rel) AS BIGINT) AS n_relevant,
+               sum(rel / (ln(rnk + 1.0) / ln(2.0))) AS dcg
+        FROM rels GROUP BY query_id)
+    SELECT query_id, n_relevant,
+           round(dcg, 6) AS dcg,
+           round(CASE WHEN n_relevant = 0 THEN 0.0
+                      ELSE dcg / ([{", ".join(repr(v) for v in _IDCG_PREFIX)}]
+                                  [CAST(n_relevant AS INT) + 1]) END, 6)
+               AS ndcg_at_5
+    FROM agg
+    """
+
+
+@register(
+    "ndcg_label_relevance",
+    _NDCG_ORACLE,
+    doc="NDCG@5 of the exact cosine ranking under label-match binary "
+    "relevance, per query — the graded-position IR metric next to "
+    "knn_label_accuracy (accuracy asks 'did the majority vote win', "
+    "NDCG asks 'were the relevant neighbors ranked EARLY'). Composes "
+    "cosine_topk with two broadcast label joins; DCG discounts are "
+    "ln(rank+1)/ln(2) spelled identically on both engines, and the "
+    "ideal DCG comes from a shared literal prefix table (binary "
+    "relevance makes IDCG a function of the relevant count alone), so "
+    "the only float divergence is sub-ulp libm noise far below the "
+    "6-decimal rounding.",
+)
+def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lab = e.select("vec_id", F.col("label").cast("int").alias("label"))
+    exact = _REG["cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    rels = (
+        exact.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "rnk",
+            F.when(F.col("n_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    agg = rels.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.sum(
+            F.col("rel") / (F.log(F.col("rnk") + 1.0) / F.log(F.lit(2.0)))
+        ).alias("dcg"),
+    )
+    idcg = F.array(*[F.lit(v) for v in _IDCG_PREFIX])
+    return agg.select(
+        "query_id",
+        "n_relevant",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(
+            F.when(F.col("n_relevant") == 0, F.lit(0.0)).otherwise(
+                F.col("dcg")
+                / F.element_at(idcg, F.col("n_relevant").cast("int") + 1)
+            ),
+            6,
+        ).alias("ndcg_at_5"),
+    )
