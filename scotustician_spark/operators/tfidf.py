@@ -190,7 +190,7 @@ def pmi_pairs(
         .agg(F.count("*").alias("n_tok"))
     )
     totals = pair_counts.agg(F.sum("n_pair").alias("N_pairs")).crossJoin(
-        uni.agg(F.sum("n_tok").alias("N_toks"))
+        F.broadcast(uni.agg(F.sum("n_tok").alias("N_toks")))
     )
     top = (
         pair_counts.filter(F.col("n_pair") >= min_count)

@@ -606,7 +606,11 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("priority")
         .distinct()
         .crossJoin(
-            o.sparkSession.range(nb).select(F.col("id").cast("int").alias("bucket"))
+            F.broadcast(
+                o.sparkSession.range(nb).select(
+                    F.col("id").cast("int").alias("bucket")
+                )
+            )
         )
     )
     tb = tot.filter(F.col("period") == "base").select("priority", F.col("n").alias("n_b"))

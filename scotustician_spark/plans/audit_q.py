@@ -221,7 +221,9 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("priority", "digit").agg(F.count("*").alias("c"))
     tot = counts.groupBy("priority").agg(F.sum("c").alias("n"))
     grid = tot.select("priority", "n").crossJoin(
-        spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+        F.broadcast(
+            spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+        )
     )
     exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("digit"))
     terms = grid.join(counts, ["priority", "digit"], "left").select(

@@ -307,3 +307,26 @@ def test_key_skew_profile_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     # totals attach via broadcast nested loop (single-row cross join)
     assert "rangepartitioning" not in plan, plan
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
+    """Registry-wide scale lint: no query's physical plan may contain a
+    CartesianProduct — every cross join must ride a broadcast (tiny
+    side) so nothing ever pairs two shuffled relations blindly. MLlib's
+    ALS is the one whitelisted internal exception."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    allowed = {"als_recommendations"}  # MLlib-internal cartesian
+    offenders = {}
+    for name, q in sorted(QUERY_REGISTRY.items()):
+        if name in allowed:
+            continue
+        plan = (
+            q.fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, f"CartesianProduct found in: {sorted(offenders)}"
