@@ -330,3 +330,24 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders[name] = True
     assert not offenders, f"CartesianProduct found in: {sorted(offenders)}"
+
+
+def test_no_row_at_a_time_python_udf_in_registry(spark, sf_dir):
+    """Registry-wide hot-path lint: no query may evaluate a
+    row-at-a-time Python UDF (BatchEvalPython) — Python compute is
+    allowed only as Arrow-batched kernels (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas), which the compute-heavy
+    operators use deliberately."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    offenders = []
+    for name, q in sorted(QUERY_REGISTRY.items()):
+        plan = (
+            q.fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
