@@ -1171,3 +1171,77 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "daily_autocorrelation",
+    """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM orders GROUP BY 1),
+    lagged AS (
+        SELECT 1 AS lag, a.c AS x, b.c AS y
+        FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+        UNION ALL
+        SELECT 7 AS lag, a.c AS x, b.c AS y
+        FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 7 DAY),
+    s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM lagged GROUP BY lag)
+    SELECT lag, n AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS autocorr
+    FROM s
+    """,
+    doc="Autocorrelation of the daily order-count series at lag 1 and "
+    "lag 7 (the day-over-day persistence and weekly-seasonality "
+    "probes a forecasting pipeline starts from). Lag pairing is an "
+    "equi-join on day+interval (missing days drop their pairs — no "
+    "imputation), and the Pearson moments accumulate as EXACT BIGINT "
+    "sums of integer counts, so the statistic is "
+    "aggregation-order-deterministic; one final double expression. "
+    "The daily rollup is map-side-combined; everything after it is "
+    "metadata-sized.",
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    outs = []
+    for lag in (1, 7):
+        a = daily.select(F.col("day").alias("d"), F.col("c").alias("x"))
+        b = daily.select(
+            F.col("day").alias("d2"), F.col("c").alias("y")
+        )
+        pairs = a.join(b, F.col("d2") == F.date_add(F.col("d"), lag)).select(
+            F.lit(lag).alias("lag"), "x", "y"
+        )
+        outs.append(pairs)
+    lagged = outs[0].unionByName(outs[1])
+    s = lagged.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("autocorr"),
+    )
