@@ -309,45 +309,33 @@ def test_key_skew_profile_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
 
 
-def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
-    """Registry-wide scale lint: no query's physical plan may contain a
-    CartesianProduct — every cross join must ride a broadcast (tiny
-    side) so nothing ever pairs two shuffled relations blindly. MLlib's
-    ALS is the one whitelisted internal exception."""
+def test_registry_plan_lints_one_sweep(spark, sf_dir):
+    """Registry-wide scale lints, one planning sweep over every query:
+
+    1. No CartesianProduct — every cross join must ride a broadcast
+       (tiny side) so nothing ever pairs two shuffled relations
+       blindly. MLlib's ALS is the one whitelisted internal exception.
+    2. No BatchEvalPython — Python compute may appear only as
+       Arrow-batched kernels (ArrowEvalPython / MapInPandas /
+       FlatMapGroupsInPandas), which the compute-heavy operators use
+       deliberately.
+    """
     from scotustician_spark.plans import QUERY_REGISTRY
 
-    allowed = {"als_recommendations"}  # MLlib-internal cartesian
+    cartesian_allowed = {"als_recommendations"}  # MLlib-internal
     offenders = {}
     for name, q in sorted(QUERY_REGISTRY.items()):
-        if name in allowed:
-            continue
         plan = (
             q.fn(spark, sf_dir)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        if "CartesianProduct" in plan:
-            offenders[name] = True
-    assert not offenders, f"CartesianProduct found in: {sorted(offenders)}"
-
-
-def test_no_row_at_a_time_python_udf_in_registry(spark, sf_dir):
-    """Registry-wide hot-path lint: no query may evaluate a
-    row-at-a-time Python UDF (BatchEvalPython) — Python compute is
-    allowed only as Arrow-batched kernels (ArrowEvalPython /
-    MapInPandas / FlatMapGroupsInPandas), which the compute-heavy
-    operators use deliberately."""
-    from scotustician_spark.plans import QUERY_REGISTRY
-
-    offenders = []
-    for name, q in sorted(QUERY_REGISTRY.items()):
-        plan = (
-            q.fn(spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+        problems = []
+        if "CartesianProduct" in plan and name not in cartesian_allowed:
+            problems.append("CartesianProduct")
         if "BatchEvalPython" in plan:
-            offenders.append(name)
-    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+            problems.append("row-at-a-time Python UDF")
+        if problems:
+            offenders[name] = problems
+    assert not offenders, f"plan lints failed: {offenders}"
