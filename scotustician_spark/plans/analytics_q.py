@@ -1245,3 +1245,93 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr"),
     )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS d, o_totalprice AS p
+        FROM orders),
+    c AS (SELECT o_custkey,
+                 CAST(max(d) AS BIGINT) AS rec,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(round(sum(p) * 100) AS BIGINT) AS mon
+          FROM cust GROUP BY 1),
+    b AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,
+                 quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bf,
+                 quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS bm
+          FROM c),
+    scored AS (
+        SELECT o_custkey, mon,
+               1 + (CASE WHEN rec > round(br[1], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN rec > round(br[2], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN rec > round(br[3], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN rec > round(br[4], 6) THEN 1 ELSE 0 END) AS r,
+               1 + (CASE WHEN freq > round(bf[1], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > round(bf[2], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > round(bf[3], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > round(bf[4], 6) THEN 1 ELSE 0 END) AS f,
+               1 + (CASE WHEN mon > round(bm[1], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon > round(bm[2], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon > round(bm[3], 6) THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon > round(bm[4], 6) THEN 1 ELSE 0 END) AS m
+        FROM c CROSS JOIN b)
+    SELECT CAST(r * 100 + f * 10 + m AS INTEGER) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(mon) / (count(*) * 100.0), 2) AS avg_monetary
+    FROM scored GROUP BY 1
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quintiles -> 125 segments) the SCALE-SAFE way: quintile "
+    "BOUNDARIES come from one global interpolated-percentile "
+    "aggregate (a 3x4-value broadcast), and each customer scores by "
+    "comparing against the rounded boundaries — no ntile, no global "
+    "window over customers. Recency is integer epoch-days, monetary "
+    "integer cents, so every input to the strict-> comparisons is "
+    "exact; boundaries round to 6 on both engines before comparing "
+    "(an integer can only straddle a rounded boundary if they differ "
+    "by >= 1e-6's neighborhood — interpolation noise is 1e-10). "
+    "avg_monetary divides the exact BIGINT cent sum once at the end.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")))
+        .cast("long")
+        .alias("rec"),
+        F.count("*").cast("long").alias("freq"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("mon"),
+    )
+    qs = F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+    b = c.agg(
+        F.percentile("rec", qs).alias("br"),
+        F.percentile("freq", qs).alias("bf"),
+        F.percentile("mon", qs).alias("bm"),
+    )
+
+    def score(col, bounds):
+        expr = F.lit(1)
+        for i in range(1, 5):
+            expr = expr + F.when(
+                F.col(col) > F.round(F.element_at(bounds, i), 6), 1
+            ).otherwise(0)
+        return expr
+
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        "mon",
+        score("rec", F.col("br")).alias("r"),
+        score("freq", F.col("bf")).alias("f"),
+        score("mon", F.col("bm")).alias("m"),
+    )
+    return scored.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("mon") / (F.count("*") * 100.0), 2).alias("avg_monetary"),
+    )

@@ -1051,3 +1051,121 @@ def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_at_5"),
     )
+
+
+_EMB_LONG_SIL = """
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+"""
+
+
+@register(
+    "label_silhouette",
+    f"""
+    WITH ex AS ({_EMB_LONG_SIL}),
+    cent AS (SELECT label AS s_label, pos, round(avg(v), 6) AS c
+             FROM ex GROUP BY 1, 2),
+    d AS (SELECT e.vec_id, e.label, c.s_label,
+                 round(sum((e.v - c.c) * (e.v - c.c)), 6) AS d2
+          FROM ex e JOIN cent c ON c.pos = e.pos
+          GROUP BY 1, 2, 3),
+    agg AS (SELECT vec_id, label,
+                   max(CASE WHEN s_label = label THEN d2 END) AS d_own,
+                   min(CASE WHEN s_label <> label THEN d2 END) AS d_other
+            FROM d GROUP BY 1, 2),
+    sil AS (SELECT label,
+                   CASE WHEN greatest(sqrt(d_own), sqrt(d_other)) = 0
+                        THEN 0.0
+                        ELSE (sqrt(d_other) - sqrt(d_own))
+                             / greatest(sqrt(d_own), sqrt(d_other)) END AS s
+            FROM agg)
+    SELECT CAST(label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(s), 6) AS mean_silhouette
+    FROM sil GROUP BY label
+    """,
+    doc="Centroid-silhouette cluster-quality score per label: for every "
+    "vector, s = (d_nearest_other_centroid - d_own_centroid) / "
+    "max(both) — the simplified (centroid-based, O(n x k) not O(n^2)) "
+    "silhouette a labeled embedding table can compute at any scale; "
+    "near +1 = tight separated classes, near 0/negative = overlap. "
+    "Centroid dims round to 6 BEFORE distances (the quantizer "
+    "discipline), distances round to 6 before the min. Spark side: "
+    "one (label, dim)-keyed centroid aggregation, centroids broadcast "
+    "(k rows), per-vector distances are in-row HOF folds — never a "
+    "vec x vec pair join.",
+)
+def label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_dim = ex.groupBy(F.col("label").alias("s_label"), "pos").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    cent = per_dim.groupBy("s_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    d = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        "centroid",
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .select("vec_id", "label", "s_label", "d2")
+    )
+    agg = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("s_label") == F.col("label"), F.col("d2"))).alias(
+            "d_own"
+        ),
+        F.min(F.when(F.col("s_label") != F.col("label"), F.col("d2"))).alias(
+            "d_other"
+        ),
+    )
+    mx = F.greatest(F.sqrt("d_own"), F.sqrt("d_other"))
+    s = F.when(mx == 0, F.lit(0.0)).otherwise(
+        (F.sqrt("d_other") - F.sqrt("d_own")) / mx
+    )
+    return (
+        agg.withColumn("s", s)
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+    )
+
+
+@register(
+    "knn_confusion_matrix",
+    f"""
+    WITH knn AS ({_KNN_ORACLE})
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM knn GROUP BY 1, 2
+    """,
+    doc="Confusion matrix of the leave-one-out kNN label predictions "
+    "(knn_label_accuracy composed and grouped) — which classes the "
+    "embedding space confuses with which, the standard drill-down "
+    "under the accuracy number. Metadata-sized output (k x k).",
+)
+def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        knn_label_accuracy(spark, sf_dir)
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
