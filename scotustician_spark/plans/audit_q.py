@@ -699,3 +699,168 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vertex").alias("l_partkey"),
         F.col("community").cast("long").alias("community"),
     )
+
+
+@register(
+    "lpa_modularity",
+    f"""
+    WITH lpa AS ({_lpa_oracle(rounds=4)}),
+    {_COPURCHASE_EDGES_SQL},
+    e AS (SELECT item_a AS a, item_b AS b FROM pairs),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+    el AS (SELECT la.community AS ca, lb.community AS cb
+           FROM e
+           JOIN lpa la ON la.l_partkey = e.a
+           JOIN lpa lb ON lb.l_partkey = e.b),
+    ein AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in
+            FROM el WHERE ca = cb GROUP BY 1),
+    degc AS (SELECT community, CAST(sum(cnt) AS BIGINT) AS deg_sum
+             FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                   GROUP BY v) d
+             JOIN lpa l ON l.l_partkey = d.v
+             GROUP BY community),
+    terms AS (SELECT d.community,
+                     coalesce(ein.e_in, 0) AS e_in, d.deg_sum, m.m_edges
+              FROM degc d LEFT JOIN ein USING (community) CROSS JOIN m)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(m_edges) AS BIGINT) AS m_edges,
+           round(sum(e_in / CAST(m_edges AS DOUBLE)
+                     - (deg_sum / (2.0 * m_edges))
+                       * (deg_sum / (2.0 * m_edges))), 6) AS modularity
+    FROM terms
+    """,
+    doc="Newman modularity of the label-propagation partition over the "
+    "co-purchase graph: Q = sum_c [ e_in_c/m - (deg_c/2m)^2 ] — the "
+    "standard did-the-communities-mean-anything score (Q near 0 = "
+    "random cut, 0.3+ = real structure), closing the loop on "
+    "label_propagation_communities the way silhouette closes it on "
+    "clustering. Composes the registered LPA oracle as a nested-WITH "
+    "CTE; every accumulator is an exact integer (edge counts, degree "
+    "sums) until the one final double expression, so Q is "
+    "aggregation-order-deterministic. Spark side reuses the operator "
+    "and two broadcast label joins.",
+)
+def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=10, pair_min_support=2
+    )
+    labels = label_propagation(
+        pairs, src="item_a", dst="item_b", rounds=4
+    ).select(
+        F.col("vertex").alias("v"), F.col("community").cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    e = pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    m = e.agg(F.count("*").cast("long").alias("m_edges"))
+    el = (
+        e.join(labels.select(F.col("v").alias("a"), F.col("c").alias("ca")), "a")
+        .join(labels.select(F.col("v").alias("b"), F.col("c").alias("cb")), "b")
+    )
+    ein = (
+        el.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    degc = (
+        deg.join(labels, "v")
+        .groupBy(F.col("c").alias("community"))
+        .agg(F.sum("cnt").cast("long").alias("deg_sum"))
+    )
+    terms = (
+        degc.join(ein, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.coalesce("e_in", F.lit(0)).alias("e_in"), "deg_sum", "m_edges"
+        )
+    )
+    contrib = F.col("e_in") / F.col("m_edges").cast("double") - (
+        F.col("deg_sum") / (2.0 * F.col("m_edges"))
+    ) * (F.col("deg_sum") / (2.0 * F.col("m_edges")))
+    return terms.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.max("m_edges").cast("long").alias("m_edges"),
+        F.round(F.sum(contrib), 6).alias("modularity"),
+    )
+
+
+@register(
+    "degree_assortativity",
+    f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    e AS (SELECT item_a AS a, item_b AS b FROM pairs),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            GROUP BY v),
+    de AS (SELECT da.d AS x, db.d AS y
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+           UNION ALL
+           SELECT db.d, da.d
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM de)
+    SELECT n AS n_directed_edges,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity (Newman 2002) of the co-purchase graph: "
+    "Pearson correlation of endpoint degrees over directed edge "
+    "orientations — positive = hubs link hubs (social-style), "
+    "negative = hubs link leaves (hub-and-spoke catalogs). Moments "
+    "accumulate as exact BIGINT sums of integer degrees (both "
+    "orientations included, the standard symmetrization), one final "
+    "double expression — aggregation-order-deterministic.",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=10, pair_min_support=2
+    )
+    e = pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    de1 = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("y")), "b")
+        .select("x", "y")
+    )
+    de = de1.unionByName(de1.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    s = de.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

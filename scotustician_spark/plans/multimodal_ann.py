@@ -1169,3 +1169,75 @@ def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+_CALIB_ORACLE = f"""
+    WITH exact AS ({_REG["cosine_topk"].oracle}),
+    lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+    votes AS (
+        SELECT e.query_id, ln.label, CAST(count(*) AS BIGINT) AS c
+        FROM exact e JOIN lab ln ON ln.vec_id = e.neighbor_id
+        GROUP BY 1, 2),
+    pred AS (
+        SELECT query_id, label AS predicted, c FROM (
+            SELECT query_id, label, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, label) AS rn
+            FROM votes) WHERE rn = 1)
+    SELECT CAST(p.c AS INTEGER) AS vote_count,
+           round(p.c / 5.0, 6) AS vote_share,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN lq.label = p.predicted
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM pred p JOIN lab lq ON lq.vec_id = p.query_id
+    GROUP BY p.c
+    """
+
+
+@register(
+    "knn_calibration",
+    _CALIB_ORACLE,
+    doc="Calibration curve of the kNN vote: group queries by their "
+    "winning vote count (1..5 of the top-5 neighbors) and report "
+    "realized accuracy per bin against the nominal vote share — a "
+    "well-calibrated embedding space has 5/5-vote queries right far "
+    "more often than 2/5 ones, and the gap quantifies how much to "
+    "trust the vote as a confidence score. Same composed shape as "
+    "knn_label_accuracy with the vote count retained; accuracy is an "
+    "avg of exact 0/1 indicators (integer-sum deterministic).",
+)
+def knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lab = e.select("vec_id", F.col("label").cast("int").alias("label"))
+    exact = _REG["cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    votes = (
+        exact.join(
+            F.broadcast(lab.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted"), "c")
+    )
+    joined = pred.join(
+        F.broadcast(lab.withColumnRenamed("vec_id", "query_id")), "query_id"
+    )
+    return joined.groupBy(F.col("c").cast("int").alias("vote_count")).agg(
+        F.round(F.max("c") / 5.0, 6).alias("vote_share"),
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.avg(
+                F.when(F.col("label") == F.col("predicted"), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("accuracy"),
+    )

@@ -36,7 +36,7 @@ def test_registry_oracle_coverage_does_not_drift():
     driver comparison over ALL of them every CI run."""
     total = len(QUERY_REGISTRY)
     no_oracle = {n for n, q in QUERY_REGISTRY.items() if not q.oracle}
-    assert total >= 165, f"registry shrank to {total}"
+    assert total >= 168, f"registry shrank to {total}"
     assert no_oracle == ROWS_ONLY, (
         f"oracle coverage drifted: unexpected rows-only {sorted(no_oracle - ROWS_ONLY)}, "
         f"missing {sorted(ROWS_ONLY - no_oracle)}"
