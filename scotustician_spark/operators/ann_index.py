@@ -113,7 +113,15 @@ def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
         .agg(
             F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc")
         )
-        .select("cid", "cell", F.col("jc.code").alias("codes"))
+        # pin the serialized types: the read side supplies this schema
+        # explicitly, so an EMPTY corpus (cell-partitioned write emits
+        # zero data files) still round-trips instead of failing
+        # schema inference
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("jc.code").cast("array<int>").alias("codes"),
+        )
     )
     packed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     (
@@ -138,8 +146,8 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     params = {
         k: int(meta[k]) for k in ("dim", "n_cells", "m", "n_codes", "d2_round")
     }
-    packed = spark.read.parquet(f"{path}/codes").withColumn(
-        "cell", F.col("cell").cast("int")
+    packed = spark.read.schema("cid long, codes array<int>, cell int").parquet(
+        f"{path}/codes"
     )
     codes = packed.select(
         "cid",
@@ -276,8 +284,15 @@ def write_ivfflat_index(index: IvfFlatIndex, path: str) -> None:
     index.centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
-    index.vectors.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/vectors"
+    (
+        index.vectors.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("c_vec").cast("array<float>").alias("c_vec"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
     )
     spark = index.centroids.sparkSession
     from pyspark.sql import Row
@@ -291,9 +306,9 @@ def read_ivfflat_index(spark: SparkSession, path: str) -> IvfFlatIndex:
     meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
     return IvfFlatIndex(
         centroids=spark.read.parquet(f"{path}/centroids"),
-        vectors=spark.read.parquet(f"{path}/vectors").withColumn(
-            "cell", F.col("cell").cast("int")
-        ),
+        vectors=spark.read.schema(
+            "cid long, c_vec array<float>, cell int"
+        ).parquet(f"{path}/vectors"),
         params={k: int(meta[k]) for k in ("n_cells", "d2_round")},
     )
 

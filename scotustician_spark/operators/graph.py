@@ -122,6 +122,16 @@ def pagerank(
     checkpointed once, so each round moves only (vertex, rank) rows.
     """
     n = vertices.count()
+    if n == 0:
+        # empty graph: 1/n seeds and shares are undefined — return the
+        # empty result with the contract schema (id keeps its native
+        # type) instead of dividing
+        return (
+            vertices.select(F.col(id_col))
+            .withColumn("degree", F.lit(0).cast("long"))
+            .withColumn("pagerank", F.lit(0.0))
+            .limit(0)
+        )
     sym = symmetrize(edges, src, dst).localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     shares = (

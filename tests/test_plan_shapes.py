@@ -339,3 +339,37 @@ def test_registry_plan_lints_one_sweep(spark, sf_dir):
         if problems:
             offenders[name] = problems
     assert not offenders, f"plan lints failed: {offenders}"
+
+
+def test_registry_survives_empty_tables(spark, tmp_path):
+    """Robustness sweep: every registry query must plan AND execute
+    against EMPTY copies of all ten tables without crashing — the
+    guard against 1/n seeds, schema inference on zero-file partitioned
+    writes, and null-propagation edge cases a fresh partition or an
+    empty incremental delta hits in production. MLlib `.fit` calls
+    (ALS/KMeans/PCA — all declared rows-only) legitimately refuse to
+    fit on nothing and are whitelisted."""
+    from scotustician_spark.plans import QUERY_REGISTRY
+
+    fit_whitelist = {
+        "als_recommendations",
+        "ivf_kmeans_topk",
+        "kmeans_cluster_sizes",
+        "pca_projection",
+    }
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            0
+        ).write.parquet(f"{tmp_path}/{t}.parquet")
+    fails = {}
+    for name, q in sorted(QUERY_REGISTRY.items()):
+        if name in fit_whitelist:
+            continue
+        try:
+            q.fn(spark, str(tmp_path)).limit(5).collect()
+        except Exception as ex:  # noqa: BLE001 — report, don't mask
+            fails[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+    assert not fails, f"queries crashed on empty tables: {fails}"
