@@ -359,7 +359,8 @@ def orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
            0.6745 * (d.value - d.med) / mad.mad AS modified_z
     FROM dev d JOIN mad ON d.event_type = mad.event_type
-    WHERE abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
+    WHERE mad.mad > 0
+      AND abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
     """,
     doc="Robust outlier detection via the modified z-score (median/MAD, "
     "Iglewicz-Hoaglin 3.5 cutoff) — immune to the outliers polluting "
@@ -384,6 +385,10 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
+        # mad = 0 (constant group) makes the score undefined: such rows
+        # are unassessable, not outliers — and the guard keeps ANSI
+        # Spark (error) and DuckDB (inf) behavior identical
+        .filter(F.col("mad") > 0)
         .withColumn("modified_z", z)
         .filter(F.abs("modified_z") > 3.5)
         .select("event_id", "event_type", "value", "med", "mad", "modified_z")
@@ -978,7 +983,8 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(tot AS BIGINT) AS n,
            CAST((nr - 1) * (nc - 1) AS INTEGER) AS dof,
            round(chi2, 4) AS chi2,
-           round(sqrt(chi2 / (tot * least(nr - 1, nc - 1))), 6)
+           round(CASE WHEN least(nr - 1, nc - 1) = 0 THEN 0.0
+                      ELSE sqrt(chi2 / (tot * least(nr - 1, nc - 1))) END, 6)
                AS cramers_v
     FROM agg CROSS JOIN n
     """,
@@ -1022,9 +1028,16 @@ def chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
             F.round("chi2", 4).alias("chi2"),
             F.round(
-                F.sqrt(
-                    F.col("chi2")
-                    / (F.col("tot") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                F.when(
+                    F.least(F.col("nr") - 1, F.col("nc") - 1) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("tot")
+                            * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                        )
+                    )
                 ),
                 6,
             ).alias("cramers_v"),

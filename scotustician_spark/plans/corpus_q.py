@@ -669,7 +669,8 @@ def chunk_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT na AS n_a, nb AS n_b,
            CAST(v AS BIGINT) AS at_value,
            round(num / CAST(na * nb AS DOUBLE), 6) AS ks_d
-    FROM (SELECT *, row_number() OVER (ORDER BY num DESC, v) AS rn FROM d)
+    FROM (SELECT *, row_number() OVER (ORDER BY num DESC, v) AS rn
+          FROM d WHERE na > 0 AND nb > 0)
     WHERE rn = 1
     """,
     doc="Two-sample Kolmogorov–Smirnov distance between two sources' "
@@ -706,8 +707,15 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(wc).alias("cuma"),
         F.sum("cb").over(wc).alias("cumb"),
     )
-    dd = cum.crossJoin(F.broadcast(tot)).withColumn(
-        "num", F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    dd = (
+        cum.crossJoin(F.broadcast(tot))
+        # a missing side (na or nb = 0) makes D undefined — emit no
+        # comparison instead of dividing by zero under ANSI
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn(
+            "num",
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")),
+        )
     )
     wr = W.orderBy(F.desc("num"), F.asc("v"))
     return (
