@@ -8,6 +8,8 @@ plan properties we tuned for."""
 
 from __future__ import annotations
 
+import pytest
+
 from scotustician_spark.plans import QUERY_REGISTRY
 
 
@@ -341,14 +343,17 @@ def test_registry_plan_lints_one_sweep(spark, sf_dir):
     assert not offenders, f"plan lints failed: {offenders}"
 
 
-def test_registry_survives_empty_tables(spark, tmp_path):
+@pytest.mark.parametrize("n_rows", [0, 1])
+def test_registry_survives_empty_tables(spark, tmp_path, n_rows):
     """Robustness sweep: every registry query must plan AND execute
-    against EMPTY copies of all ten tables without crashing — the
-    guard against 1/n seeds, schema inference on zero-file partitioned
-    writes, and null-propagation edge cases a fresh partition or an
-    empty incremental delta hits in production. MLlib `.fit` calls
+    against EMPTY (n_rows=0) and SINGLETON (n_rows=1) copies of all
+    ten tables without crashing — the guard against 1/n seeds, schema
+    inference on zero-file partitioned writes, n−1 divisions
+    (variance/correlation/dof), zero-MAD and single-source statistics,
+    and null-propagation edge cases a fresh partition or a tiny
+    incremental delta hits in production. MLlib `.fit` calls
     (ALS/KMeans/PCA — all declared rows-only) legitimately refuse to
-    fit on nothing and are whitelisted."""
+    fit on ≤1 row and are whitelisted."""
     from scotustician_spark.plans import QUERY_REGISTRY
 
     fit_whitelist = {
@@ -362,7 +367,7 @@ def test_registry_survives_empty_tables(spark, tmp_path):
         "events documents embeddings"
     ).split():
         spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
-            0
+            n_rows
         ).write.parquet(f"{tmp_path}/{t}.parquet")
     fails = {}
     for name, q in sorted(QUERY_REGISTRY.items()):
@@ -372,4 +377,4 @@ def test_registry_survives_empty_tables(spark, tmp_path):
             q.fn(spark, str(tmp_path)).limit(5).collect()
         except Exception as ex:  # noqa: BLE001 — report, don't mask
             fails[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
-    assert not fails, f"queries crashed on empty tables: {fails}"
+    assert not fails, f"queries crashed on {n_rows}-row tables: {fails}"
