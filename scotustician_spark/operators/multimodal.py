@@ -14,13 +14,14 @@ Decode surface, by dependency weight:
   SQL-reproducible, so the driver oracle verifies the full
   distributed path end-to-end.
 - ``mode='real'``: actual decoding. WAV audio decodes with the
-  STDLIB ``wave`` + ``struct`` (always available — per-chunk RMS
-  energy features, true duration); PNG/JPEG/GIF header metadata
-  (width/height) parses with pure ``struct`` (see
-  ``probe_media_metadata``); image PIXEL decode requires PIL and is
-  import-gated — absent PIL it raises NotImplementedError at the one
-  clearly-marked point. Unknown byte formats raise rather than
-  silently fake.
+  STDLIB ``wave`` + ``struct`` (per-chunk RMS energy features, true
+  duration); PNG PIXELS decode stdlib-only too (``zlib`` inflate +
+  scanline unfilter, ``_png_gray_pixels``); PNG/JPEG/GIF header
+  metadata (width/height) parses with pure ``struct`` (see
+  ``probe_media_metadata``). Only JPEG/GIF pixel decode needs PIL
+  (entropy coding — no sane stdlib path) and is import-gated:
+  absent PIL it raises NotImplementedError at the one clearly-marked
+  point. Unknown byte formats raise rather than silently fake.
 
 Either way the Spark-side plumbing (schema, Arrow batching,
 partitioning, UDF signatures, decoder-initialized-once-per-partition)
@@ -32,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import io
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -137,27 +139,124 @@ def _image_dims(content: bytes, kind: str) -> tuple[int | None, int | None]:
     return None, None
 
 
-def _decode_image_pixels(content: bytes, n_dims: int) -> list[float]:
-    """Pixel-level image features — requires PIL (import-gated; the
-    container used for CI has no image codec, so this is the one
-    NotImplementedError left in the real path)."""
-    try:
-        from PIL import Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image PIXEL decode needs PIL (pip install pillow); header "
-            "metadata (width/height) works without it via "
-            "probe_media_metadata, and mode='fake' exercises the full "
-            "distributed plumbing"
-        ) from exc
-    img = Image.open(io.BytesIO(content)).convert("L")
-    hist = img.histogram()  # 256 gray bins
-    total = float(sum(hist)) or 1.0
-    # pool 256 bins into n_dims buckets, normalized mass per bucket
+def _png_gray_pixels(content: bytes) -> list[int]:
+    """REAL pure-stdlib PNG pixel decode: chunk walk → concatenated
+    IDAT ``zlib`` inflate → per-scanline unfilter (None/Sub/Up/
+    Average/Paeth) → 8-bit grayscale via the ITU-R 601 integer luma
+    PIL uses for ``convert("L")``. Handles the five standard color
+    types at bit depth 8 and grayscale/RGB at 16 (high byte); Adam7
+    interlace is the one unsupported layout (raise, don't guess).
+    """
+    pos, ihdr, plte, idat = 8, None, b"", []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or depth not in (8, 16) or (color == 3 and depth != 8):
+        raise NotImplementedError(f"PNG color type {color}/depth {depth}")
+    nb = depth // 8
+    bpp = channels * nb  # filter distance, bytes
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+
+    prev = bytearray(stride)
+    gray: list[int] = []
+    for y in range(h):
+        row_off = y * (stride + 1)
+        ft = raw[row_off]
+        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = line
+        # 16-bit samples keep the high byte — the 8-bit projection
+        for x in range(w):
+            o = x * bpp
+            if color == 0 or color == 4:  # gray (+alpha)
+                gray.append(line[o])
+            elif color == 3:  # palette → RGB lookup
+                pi = line[o] * 3
+                r, g, b_ = plte[pi], plte[pi + 1], plte[pi + 2]
+                gray.append((r * 299 + g * 587 + b_ * 114) // 1000)
+            else:  # RGB / RGBA
+                r, g, b_ = line[o], line[o + nb], line[o + 2 * nb]
+                gray.append((r * 299 + g * 587 + b_ * 114) // 1000)
+    return gray
+
+
+def _hist_features(gray: list[int], n_dims: int) -> list[float]:
+    """256-bin grayscale histogram pooled into ``n_dims`` buckets of
+    normalized mass — the fixed-width image fingerprint both pixel
+    decoders reduce to."""
+    hist = [0] * 256
+    for v in gray:
+        hist[v] += 1
+    total = float(len(gray)) or 1.0
     return [
         sum(hist[j * 256 // n_dims : (j + 1) * 256 // n_dims]) / total
         for j in range(n_dims)
     ]
+
+
+def _decode_image_pixels(content: bytes, n_dims: int) -> list[float]:
+    """Pixel-level image features. PNG decodes with ZERO optional deps
+    (stdlib ``zlib`` + ``struct`` — ``_png_gray_pixels``); JPEG/GIF
+    entropy coding needs a real codec, so those go through PIL when
+    importable and raise NotImplementedError otherwise. PIL is also
+    preferred for PNG when present (C-speed on large images)."""
+    kind = sniff_media(content)
+    try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:
+        img = Image.open(io.BytesIO(content)).convert("L")
+        hist = img.histogram()  # 256 gray bins
+        total = float(sum(hist)) or 1.0
+        return [
+            sum(hist[j * 256 // n_dims : (j + 1) * 256 // n_dims]) / total
+            for j in range(n_dims)
+        ]
+    if kind == "png":
+        return _hist_features(_png_gray_pixels(content), n_dims)
+    raise NotImplementedError(
+        f"{kind or 'unknown'} PIXEL decode needs PIL (pip install "
+        "pillow); PNG decodes stdlib-only, header metadata "
+        "(width/height) works for all formats via probe_media_metadata"
+    )
 
 
 def _real_features(content: bytes, n_dims: int) -> list[float]:
@@ -168,7 +267,7 @@ def _real_features(content: bytes, n_dims: int) -> list[float]:
         return _decode_image_pixels(content, n_dims)
     raise NotImplementedError(
         f"unrecognized media container (first bytes {content[:8]!r}); "
-        "supported: WAV (stdlib), PNG/JPEG/GIF (PIL-gated)"
+        "supported: WAV + PNG (stdlib), JPEG/GIF (PIL-gated)"
     )
 
 
@@ -186,10 +285,11 @@ def extract_media_features(
     the generator prologue (the predict_batch_udf pattern, C4).
 
     ``mode='real'`` decodes: WAV via the stdlib ``wave`` parser
-    (per-chunk RMS features), PNG/JPEG/GIF pixels via PIL
-    (import-gated — NotImplementedError without it), anything else
-    raises. ``mode='fake'`` is the deterministic md5 extractor the
-    SQL oracle replays.
+    (per-chunk RMS features), PNG pixels via the stdlib inflate +
+    unfilter decoder, JPEG/GIF pixels via PIL (import-gated —
+    NotImplementedError without it), anything else raises.
+    ``mode='fake'`` is the deterministic md5 extractor the SQL
+    oracle replays.
     """
     if mode not in ("fake", "real"):
         raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")

@@ -135,44 +135,158 @@ def test_probe_media_metadata_headers(spark):
     assert got[5]["media_type"] is None and got[5]["format"] is None
 
 
-def test_real_image_pixels_pil_gated(spark):
-    """Pixel decode requires PIL; with it absent the kernel raises the
-    documented NotImplementedError, with it present a black PNG's
-    histogram mass lands in bucket 0."""
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
+    import zlib
 
-    png_sig = b"\x89PNG\r\n\x1a\n"
-    try:
-        import PIL  # noqa: F401
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if not has_pil:
-        from pyspark.errors import PythonException
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
 
-        png = (
-            png_sig
-            + struct.pack(">I", 13)
-            + b"IHDR"
-            + struct.pack(">II", 2, 2)
-            + b"\x08\x02\x00\x00\x00"
-            + b"\x00" * 4
-        )
-        df = spark.createDataFrame([(1, png)], "doc_id long, content binary")
-        with pytest.raises(PythonException, match="needs PIL"):
-            extract_media_features(df, mode="real").collect()
-        return
-    import io
 
-    from PIL import Image
+def _make_png(
+    rows: list[bytes],
+    width: int,
+    color: int,
+    filters: list[int] | None = None,
+    plte: bytes = b"",
+    depth: int = 8,
+) -> bytes:
+    """Minimal REAL PNG encoder for fixtures: applies the requested
+    per-scanline filter (0..4 per the PNG spec) so the decoder's
+    unfilter paths are each exercised against ground-truth pixels."""
+    import struct
+    import zlib
 
-    buf = io.BytesIO()
-    Image.new("L", (4, 4), 0).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, content binary")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = channels * (depth // 8)
+    filters = filters or [0] * len(rows)
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for raw, ft in zip(rows, filters):
+        out.append(ft)
+        for i, x in enumerate(raw):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 0xFF
+            elif ft == 2:
+                f = (x - b) & 0xFF
+            elif ft == 3:
+                f = (x - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f = (x - pr) & 0xFF
+            out.append(f)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, len(rows), depth, color, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte:
+        body += _png_chunk(b"PLTE", plte)
+    body += _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+    body += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_png_pixel_decode_stdlib_all_filters():
+    """REAL PNG pixel decode with zero optional deps: every filter
+    type (None/Sub/Up/Average/Paeth) unfilters back to the identical
+    ground-truth grayscale pixels."""
+    from scotustician_spark.operators.multimodal import _png_gray_pixels
+
+    rows = [bytes([10, 20, 30, 40]), bytes([50, 60, 70, 80]),
+            bytes([90, 100, 110, 120]), bytes([130, 140, 150, 160]),
+            bytes([170, 180, 190, 200])]
+    expected = [v for r in rows for v in r]
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        png = _make_png(rows, width=4, color=0, filters=filters)
+        assert _png_gray_pixels(png) == expected, filters
+
+
+def test_png_pixel_decode_color_types():
+    """RGB/RGBA reduce via the ITU-R 601 integer luma; palette images
+    look up PLTE then reduce; gray+alpha keeps the gray channel."""
+    from scotustician_spark.operators.multimodal import _png_gray_pixels
+
+    # 2×1 RGB: pure red, pure white
+    rgb = _make_png([bytes([255, 0, 0, 255, 255, 255])], 2, color=2,
+                    filters=[4])
+    assert _png_gray_pixels(rgb) == [255 * 299 // 1000, 255]
+    # RGBA: alpha ignored for luma
+    rgba = _make_png([bytes([0, 255, 0, 7, 0, 0, 255, 9])], 2, color=6,
+                     filters=[1])
+    assert _png_gray_pixels(rgba) == [255 * 587 // 1000, 255 * 114 // 1000]
+    # palette: index 1 → (255, 255, 0)
+    pal = _make_png([bytes([1, 0])], 2, color=3,
+                    plte=bytes([0, 0, 0, 255, 255, 0]))
+    assert _png_gray_pixels(pal) == [(255 * 299 + 255 * 587) // 1000, 0]
+    # gray+alpha
+    ga = _make_png([bytes([42, 200, 77, 10])], 2, color=4, filters=[2])
+    assert _png_gray_pixels(ga) == [42, 77]
+
+
+def test_real_image_pixels_distributed(spark):
+    """Pixel decode through the distributed mapInPandas path: a black
+    4×4 grayscale PNG puts all histogram mass in bucket 0 — and this
+    executes for real in the no-PIL container (stdlib PNG decoder);
+    JPEG pixels remain PIL-gated and must raise loudly without it."""
+    black = _make_png([bytes(4)] * 4, width=4, color=0)
+    df = spark.createDataFrame([(1, black)], "doc_id long, content binary")
     feats = extract_media_features(df, mode="real", n_dims=8).collect()[0][
         "features"
     ]
     assert feats[0] == pytest.approx(1.0) and sum(feats) == pytest.approx(1.0)
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        import struct
+
+        from pyspark.errors import PythonException
+
+        jpeg = (
+            b"\xff\xd8\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 2, 2) + b"\x00" * 10
+        )
+        jdf = spark.createDataFrame([(1, jpeg)], "doc_id long, content binary")
+        with pytest.raises(PythonException, match="needs PIL"):
+            extract_media_features(jdf, mode="real").collect()
+
+
+def test_png_pixel_decode_matches_pil_when_available():
+    """When PIL IS importable the two decoders agree bit-for-bit on
+    the grayscale histogram (PIL uses the same ITU-R 601 luma)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not installed — stdlib path covered above")
+    import io
+
+    from scotustician_spark.operators.multimodal import (
+        _hist_features,
+        _png_gray_pixels,
+    )
+
+    rows = [bytes([(3 * x + 7 * y) % 256 for x in range(24)]) for y in range(5)]
+    png = _make_png(rows, width=8, color=2, filters=[0, 1, 2, 3, 4])
+    ours = _hist_features(_png_gray_pixels(png), 16)
+    img = Image.open(io.BytesIO(png)).convert("L")
+    hist = img.histogram()
+    total = float(sum(hist))
+    pil = [
+        sum(hist[j * 256 // 16 : (j + 1) * 256 // 16]) / total
+        for j in range(16)
+    ]
+    assert ours == pytest.approx(pil)
 
 
 def test_media_metadata_struct(bdf):
