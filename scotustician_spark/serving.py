@@ -92,9 +92,15 @@ class DashboardServer:
     binds an ephemeral port (tests); ``srv.port`` reports the bound
     one."""
 
-    def __init__(self, panels: dict[str, DataFrame], port: int = 8501):
+    def __init__(
+        self,
+        panels: dict[str, DataFrame],
+        port: int = 8501,
+        index_html: str | None = None,
+    ):
         self._data = _materialize(panels)
         data = self._data
+        index = index_html  # e.g. dashboard.render_dashboard_html(...)
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet server
@@ -130,9 +136,8 @@ class DashboardServer:
                         "application/json",
                     )
                 if self.path == "/":
-                    return self._send(
-                        200, _render_index(data).encode(), "text/html"
-                    )
+                    page = index if index is not None else _render_index(data)
+                    return self._send(200, page.encode(), "text/html")
                 return self._send(404, b"not found", "text/plain")
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
