@@ -1042,6 +1042,125 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_K = 12  # merges applied; bounded so the oracle recursion is too
+
+
+@register(
+    "bpe_apply_tokenize",
+    f"""
+    WITH RECURSIVE base AS (SELECT doc_id, {_TOKS_G} AS l FROM documents),
+    prs AS (SELECT unnest(list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i+1])) AS pair
+            FROM base WHERE len(l) >= 2),
+    pc AS (SELECT pair, count(*) AS c FROM prs GROUP BY pair),
+    top AS (SELECT pair, c FROM pc ORDER BY c DESC, pair LIMIT {_BPE_K}),
+    merges AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY c DESC, pair) AS INTEGER)
+                 AS merge_rank,
+             ' ' || string_split(pair, ' ')[1] || '  ' ||
+                 string_split(pair, ' ')[2] || ' ' AS pat,
+             ' ' || string_split(pair, ' ')[1] || '~' ||
+                 string_split(pair, ' ')[2] || ' ' AS rep
+      FROM top),
+    prep AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CASE WHEN len(l) = 0 THEN ''
+                  ELSE ' ' || array_to_string(l, '  ') || ' ' END AS seq
+             FROM base),
+    app AS (SELECT doc_id, n_tokens, seq, 0 AS i FROM prep
+            UNION ALL
+            SELECT a.doc_id, a.n_tokens, replace(a.seq, m.pat, m.rep),
+                   a.i + 1
+            FROM app a JOIN merges m ON m.merge_rank = a.i + 1
+            WHERE a.i < {_BPE_K}),
+    fin AS (SELECT doc_id, n_tokens, seq,
+            row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+            FROM app)
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+                END AS n_bpe_tokens,
+           n_tokens - CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+                END AS n_merges_applied
+    FROM fin WHERE rn = 1
+    """,
+    doc="BPE merge-table APPLICATION — the serving half of "
+    "bpe_merge_candidates' training statistic (Sennrich et al. 2016: "
+    "apply learned merges in rank order). Each document's token "
+    "sequence is encoded with DOUBLE-space separators and single-space "
+    "edges, so applying merge (a,b)→a~b is a plain left-to-right "
+    "replace of ' a  b ' with ' a~b ': adjacent matches never share a "
+    "character, which makes Spark's replace() and DuckDB's replace() "
+    "bit-identical, and neighbor spacing is preserved for later "
+    "merges. Spark plan: mining is one map-side-combined pair count + "
+    "TakeOrdered({k}); the {k} applications are broadcast single-row "
+    "left joins with a JVM replace each — the CORPUS never shuffles "
+    "and the whole apply chain is codegen'd map work, the shape that "
+    "holds at 100 TB (merge table broadcast, one pass over the "
+    "documents). Missing ranks (tiny corpora) no-op via coalesce; "
+    "the oracle's recursion stops early the same way.".format(k=_BPE_K),
+    bench=True,
+)
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    base = docs.select("doc_id", toks.alias("l"))
+    pairs = F.when(
+        F.size("l") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("l") - 2),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("l"), i + 1),
+                                  F.element_at(F.col("l"), i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        base.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(_BPE_K)
+    )
+    lr = F.split(F.col("pair"), " ")
+    merges = top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), F.asc("pair")))
+        .alias("merge_rank"),
+        F.concat(F.lit(" "), lr[0], F.lit("  "), lr[1], F.lit(" ")).alias("pat"),
+        F.concat(F.lit(" "), lr[0], F.lit("~"), lr[1], F.lit(" ")).alias("rep"),
+    ).localCheckpoint(eager=False)  # {_BPE_K} tiny rows, {_BPE_K} consumers
+
+    cur = base.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        F.when(F.size("l") == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" "), F.array_join("l", "  "), F.lit(" "))
+        ).alias("seq"),
+    )
+    for i in range(1, _BPE_K + 1):
+        mi = merges.filter(F.col("merge_rank") == i).select("pat", "rep")
+        cur = (
+            cur.join(F.broadcast(mi), F.lit(True), "left")
+            .withColumn(
+                # missing rank (corpus has < K distinct pairs) → no-op
+                "seq",
+                F.coalesce(F.replace("seq", F.col("pat"), F.col("rep")),
+                           F.col("seq")),
+            )
+            .drop("pat", "rep")
+        )
+    n_after = F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long")
+    )
+    return cur.select(
+        "doc_id",
+        "n_tokens",
+        n_after.alias("n_bpe_tokens"),
+        (F.col("n_tokens") - n_after).alias("n_merges_applied"),
+    )
+
+
 def _mmr_oracle(k: int = 10, cand: int = 50, lam: float = 0.7) -> str:
     # (1.0 - {lam}) spelled as the SUBTRACTION, not its decimal value:
     # Spark computes lit(1.0 - 0.7) in IEEE (0.30000000000000004) and

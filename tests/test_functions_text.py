@@ -185,3 +185,63 @@ def test_unpivot_csv_line_polymorphic_schema(spark):
     assert wide.collect()[0].asDict() == {
         "c1": "a", "c2": "b", "c3": "c", "c4": None
     }
+
+
+def test_bpe_apply_matches_pure_python_reference(spark, tmp_path):
+    """bpe_apply_tokenize == a pure-Python BPE: mine top-K adjacent
+    pairs, apply each merge in rank order with left-to-right
+    non-overlapping scans (Sennrich reference semantics)."""
+    import pyspark.sql.functions as F
+
+    from scotustician_spark.plans.vectors_text import (
+        _BPE_K,
+        bpe_apply_tokenize,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the cat food",
+        "on the mat on the mat on the mat",
+        "a a a a a",          # self-adjacent chain: left-to-right pairing
+        "solo",               # single token: nothing to merge
+        "",                   # empty: 0 tokens
+        "the cat the cat the cat and the cat",
+    ]
+    rows = [(i, t, "s", 0) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, label int"
+    )
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"], r["n_merges_applied"])
+        for r in bpe_apply_tokenize(spark, d).collect()
+    }
+
+    # pure-Python twin
+    toks = [t.split() for t in texts]
+    from collections import Counter
+
+    pc = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            pc[(a, b)] += 1
+    merges = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_K]
+    for i, ts in enumerate(toks):
+        seq = list(ts)
+        for (a, b), _ in merges:
+            out, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+                    out.append(seq[j] + "~" + seq[j + 1])
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            seq = out
+        assert got[i] == (len(ts), len(seq), len(ts) - len(seq)), (
+            i, texts[i], seq, got[i]
+        )
+    assert got[4] == (1, 1, 0) and got[5] == (0, 0, 0)
+    # the chain doc really merged left-to-right: "a a a a a" -> 3
+    assert got[3][1] == 3
