@@ -354,6 +354,142 @@ def probe_ivfflat_index(
     return rank_topk(scored, k)
 
 
+# ---- deletes: tombstones + compaction ------------------------------
+
+def delete_from_ivfpq_index(
+    index: IvfPqIndex, ids: DataFrame, id_col: str = "vec_id"
+) -> IvfPqIndex:
+    """The FAISS ``remove_ids()`` contract: the quantizer is FROZEN
+    (centroids/codebooks untouched — retraining is a rebuild decision)
+    and the doomed rows drop from codes and vectors via broadcast
+    anti-joins. Delete sets are small relative to the corpus in the
+    serving reality this models; a bulk purge warrants a rebuild.
+    Ranks re-pack densely because the exclusion happens BEFORE the
+    per-query top-k, not by post-filtering ranked output."""
+    doom = ids.select(F.col(id_col).alias("cid")).distinct()
+    return IvfPqIndex(
+        centroids=index.centroids,
+        codebooks=index.codebooks,
+        codes=index.codes.join(F.broadcast(doom), "cid", "left_anti"),
+        vectors=index.vectors.join(F.broadcast(doom), "cid", "left_anti"),
+        params=dict(index.params),
+    )
+
+
+def write_tombstones(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Record deletions WITHOUT touching the index tables — the
+    pgvector-DELETE / FAISS-IDSelector analog for an immutable-file
+    store: appends the id set to ``path/tombstones`` (pinned one-column
+    schema). Serving reads tombstones (tiny, broadcast) and anti-joins
+    them until a compaction folds them in. Append-mode writes make
+    repeated deletes idempotent in effect: duplicates collapse at read
+    time."""
+    ids.select(F.col(id_col).cast("long").alias("cid")).distinct().coalesce(
+        1
+    ).write.mode("append").parquet(f"{path}/tombstones")
+
+
+def read_tombstones(spark: SparkSession, path: str) -> DataFrame:
+    """The live tombstone set (distinct cids; empty frame when none
+    were ever written — schema pinned, never inferred)."""
+    try:
+        t = spark.read.schema("cid long").parquet(f"{path}/tombstones")
+    except Exception:
+        return spark.createDataFrame([], "cid long")
+    return t.distinct()
+
+
+def read_ivfpq_index_live(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Open a persisted index with its tombstones applied — what a
+    server probes between compactions. Cost over the plain open: one
+    broadcast anti-join per probed relation."""
+    return delete_from_ivfpq_index(
+        read_ivfpq_index(spark, path), read_tombstones(spark, path), "cid"
+    )
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> dict:
+    """Fold tombstones into the persisted tables — offline maintenance,
+    the RocksDB-compaction analog for the parquet index layout:
+
+    - codes/: ONLY the cell partitions that contain a doomed id are
+      rewritten (dynamic partition overwrite); untouched inverted
+      lists' files are not moved — at 100 TB a compaction's write cost
+      is proportional to the AFFECTED lists, not the corpus. A cell
+      left EMPTY by the deletes can't be expressed by a zero-row
+      dynamic overwrite, so its directory is removed through the
+      Hadoop FileSystem API (works on any Spark-supported store).
+    - vectors/: rewritten minus the doomed ids (kept simple: between
+      compactions probe correctness never depends on vectors, because
+      candidates come from codes).
+    - tombstones/: truncated to the empty pinned-schema relation.
+
+    Returns {"removed": n, "cells_rewritten": n, "cells_dropped": n}.
+    Idempotent: a second call is a no-op."""
+    tombs = read_tombstones(spark, path).localCheckpoint(eager=True)
+    n_doom = tombs.count()
+    if n_doom == 0:
+        return {"removed": 0, "cells_rewritten": 0, "cells_dropped": 0}
+    packed = spark.read.schema("cid long, codes array<int>, cell int").parquet(
+        f"{path}/codes"
+    )
+    touched = (
+        packed.join(F.broadcast(tombs), "cid")
+        .select("cell")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    survivors = (
+        packed.join(F.broadcast(touched), "cell")
+        .join(F.broadcast(tombs), "cid", "left_anti")
+        .localCheckpoint(eager=True)  # read fully BEFORE overwriting
+    )
+    emptied = [
+        r["cell"]
+        for r in touched.join(
+            survivors.select("cell").distinct(), "cell", "left_anti"
+        ).collect()
+    ]
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.select("cid", "codes", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/codes")
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for cell in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/codes/cell={cell}")
+            p.getFileSystem(hconf).delete(p, True)
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .join(F.broadcast(tombs), "cid", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    (
+        vecs.repartitionByRange(F.col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    spark.createDataFrame([], "cid long").write.mode("overwrite").parquet(
+        f"{path}/tombstones"
+    )
+    return {
+        "removed": n_doom,
+        "cells_rewritten": touched.count() - len(emptied),
+        "cells_dropped": len(emptied),
+    }
+
+
 # ---- versioned publication + streaming maintenance ----------------
 
 def _latest_version(spark: SparkSession, root: str) -> int | None:

@@ -347,6 +347,7 @@ def _ivfpq_oracle(
     k: int = 5,
     r: int = 6,
     base_pred: str = "TRUE",
+    exclude_pred: str = "FALSE",
 ) -> str:
     # ``base_pred``: the TRAINING population (seeds, centroid means,
     # codebook means are computed over base rows only). With the
@@ -356,6 +357,9 @@ def _ivfpq_oracle(
     # cell assignment (d1) and code assignment (pd1) are per-vector
     # argmins over the frozen tables, the same formula for base and
     # appended vectors.
+    # ``exclude_pred``: rows dropped from the CANDIDATE pool only (the
+    # codes CTE) — training unchanged — which is exactly the frozen-
+    # quantizer delete contract of ann_index.delete_from_ivfpq_index.
     sub = dim // m
     return f"""
     WITH ex AS (
@@ -432,7 +436,8 @@ def _ivfpq_oracle(
                    row_number() OVER (PARTITION BY vec_id, j
                                       ORDER BY d2r, code) AS rr
             FROM pd1) p JOIN a1 ON a1.vec_id = p.vec_id
-        WHERE p.rr = 1),
+        WHERE p.rr = 1
+          AND NOT ({exclude_pred.replace('vec_id', 'p.vec_id')})),
     probes AS (
         SELECT vec_id AS query_id, cell FROM (
             SELECT vec_id, cell,
@@ -633,6 +638,36 @@ def ann_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended = ANN.append_to_ivfpq_index(idx, delta)
     q = e.filter(F.col("vec_id") < 10)
     return ANN.probe_ivfpq_index(appended, q, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "approx_d2", "rnk"
+    )
+
+
+_DELETE_PRED = "vec_id % 10 = 7"
+
+
+@register(
+    "ann_delete_probe",
+    _ivfpq_oracle(exclude_pred=_DELETE_PRED),
+    bench=True,
+    doc="Index deletion (the FAISS remove_ids() / pgvector DELETE "
+    "contract, operators/ann_index.py::delete_from_ivfpq_index): ~10% "
+    "of the corpus is tombstoned against the PERSISTED full-corpus "
+    "index — quantizer frozen, doomed ids dropped from the candidate "
+    "pool by a broadcast anti-join BEFORE the per-query top-k, so "
+    "ranks re-pack densely and no deleted vector is ever served. "
+    "Between compactions this anti-join IS the serving path "
+    "(read_ivfpq_index_live); compact_ivfpq_index later folds the "
+    "tombstones in, rewriting only the affected cell partitions. "
+    "Oracle: the IVFPQ oracle with the exclusion applied to its codes "
+    "CTE only — training untouched, the same frozen-delete semantics.",
+)
+def ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _served_ivfpq_index(spark, sf_dir)  # shared full-corpus build
+    doomed = e.filter(F.expr(_DELETE_PRED)).select("vec_id")
+    live = ANN.delete_from_ivfpq_index(idx, doomed)
+    q = e.filter(F.col("vec_id") < 10)
+    return ANN.probe_ivfpq_index(live, q, k=5, n_probe=2).select(
         "query_id", "neighbor_id", "approx_d2", "rnk"
     )
 

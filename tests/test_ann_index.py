@@ -282,3 +282,128 @@ def test_ivfflat_persisted_probe_equals_oneshot(spark, corpus, tmp_path):
     assert _rows(got) == _rows(want)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_delete_tombstone_compact_lifecycle(spark, corpus, tmp_path):
+    """The full delete lifecycle: tombstone → live probe excludes the
+    doomed ids with densely re-packed ranks → compaction rewrites ONLY
+    the affected cell partitions (untouched inverted lists' files do
+    not move) → compacted probe == tombstoned probe → tombstones
+    cleared → second compact is a no-op."""
+    import os
+
+    from scotustician_spark.operators.ann_index import (
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        read_ivfpq_index_live,
+        read_tombstones,
+        write_tombstones,
+    )
+
+    path = str(tmp_path / "idx")
+    idx = build_ivfpq_index(corpus, DIM, n_cells=4, m=4, n_codes=4)
+    write_ivfpq_index(idx, path)
+    queries = corpus.filter(F.col("vec_id") < 5)
+
+    doomed = corpus.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    doom_ids = {r["vec_id"] for r in doomed.collect()}
+
+    # 1. in-memory handle semantics: equals probing filtered codes
+    live = delete_from_ivfpq_index(read_ivfpq_index(spark, path), doomed)
+    got = probe_ivfpq_index(live, queries, k=3, n_probe=2)
+    rows = got.collect()
+    assert rows and not {r["neighbor_id"] for r in rows} & doom_ids
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+
+    # 2. tombstones persist; the live reader applies them
+    write_tombstones(doomed, path)
+    served = probe_ivfpq_index(
+        read_ivfpq_index_live(spark, path), queries, k=3, n_probe=2
+    )
+    assert _rows(served) == _rows(got)
+
+    # 3. compaction: affected cells rewritten, others' files untouched
+    packed = spark.read.schema(
+        "cid long, codes array<int>, cell int"
+    ).parquet(f"{path}/codes")
+    affected = {
+        r["cell"]
+        for r in packed.filter(F.col("cid").isin(doom_ids))
+        .select("cell").distinct().collect()
+    }
+    untouched = sorted(
+        set(range(4)) - affected
+        & {r["cell"] for r in packed.select("cell").distinct().collect()}
+    )
+    def _listing(cell):
+        d = f"{path}/codes/cell={cell}"
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    before = {c: _listing(c) for c in untouched if c not in affected}
+    stats = compact_ivfpq_index(spark, path)
+    assert stats["removed"] == len(doom_ids)
+    assert stats["cells_rewritten"] + stats["cells_dropped"] == len(affected)
+    for c, listing in before.items():
+        assert _listing(c) == listing, f"cell {c} files moved"
+
+    # 4. compacted tables have no doomed ids; probe unchanged
+    after = spark.read.schema(
+        "cid long, codes array<int>, cell int"
+    ).parquet(f"{path}/codes")
+    assert after.filter(F.col("cid").isin(doom_ids)).count() == 0
+    assert (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cid").isin(doom_ids)).count() == 0
+    )
+    compacted = probe_ivfpq_index(
+        read_ivfpq_index(spark, path), queries, k=3, n_probe=2
+    )
+    assert _rows(compacted) == _rows(got)
+
+    # 5. tombstones cleared; second compact no-ops
+    assert read_tombstones(spark, path).count() == 0
+    assert compact_ivfpq_index(spark, path) == {
+        "removed": 0, "cells_rewritten": 0, "cells_dropped": 0,
+    }
+
+
+def test_compact_drops_fully_deleted_cell(spark, corpus, tmp_path):
+    """A cell whose every member is deleted disappears from disk (the
+    zero-row dynamic-overwrite hole is closed by the FS delete) and
+    probes never resurrect it."""
+    from scotustician_spark.operators.ann_index import (
+        compact_ivfpq_index,
+        read_ivfpq_index,
+        write_tombstones,
+    )
+
+    path = str(tmp_path / "idx")
+    idx = build_ivfpq_index(corpus, DIM, n_cells=4, m=4, n_codes=4)
+    write_ivfpq_index(idx, path)
+    packed = spark.read.schema(
+        "cid long, codes array<int>, cell int"
+    ).parquet(f"{path}/codes")
+    cells = [r["cell"] for r in packed.select("cell").distinct().collect()]
+    victim = cells[0]
+    victims = packed.filter(F.col("cell") == victim).select(
+        F.col("cid").alias("vec_id")
+    )
+    write_tombstones(victims, path)
+    stats = compact_ivfpq_index(spark, path)
+    assert stats["cells_dropped"] >= 1
+    import os
+
+    assert not os.path.exists(f"{path}/codes/cell={victim}")
+    after = read_ivfpq_index(spark, path)
+    assert after.codes.filter(F.col("cell") == victim).count() == 0
+    # every query still gets ranked results from the surviving cells
+    out = probe_ivfpq_index(
+        after, corpus.filter(F.col("vec_id") < 3), k=3, n_probe=4
+    ).collect()
+    assert out and all(r["rnk"] >= 1 for r in out)
