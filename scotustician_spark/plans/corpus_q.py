@@ -979,3 +979,103 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 6).alias("zipf_slope"),
         F.round(num * num / (den * deny), 6).alias("r2"),
     )
+
+
+_QC_B = 64          # hashed weight buckets
+_QC_GAIN = 4.0      # logistic gain on the mean feature weight
+# pseudo-trained weight for bucket b: exact integer mixing, then one
+# double division — bit-identical in any engine
+_QC_W_SQL = (
+    "((CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT) % {b})"
+    " * 2654435761 % 1000003) / 1000003.0 - 0.5"
+).format(b=_QC_B)
+
+
+@register(
+    "quality_classifier_filter",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_G} AS l FROM documents),
+    f AS (SELECT doc_id,
+            l || CASE WHEN len(l) >= 2
+                 THEN list_transform(range(1, len(l)),
+                                     i -> l[i] || '_' || l[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END AS feats
+          FROM base),
+    w AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+            list_sum(list_transform(feats, x -> {_QC_W_SQL})) AS s
+          FROM f),
+    sc AS (SELECT doc_id, n_feats,
+            CASE WHEN n_feats = 0 THEN NULL
+                 ELSE round(1.0 / (1.0 + exp(-{_QC_GAIN}
+                      * (s / n_feats))), 6) END AS quality_score
+           FROM w)
+    SELECT doc_id, n_feats, quality_score,
+           CASE WHEN quality_score IS NULL THEN 0
+                WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM sc
+    """,
+    doc="Model-based quality filtering — the fastText-classifier stage "
+    "of CCNet/LLaMA-style corpus pipelines, restated with the hashing "
+    "trick (Weinberger et al. 2009): unigram + bigram features hash "
+    f"into {_QC_B} md5-derived weight buckets, the document score is a "
+    "logistic over the mean bucket weight, and keep is the 0.5 "
+    "threshold on the ROUNDED score (both engines threshold identical "
+    "bits). Weights here are deterministic pseudo-trained values "
+    "(exact integer mixing) so the oracle replays the model; swapping "
+    "in real trained weights changes one broadcast map, not the plan. "
+    "Plan shape: EVERYTHING is in-row (feature expansion, hashing, "
+    "weight lookup, fold) — ZERO exchanges and zero Python in the "
+    "plan, pure JVM higher-order-function evaluation over the "
+    "documents scan; at 100 TB this is one map pass, the same cost "
+    "as reading the corpus.",
+    bench=True,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    base = docs.select("doc_id", toks.alias("l"))
+    bigrams = F.when(
+        F.size("l") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("l") - 2),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(F.col("l"), i + 1),
+                F.element_at(F.col("l"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(F.col("l"), bigrams)
+
+    def _w(x):
+        b = F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long") % _QC_B
+        return (b * F.lit(2654435761) % F.lit(1000003)) / F.lit(
+            1000003.0
+        ) - F.lit(0.5)
+
+    s = F.aggregate(
+        F.transform(feats, _w), F.lit(0.0), lambda acc, v: acc + v
+    )
+    n = F.size(feats).cast("long")
+    score = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(F.lit(-_QC_GAIN) * (s / n))),
+            6,
+        )
+    )
+    return base.select(
+        "doc_id",
+        n.alias("n_feats"),
+        score.alias("quality_score"),
+    ).withColumn(
+        "keep",
+        F.when(F.col("quality_score").isNull(), F.lit(0))
+        .when(F.col("quality_score") >= 0.5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
