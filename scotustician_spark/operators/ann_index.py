@@ -490,6 +490,42 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> dict:
     }
 
 
+def ivfpq_tombstone_sink(
+    path: str,
+    id_col: str = "vec_id",
+    compact_threshold: int | None = None,
+):
+    """``foreachBatch`` function maintaining the DELETE side of a
+    persisted index from a stream of doomed ids (the CDC-delete feed):
+    each micro-batch appends its ids to the tombstone set; when the
+    live set reaches ``compact_threshold`` the compaction folds it in.
+
+    Replay-safe without any keyed state: tombstone appends are
+    idempotent in effect (the reader distincts) and ``compact`` is
+    idempotent, so a batch replayed after checkpoint recovery changes
+    nothing observable. Serving keeps reading
+    ``read_ivfpq_index_live`` throughout — before, during, and after
+    a compaction it returns the same live rows.
+
+    Use::
+
+        deletes.writeStream.foreachBatch(ivfpq_tombstone_sink(path, compact_threshold=1000))
+               .option("checkpointLocation", cp).trigger(availableNow=True)
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select(id_col).dropDuplicates([id_col])
+        if not ids.take(1):
+            return
+        write_tombstones(ids, path, id_col)
+        if compact_threshold is not None:
+            spark = batch_df.sparkSession
+            if read_tombstones(spark, path).count() >= compact_threshold:
+                compact_ivfpq_index(spark, path)
+
+    return apply_batch
+
+
 # ---- versioned publication + streaming maintenance ----------------
 
 def _latest_version(spark: SparkSession, root: str) -> int | None:

@@ -407,3 +407,67 @@ def test_compact_drops_fully_deleted_cell(spark, corpus, tmp_path):
         after, corpus.filter(F.col("vec_id") < 3), k=3, n_probe=4
     ).collect()
     assert out and all(r["rnk"] >= 1 for r in out)
+
+
+def test_tombstone_sink_through_real_stream(spark, corpus, tmp_path):
+    """CDC-delete feed → AvailableNow → foreachBatch tombstones, with
+    threshold-triggered compaction; a checkpointed replay changes
+    nothing observable."""
+    from scotustician_spark.operators.ann_index import (
+        compact_ivfpq_index,
+        ivfpq_tombstone_sink,
+        read_ivfpq_index_live,
+        read_tombstones,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    src = str(tmp_path / "deletes")
+    cp = str(tmp_path / "cp")
+    write_ivfpq_index(
+        build_ivfpq_index(corpus, DIM, n_cells=4, m=4, n_codes=4), path
+    )
+    doomed = corpus.filter(F.col("vec_id") % 5 == 1).select("vec_id")
+    doom_ids = {r["vec_id"] for r in doomed.collect()}
+    doomed.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("vec_id long").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                ivfpq_tombstone_sink(path, compact_threshold=10_000)
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # threshold not reached: tombstones live, serving excludes them
+    assert {
+        r["cid"] for r in read_tombstones(spark, path).collect()
+    } == doom_ids
+    live = read_ivfpq_index_live(spark, path)
+    assert live.codes.filter(F.col("cid").isin(doom_ids)).count() == 0
+    probed = probe_ivfpq_index(
+        live, corpus.filter(F.col("vec_id") < 4), k=3, n_probe=2
+    ).collect()
+    assert probed and not {r["neighbor_id"] for r in probed} & doom_ids
+
+    run()  # replay: no new files, nothing changes
+    assert {
+        r["cid"] for r in read_tombstones(spark, path).collect()
+    } == doom_ids
+
+    # fold in; the same serving call now reads the compacted tables
+    stats = compact_ivfpq_index(spark, path)
+    assert stats["removed"] == len(doom_ids)
+    assert read_tombstones(spark, path).count() == 0
+    after = probe_ivfpq_index(
+        read_ivfpq_index_live(spark, path),
+        corpus.filter(F.col("vec_id") < 4),
+        k=3,
+        n_probe=2,
+    )
+    assert _rows(after) == sorted(tuple(r) for r in probed)
