@@ -1330,3 +1330,165 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
         F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
     )
+
+
+def _minhash_est_error_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    mins = ", ".join(
+        f"min(({a} * H + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    n_bands = num_hashes // band_size
+    band_rows = ", ".join(
+        "({bi}, md5({cat}))".format(
+            bi=bi,
+            cat=" || '|' || ".join(
+                f"CAST(mh{bi * band_size + j} AS VARCHAR)"
+                for j in range(band_size)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT) AS H
+        FROM posts),
+    sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band, b.band_sig
+        FROM sigs, LATERAL (VALUES {band_rows}) AS b(band, band_sig)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
+    est AS (
+        SELECT p.id_a, p.id_b, ({est}) / {num_hashes}.0 AS est
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM posts GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM pairs p
+        JOIN posts a ON a.doc_id = p.id_a
+        JOIN posts b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+    tj AS (
+        SELECT e.id_a, e.id_b, e.est,
+               COALESCE(i.n_inter, 0) * 1.0
+                   / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS truej
+        FROM est e
+        LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        JOIN sizes sa ON e.id_a = sa.doc_id
+        JOIN sizes sb ON e.id_b = sb.doc_id)
+    SELECT CAST(least(CAST(floor(truej * 10) AS INTEGER), 9) AS INTEGER)
+               AS sim_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(truej), 6) AS mean_true_jaccard,
+           round(avg(est), 6) AS mean_minhash_est,
+           round(avg(abs(est - truej)), 6) AS mean_abs_err
+    FROM tj GROUP BY 1
+    """
+
+
+@register(
+    "minhash_estimate_error",
+    _minhash_est_error_oracle(),
+    doc="Dedup self-calibration: for every LSH candidate pair, the "
+    "MinHash similarity ESTIMATE (fraction of matching signature "
+    "positions — an unbiased Jaccard estimator, Broder 1997) against "
+    "the TRUE shingle Jaccard, aggregated per true-similarity decile. "
+    "This is the measurement that justifies a production threshold "
+    "choice: it tells you the estimator's bias/spread exactly where "
+    "the banding concentrates candidates. Plan: signatures and bands "
+    "are in-row; true Jaccard is computed ONLY for candidate pairs "
+    "(postings semi-joined down to candidate docs first), so the "
+    "exact-verification cost tracks collisions, never n².",
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=16, band_size=4
+    ).localCheckpoint(eager=False)  # 3 consumers below
+    sigs = DD.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+    est = (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("ma")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "ma", "mb",
+                        lambda x, y: F.when(x == y, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(16.0)
+            ).alias("est"),
+        )
+    )
+    posts = DD.shingle_postings(docs, "doc_id", "text", n=3)
+    cand_docs = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cposts = posts.join(F.broadcast(cand_docs), "doc_id")
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        F.broadcast(cands)
+        .join(cposts.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            cposts.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    tj = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")),
+            "id_b",
+        )
+        .withColumn(
+            "truej",
+            F.col("n_inter") * 1.0
+            / (F.col("sza") + F.col("szb") - F.col("n_inter")),
+        )
+        .withColumn("abs_err", F.abs(F.col("est") - F.col("truej")))
+    )
+    return tj.groupBy(
+        F.least(F.floor(F.col("truej") * 10).cast("int"), F.lit(9))
+        .cast("int")
+        .alias("sim_bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("truej"), 6).alias("mean_true_jaccard"),
+        F.round(F.avg("est"), 6).alias("mean_minhash_est"),
+        F.round(F.avg("abs_err"), 6).alias("mean_abs_err"),
+    )
