@@ -378,3 +378,51 @@ def test_registry_survives_empty_tables(spark, tmp_path, n_rows):
         except Exception as ex:  # noqa: BLE001 — report, don't mask
             fails[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
     assert not fails, f"queries crashed on {n_rows}-row tables: {fails}"
+
+
+def test_registry_survives_adversarial_text(spark, tmp_path):
+    """Crash-robustness sweep with pathological DOCUMENT content — the
+    inputs a real crawl serves daily: null bytes and control chars,
+    astral-plane emoji, CJK (no spaces), RTL text, a 100k-char single
+    token, whitespace-only, pipe/quote/regex metacharacters (the
+    minhash band separator and SQL-ish injection shapes), and mixed
+    exotic whitespace. Values are not oracle-compared here (regex
+    engines differ on exotic classes) — the contract is: every query
+    plans and executes. Other tables are one-row copies."""
+    rows = [
+        (1, "null\x00byte and \x01control\x02chars", "en", "a", 30),
+        (2, "emoji \U0001f600\U0001f680 mixed with text tokens", "en", "a", 40),
+        (3, "中文没有空格的长句子测试中文没有空格", "zh", "b", 19),
+        (4, "نص عربي من اليمين إلى اليسار مع كلمات", "ar", "b", 37),
+        (5, "x" * 100_000, "en", "c", 100_000),
+        (6, " \t\n\r\x0b\x0c ", "en", "c", 7),
+        (7, "pipe|sep 'quote' \"dq\" back\\slash $(cmd) %s {brace}", "en", "d", 50),
+        (8, "regex .* meta [a-z]+ (group) ^anchor$ char?", "en", "d", 43),
+        (9, "    unicode­spacing​ marks", "en", "e", 30),
+        (10, "normal control document with plain words here", "en", "e", 45),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            1
+        ).write.parquet(f"{tmp_path}/{t}.parquet")
+    fit_whitelist = {
+        "als_recommendations",
+        "ivf_kmeans_topk",
+        "kmeans_cluster_sizes",
+        "pca_projection",
+    }
+    fails = {}
+    for name, q in sorted(QUERY_REGISTRY.items()):
+        if name in fit_whitelist:
+            continue
+        try:
+            q.fn(spark, str(tmp_path)).limit(5).collect()
+        except Exception as ex:  # noqa: BLE001 — report, don't mask
+            fails[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+    assert not fails, f"queries crashed on adversarial text: {fails}"
