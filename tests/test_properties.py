@@ -380,3 +380,92 @@ def test_stride_chunks_cover_and_reconstruct(spark, texts):
         rebuilt = " ".join(c["chunk_text"] for c in chunks).split()
         assert rebuilt == toks  # disjoint cover at stride == size
         assert sum(c["n_chunk_tokens"] for c in chunks) == len(toks)
+
+
+bpe_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "the", "cat"]),
+        min_size=0,
+        max_size=25,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(texts=bpe_texts)
+def test_bpe_apply_matches_python_on_random_corpora(spark, tmp_path_factory, texts):
+    """bpe_apply_tokenize vs the pure-Python Sennrich merge loop on
+    random small-alphabet corpora — the tiny alphabet forces dense
+    adjacent-pair chains (the overlap-consumption edge cases)."""
+    from collections import Counter
+
+    from scotustician_spark.plans.vectors_text import (
+        _BPE_K,
+        bpe_apply_tokenize,
+    )
+
+    d = str(tmp_path_factory.mktemp("bpeprop"))
+    rows = [(i, t, "s", 0) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, label int"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
+        for r in bpe_apply_tokenize(spark, d).collect()
+    }
+
+    toks = [t.split() for t in texts]
+    pc = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            pc[(a, b)] += 1
+    merges = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_K]
+    for i, ts in enumerate(toks):
+        seq = list(ts)
+        for (a, b), _ in merges:
+            out, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+                    out.append(seq[j] + "~" + seq[j + 1])
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            seq = out
+        assert got[i] == (len(ts), len(seq)), (texts[i], seq, got[i])
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc xyz",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_quality_classifier_invariants(spark, tmp_path_factory, texts):
+    """Score is in (0, 1) and NULL exactly for token-free docs;
+    keep == (rounded score >= 0.5); n_feats == tokens + bigrams."""
+    from scotustician_spark.plans.corpus_q import quality_classifier_filter
+
+    d = str(tmp_path_factory.mktemp("qcprop"))
+    rows = [(i, t, "s", 0) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, label int"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in quality_classifier_filter(spark, d).collect()}
+    for i, t in enumerate(texts):
+        n_tok = len(t.split())
+        r = got[i]
+        assert r["n_feats"] == n_tok + max(n_tok - 1, 0)
+        if n_tok == 0:
+            assert r["quality_score"] is None and r["keep"] == 0
+        else:
+            assert 0.0 < r["quality_score"] < 1.0
+            assert r["keep"] == (1 if r["quality_score"] >= 0.5 else 0)
