@@ -84,6 +84,69 @@ def heavy_hitters(
     )
 
 
+CMS_HEX_OFFSETS = (1, 9, 17, 25)
+"""Four disjoint 32-bit slices of one md5 digest — four pairwise-
+independent-enough hash rows for the count-min sketch, portable to any
+engine with md5 (the repo's standard cross-engine hash recipe, see
+operators/corpus.py::hash_bucket)."""
+
+
+def cms_bucket(item: Column | str, hex_off: int, width: int) -> Column:
+    """Sketch bucket in [0, width) from 8 hex digits of md5 starting at
+    ``hex_off`` (1-based). Deterministic and engine-portable."""
+    c = F.col(item) if isinstance(item, str) else item
+    return F.conv(F.substring(F.md5(c), hex_off, 8), 16, 10).cast("long") % width
+
+
+def _cms_keys(item_col: str, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("r"),
+                cms_bucket(item_col, off, width).alias("bucket"),
+            )
+            for j, off in enumerate(CMS_HEX_OFFSETS)
+        ]
+    )
+
+
+def cms_cells(items: DataFrame, item_col: str, width: int = 8192) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of an item
+    stream as a ``(r, bucket, c)`` relation — depth 4 rows × ``width``
+    buckets, so the sketch is FIXED SIZE regardless of item cardinality.
+
+    The per-item (r, bucket) keys are in-row expressions; the groupBy
+    partial-aggregates map-side, so each of the 32 input partitions
+    contributes at most 4×width cells to the only exchange — the token
+    stream itself never shuffles, the same economics as the Misra-Gries
+    path above. Cell relations from disjoint corpora / time windows
+    merge by summing ``c`` (sketch addition), which is what makes this
+    the streaming/incremental twin of exact counting."""
+    return (
+        items.select(F.explode(_cms_keys(item_col, width)).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, probes: DataFrame, item_col: str, width: int = 8192
+) -> DataFrame:
+    """Point-query the sketch: estimated count per probe item =
+    min over the 4 rows of the addressed cell. Always >= the true
+    count (every occurrence of the item landed in each addressed
+    cell). Probes are tiny by construction; the join against the
+    fixed-size cell relation broadcasts."""
+    keyed = probes.select(
+        item_col, F.explode(_cms_keys(item_col, width)).alias("p")
+    ).select(item_col, F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+    return (
+        keyed.join(cells, ["r", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+
+
 def token_heavy_hitters(
     df: DataFrame, text_col: str, min_freq: int, k: int = 4096
 ) -> DataFrame:

@@ -1348,3 +1348,74 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_customers"),
         F.round(F.sum("mon") / (F.count("*") * 100.0), 2).alias("avg_monetary"),
     )
+
+
+from .registry import QUERY_REGISTRY as _REGA  # noqa: E402  (composes
+# the token_heavy_hitters oracle registered above)
+
+_CMS_WIDTH = 8192
+_CMS_HASH_ROWS = "(VALUES (0, 1), (1, 9), (2, 17), (3, 25)) AS h(r, off)"
+_CMS_BUCKET = (
+    f"CAST(CAST(concat('0x', substring(md5(token), off, 8)) AS UBIGINT)"
+    f" % {_CMS_WIDTH} AS BIGINT)"
+)
+
+
+@register(
+    "cms_token_error",
+    f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(
+                   regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                   '\\s+')) AS token
+        FROM documents
+        WHERE length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) > 0),
+    cells AS (
+        SELECT r, {_CMS_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS c
+        FROM toks, {_CMS_HASH_ROWS}
+        GROUP BY 1, 2),
+    hh AS ({{hh}}),
+    keys AS (
+        SELECT token, r, {_CMS_BUCKET} AS bucket
+        FROM hh, {_CMS_HASH_ROWS}),
+    est AS (
+        SELECT token, CAST(min(c) AS BIGINT) AS cms_est
+        FROM keys JOIN cells USING (r, bucket)
+        GROUP BY token)
+    SELECT h.token, h.freq, e.cms_est,
+           CAST(e.cms_est - h.freq AS BIGINT) AS overcount
+    FROM hh h JOIN est e USING (token)
+    """.format(hh=_REGA["token_heavy_hitters"].oracle),
+    doc="Count-min sketch self-calibration (Cormode & Muthukrishnan "
+    "2005): sketch the whole token stream into a FIXED 4x8192-cell "
+    "relation (operators/frequency.py::cms_cells — per-token cell "
+    "keys are in-row md5-slice expressions, the groupBy partial-"
+    "aggregates map-side, so the only exchange carries at most "
+    "4*width cells per input partition regardless of vocabulary "
+    "size), then point-query every exact heavy hitter and report "
+    "est - true, the sketch's one-sided error ON THIS CORPUS. The "
+    "sketch relation is mergeable by summing cells — the incremental"
+    "/streaming twin of exact counting, and the calibration answer "
+    "to 'what width does this corpus need'. Same self-diagnostic "
+    "shape as minhash_estimate_error. Oracle replays the identical "
+    "md5-slice buckets cross-engine (hash recipe of corpus.py::"
+    "hash_bucket); all-integer arithmetic, no float parity risk.",
+)
+def cms_token_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.frequency import cms_cells, cms_estimate
+    from ..session import repartition_for_compute
+
+    d = _t(spark, sf_dir, "documents")
+    toks = repartition_for_compute(d).select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    cells = cms_cells(toks, "token", width=_CMS_WIDTH)
+    hh = token_heavy_hitters(d, "text", min_freq=200, k=4096)
+    est = cms_estimate(cells, hh.select("token"), "token", width=_CMS_WIDTH)
+    return hh.join(est, "token").select(
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+        "cms_est",
+        (F.col("cms_est") - F.col("freq")).cast("long").alias("overcount"),
+    )

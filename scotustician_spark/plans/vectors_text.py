@@ -1332,6 +1332,125 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_DQ = (
+    "CASE WHEN mx = mn THEN mn"
+    " ELSE mn + (least(255.0, floor((v - mn) * 256.0 / (mx - mn))) + 0.5)"
+    " * (mx - mn) / 256.0 END"
+)
+
+
+@register(
+    "sq8_quantization_recall",
+    f"""
+    WITH exact AS ({{exact}}),
+    ex AS ({_EMB_LONG}),
+    st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos),
+    dq AS (SELECT vec_id, e.pos, {_SQ8_DQ} AS v
+           FROM ex e JOIN st USING (pos)),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM dq GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.v * c.v) AS dot
+        FROM dq q JOIN dq c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id),
+    trunc5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored)
+        WHERE rnk <= 5),
+    hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN trunc5 t
+               ON e.query_id = t.query_id
+              AND e.neighbor_id = t.neighbor_id
+             GROUP BY 1)
+    SELECT q.query_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / 5.0, 6) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h USING (query_id)
+    """.format(exact=_REGQ["cosine_topk"].oracle),
+    doc="Int8 scalar-quantization retrieval self-diagnostic — the "
+    "third point on the repo's quantization curve (PQ subspace "
+    "codes, Matryoshka prefix truncation, now SQ8 per-dimension "
+    "8-bit): each dimension maps to floor-of-256-bins between the "
+    "corpus per-dim min/max (one tiny global aggregate, broadcast "
+    "back as two 64-double arrays — 4x memory-bandwidth saving at "
+    "serving time), ranks by cosine over midpoint-dequantized "
+    "vectors, and reports per-query top-5 overlap against the exact "
+    "full-precision ranking. Quantize-dequantize is in-row transform("
+    ") arithmetic — floor/least only, no round-half parity risk; the "
+    "oracle replays the identical expression in long format and "
+    "composes the registered cosine_topk oracle for the exact side.",
+)
+def sq8_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "pos", "v")
+    stats = (
+        long.groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda x: x.mn).alias("mn_arr"),
+            F.transform("s", lambda x: x.mx).alias("mx_arr"),
+        )
+    )
+
+    def _dq(v, i):
+        mn = F.element_at(F.col("mn_arr"), i + 1)
+        mx = F.element_at(F.col("mx_arr"), i + 1)
+        vd = v.cast("double")
+        q = F.least(F.lit(255.0), F.floor((vd - mn) * F.lit(256.0) / (mx - mn)))
+        return F.when(mx == mn, mn).otherwise(
+            mn + (q + F.lit(0.5)) * (mx - mn) / F.lit(256.0)
+        )
+
+    dq = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.transform("embedding", _dq).alias("dq")
+    )
+    q = dq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("dq").alias("q_vec")
+    )
+    c = dq.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("dq").alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(V.cosine_similarity("q_vec", "c_vec"), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    trunc5 = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    exact = _REGQ["cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(trunc5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+    )
+
+
 def _minhash_est_error_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
     from ..operators.dedup import MINHASH_P, minhash_coeffs
 

@@ -57,3 +57,43 @@ def test_hll_sketches_survive_persistence(spark, sf_dir, tmp_path):
         .collect()[0]["est"]
     )
     assert roundtrip == direct
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """CMS point estimates are one-sided: est >= true count for every
+    probed item, and exact when no other item collides in ALL 4 rows."""
+    from scotustician_spark.operators.frequency import cms_cells, cms_estimate
+
+    rows = [(t,) for t in ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + [f"x{i}" for i in range(50)]]
+    items = spark.createDataFrame(rows, "token string")
+    cells = cms_cells(items, "token", width=64)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
+    got = {
+        r["token"]: r["cms_est"]
+        for r in cms_estimate(cells, probes, "token", width=64).collect()
+    }
+    assert got["a"] >= 7 and got["b"] >= 3 and got["c"] >= 1
+    total = cells.groupBy("r").sum("c").collect()
+    # each of the 4 sketch rows partitions the full stream: row sums equal n
+    assert {r["sum(c)"] for r in total} == {len(rows)}
+
+
+def test_cms_cells_merge_across_partitions(spark):
+    """Sketch addition: cells built on two disjoint halves, merged by
+    summing counts, equal the single-pass sketch — the mergeability
+    that makes CMS the streaming twin of exact counting."""
+    from pyspark.sql import functions as F
+    from scotustician_spark.operators.frequency import cms_cells
+
+    rows = [(i, f"t{i % 13}") for i in range(200)]
+    items = spark.createDataFrame(rows, "i int, token string")
+    whole = cms_cells(items, "token", width=32)
+    a = cms_cells(items.filter("i < 100"), "token", width=32)
+    b = cms_cells(items.filter("i >= 100"), "token", width=32)
+    merged = (
+        a.unionByName(b)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
