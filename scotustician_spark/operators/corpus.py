@@ -340,13 +340,25 @@ def source_overlap(
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
         )
         .filter(F.col("shingle").isNotNull())
-        .distinct()
     )
-    sizes = sh.groupBy("grp").agg(F.count("*").alias("n_sh"))
     # posting list per shingle = the sources containing it (≤ #sources
-    # entries); collect_set dedupes in the partial agg, array_sort fixes
-    # the a < b orientation by construction
+    # entries); collect_set dedupes (source, shingle) repeats in the
+    # partial agg — no separate distinct() exchange needed, so the
+    # text-sized relation crosses the wire exactly ONCE; array_sort
+    # fixes the a < b orientation by construction
     gs = F.array_sort(F.collect_set("grp"))
+    # both consumers share the identical scan→explode→agg subtree, so
+    # Spark's ReusedExchange computes it once — no lineage cut needed
+    post = sh.groupBy("shingle").agg(gs.alias("gs"))
+    # per-source distinct-shingle counts fall out of the posting lists:
+    # the explode re-emits each (shingle, grp) once, and the groupBy
+    # partial-aggregates to #sources rows per partition before its
+    # (metadata-sized) exchange
+    sizes = (
+        post.select(F.explode("gs").alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_sh"))
+    )
     pairs_expr = F.flatten(
         F.transform(
             F.col("gs"),
@@ -357,9 +369,7 @@ def source_overlap(
         )
     )
     inter = (
-        sh.groupBy("shingle")
-        .agg(gs.alias("gs"))
-        .filter(F.size("gs") > 1)
+        post.filter(F.size("gs") > 1)
         .select(F.explode(pairs_expr).alias("p"))
         .groupBy("p.a", "p.b")
         .agg(F.count("*").alias("n_inter"))

@@ -129,6 +129,52 @@ def run_quantile_state_update(
     )
 
 
+def run_cms_state_update(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    item_col: str,
+    width: int = 8192,
+) -> None:
+    """Streaming maintenance of the count-min sketch
+    (operators/frequency.py::cms_cells): each micro-batch sketches its
+    items into the fixed 4×width cell relation and merges into the
+    persisted state by SUMMING cells — sketch addition is exact, so
+    the maintained state equals the single-pass sketch of everything
+    ever streamed. State size is 4×width rows forever, independent of
+    stream length or item cardinality — the frequency twin of the
+    histogram-quantile sink above (same copy-on-write merge; swap for
+    a Delta/Iceberg MERGE in a table-format deployment). Blocks until
+    AvailableNow drains."""
+    from pyspark.sql import functions as F
+
+    from ..operators.frequency import cms_cells
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = cms_cells(batch_df, item_col, width)
+        if _state_exists(spark, state_path):
+            merged = (
+                spark.read.parquet(state_path)
+                .unionByName(partial)
+                .groupBy("r", "bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        else:
+            merged = partial
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_cdc_apply(
     stream_df: DataFrame,
     table_path: str,

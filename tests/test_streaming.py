@@ -503,3 +503,61 @@ def test_run_components_state_update_two_batches(spark, tmp_path):
     assert got == want
     assert got[4] == 1  # cross-batch bridge collapsed
     assert got[21] == 20  # batch-2-only component present
+
+
+def test_run_cms_state_update_two_batches(spark, tmp_path):
+    """Streaming CMS maintenance: sketch state after two AvailableNow
+    runs equals the single-pass sketch over all data (sketch addition
+    is exact), and replay with nothing new is a no-op."""
+    from scotustician_spark.operators.frequency import cms_cells, cms_estimate
+    from scotustician_spark.streaming.incremental import run_cms_state_update
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+    schema = "token STRING"
+
+    def feed(rows):
+        import uuid
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(
+            str(src / uuid.uuid4().hex)
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src) + "/*")
+
+    def run():
+        run_cms_state_update(stream(), state, ckpt, "token", width=64)
+
+    batch1 = [(f"t{i % 7}",) for i in range(60)]
+    batch2 = [(f"t{i % 11}",) for i in range(40)]
+    feed(batch1)
+    run()
+    feed(batch2)
+    run()
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    expected = sorted(
+        map(tuple, cms_cells(all_rows, "token", width=64).collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert got == expected
+
+    # the maintained sketch answers point queries with the one-sided
+    # guarantee against TRUE stream-lifetime counts
+    probes = spark.createDataFrame([("t0",), ("t5",)], schema)
+    est = {
+        r["token"]: r["cms_est"]
+        for r in cms_estimate(
+            spark.read.parquet(state), probes, "token", width=64
+        ).collect()
+    }
+    true = {
+        r["token"]: r["n"]
+        for r in all_rows.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    assert est["t0"] >= true["t0"] and est["t5"] >= true["t5"]
+
+    run()  # replay: checkpoint has seen every file
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == expected
