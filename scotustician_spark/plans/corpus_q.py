@@ -1079,3 +1079,83 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("int"),
     )
+
+
+_LB_STRIP = "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
+_LB_BUCKET = (
+    "CASE WHEN n_tok < 2 THEN 0 WHEN n_tok < 4 THEN 1"
+    " WHEN n_tok < 8 THEN 2 WHEN n_tok < 16 THEN 3"
+    " WHEN n_tok < 32 THEN 4 WHEN n_tok < 64 THEN 5 ELSE 6 END"
+)
+
+
+@register(
+    "length_bucket_batches",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array({_LB_STRIP}, '\\s+')) AS n_tok
+        FROM documents
+        WHERE text IS NOT NULL AND length({_LB_STRIP}) > 0),
+    b AS (SELECT doc_id, n_tok, {_LB_BUCKET} AS bucket FROM t),
+    i AS (SELECT bucket, n_tok,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY n_tok, doc_id) - 1 AS idx
+          FROM b)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(floor(idx / 16) AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+    FROM i GROUP BY 1, 2
+    """,
+    doc="Length-bucketed inference/training batching — the padding-"
+    "minimizing counterpart to pack_sequences: docs fall into power-"
+    "of-two token-length buckets (integer CASE thresholds, no float "
+    "log2 parity risk), are ordered by length inside each bucket, and "
+    "cut into fixed batches of 16; per batch reports the padding "
+    "waste (n*max - sum) a pad-to-batch-max loader would pay. The "
+    "within-bucket ordinal reuses stable_global_index over (bucket, "
+    "n_tok, doc_id) — range-shuffle once, per-partition numbering, "
+    "broadcast offsets — minus each bucket's broadcast min; NO per-"
+    "bucket global window anywhere (the oracle's PARTITION BY bucket "
+    "window is 7 single-partition sorts — correct as spec, unusable "
+    "at scale). Batch stats partial-aggregate map-side.",
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    bucket = (
+        F.when(F.col("n_tok") < 2, 0)
+        .when(F.col("n_tok") < 4, 1)
+        .when(F.col("n_tok") < 8, 2)
+        .when(F.col("n_tok") < 16, 3)
+        .when(F.col("n_tok") < 32, 4)
+        .when(F.col("n_tok") < 64, 5)
+        .otherwise(6)
+    )
+    b = t.withColumn("bucket", bucket)
+    idx = CP.stable_global_index(b, ["bucket", "n_tok", "doc_id"], name="gidx")
+    offs = idx.groupBy("bucket").agg(F.min("gidx").alias("off"))
+    j = idx.join(F.broadcast(offs), "bucket")
+    return (
+        j.groupBy(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.floor((F.col("gidx") - F.col("off")) / 16).cast("long").alias("batch_id"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+        .withColumn(
+            "pad_waste",
+            (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")).cast("long"),
+        )
+    )

@@ -68,6 +68,11 @@ X1000_QUERIES = [
     "quality_classifier_filter",
     "label_propagation_communities",
     "ann_probe_only",
+    "source_overlap_jaccard",
+    "cms_token_error",
+    "psi_drift",
+    "event_sessions",
+    "copurchase_triangles",
 ]
 
 
