@@ -1161,6 +1161,88 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_K = 8  # merges learned; bounds the oracle's unrolled rounds
+_BPE_TRAIN_V = 400  # vocab cap (freq desc, word asc) — the trainer's bound
+
+
+def _bpe_train_oracle(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> str:
+    """Unrolled-K-round twin of operators/tokenizer.py::train_bpe_merges.
+
+    Round r: weighted adjacent-pair counts over w{r-1}'s double-space
+    symbol sequences → 1-row argmax t{r} (count desc, pair asc) →
+    w{r} applies it with the same replace() the Spark side uses.
+    MATERIALIZED everywhere w{r} is referenced twice (pair counts +
+    apply) — the kcore lesson. LEFT JOIN ON TRUE keeps w{r} populated
+    when a round runs dry (tiny/empty corpora), so later rounds emit
+    no rows instead of erroring, matching the Spark early-break.
+    """
+    parts = [
+        f"wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+        f"SELECT unnest({_TOKS_G}) AS word FROM documents) GROUP BY word)",
+        f"vocab AS (SELECT word, freq FROM wf"
+        f" ORDER BY freq DESC, word LIMIT {v})",
+        "w0 AS MATERIALIZED (SELECT freq,"
+        " ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' '"
+        " AS seq FROM vocab)",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"pc{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM ("
+            f"SELECT freq, unnest(CASE WHEN len(sy) >= 2 THEN"
+            f" list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])"
+            f" ELSE CAST([] AS VARCHAR[]) END) AS pair FROM ("
+            f"SELECT freq, string_split(trim(seq), '  ') AS sy FROM w{r-1}))"
+            f" GROUP BY pair)"
+        )
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT pair, cnt,"
+            f" string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r"
+            f" FROM pc{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"w{r} AS MATERIALIZED (SELECT w.freq,"
+                f" coalesce(replace(w.seq,"
+                f" ' ' || t.l || '  ' || t.r || ' ',"
+                f" ' ' || t.l || '~' || t.r || ' '), w.seq) AS seq"
+                f" FROM w{r-1} w LEFT JOIN t{r} t ON TRUE)"
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, l || '~' || r AS merged_sym,"
+        f" cnt AS pair_count FROM t{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {rows}"
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_train_oracle(),
+    doc="TRUE character-level BPE tokenizer training (Sennrich et al. "
+    "2016), the full algorithm rather than bpe_merge_candidates' "
+    "single statistic: lowercased word frequencies → top-"
+    f"{_BPE_TRAIN_V} vocabulary → {_BPE_TRAIN_K} merge rounds of "
+    "frequency-weighted adjacent-symbol-pair argmax + greedy replace "
+    "apply (double-space encoding, engine-exact). The 100 TB shape of "
+    "every production trainer (subword-nmt/HF/SentencePiece): the "
+    "corpus contributes ONE map-side-combined word-count shuffle — "
+    "the only data-volume-scaled stage — and the merge loop runs over "
+    "the vocab-bounded (≤ "
+    f"{_BPE_TRAIN_V}-row) localCheckpointed word table, each round a "
+    "1-row argmax probe plus a literal replace() column (linear plan "
+    "growth; the argmax enters as a literal, never a joined subplan). "
+    "operators/tokenizer.py::train_bpe_merges; property-tested against "
+    "a pure-Python Sennrich loop in tests/test_tokenizer.py.",
+    bench=True,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import train_bpe_merges, word_frequencies
+
+    wf = word_frequencies(_t(spark, sf_dir, "documents"))
+    return train_bpe_merges(wf, n_merges=_BPE_TRAIN_K, max_words=_BPE_TRAIN_V)
+
+
 def _mmr_oracle(k: int = 10, cand: int = 50, lam: float = 0.7) -> str:
     # (1.0 - {lam}) spelled as the SUBTRACTION, not its decimal value:
     # Spark computes lit(1.0 - 0.7) in IEEE (0.30000000000000004) and

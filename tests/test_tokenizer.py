@@ -1,0 +1,115 @@
+"""BPE tokenizer TRAINING (operators/tokenizer.py) vs a pure-Python
+Sennrich reference loop: word-frequency stats, iterative re-counted
+pair argmax (count desc, pair asc tiebreak), greedy non-overlapping
+left-to-right merge application. The dense two-letter alphabet forces
+overlap-consumption chains ('aaaa') and count ties."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from scotustician_spark.operators.tokenizer import (
+    MERGE_SCHEMA,
+    train_bpe_merges,
+    word_frequencies,
+)
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _python_bpe(word_freqs: dict[str, int], k: int, max_words: int):
+    """Reference trainer: Sennrich get_stats + merge, overlap-inclusive
+    counting, greedy left-to-right application."""
+    vocab = sorted(word_freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    seqs = [(list(w), f) for w, f in vocab]
+    merges = []
+    for rank in range(1, k + 1):
+        pc: Counter = Counter()
+        for sy, f in seqs:
+            for a, b in zip(sy, sy[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((rank, a, b, f"{a}~{b}", cnt))
+        nxt = []
+        for sy, f in seqs:
+            out, j = [], 0
+            while j < len(sy):
+                if j + 1 < len(sy) and sy[j] == a and sy[j + 1] == b:
+                    out.append(a + "~" + b)
+                    j += 2
+                else:
+                    out.append(sy[j])
+                    j += 1
+            nxt.append((out, f))
+        seqs = nxt
+    return merges
+
+
+corpora = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=0,
+        max_size=15,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SLOW
+@given(texts=corpora)
+def test_train_matches_python_sennrich_loop(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = word_frequencies(df)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
+        for r in train_bpe_merges(wf, n_merges=6, max_words=50)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    freqs: Counter = Counter(w for t in texts for w in t.lower().split())
+    want = _python_bpe(dict(freqs), k=6, max_words=50)
+    assert got == want, (texts, got, want)
+
+
+def test_train_respects_vocab_cap(spark):
+    # 'zz' is the most frequent word overall but falls outside the
+    # top-1 vocab cut only if cap sorts by freq desc: with max_words=1
+    # training sees ONLY 'zz', so the sole merge is (z, z).
+    df = spark.createDataFrame(
+        [(0, "zz zz zz qq qq ab")], "doc_id long, text string"
+    )
+    out = train_bpe_merges(word_frequencies(df), n_merges=2, max_words=1).collect()
+    assert [(r["left_sym"], r["right_sym"]) for r in out] == [("z", "z")]
+    assert out[0]["pair_count"] == 3  # freq-weighted: 'zz' × 3 occurrences
+
+
+def test_train_stops_when_no_pairs_remain(spark):
+    # single-character words have no adjacent pairs → zero merges
+    df = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
+    out = train_bpe_merges(word_frequencies(df), n_merges=4).collect()
+    assert out == []
+
+
+def test_train_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = train_bpe_merges(word_frequencies(df), n_merges=3)
+    assert out.schema == MERGE_SCHEMA and out.count() == 0
+
+
+def test_train_tie_breaks_by_pair_string(spark):
+    # 'ba' and 'ab' each appear once with equal pair counts at round 1:
+    # pairs (a,b) and (b,a) tie at 1 → 'a b' < 'b a' wins.
+    df = spark.createDataFrame([(0, "ab ba")], "doc_id long, text string")
+    out = train_bpe_merges(word_frequencies(df), n_merges=1).collect()
+    assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "b")
