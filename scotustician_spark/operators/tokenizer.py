@@ -89,13 +89,13 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-def train_bpe_merges(
+def train_bpe(
     words: DataFrame,
     n_merges: int = 8,
     max_words: int = 400,
     word_col: str = "word",
     freq_col: str = "freq",
-) -> DataFrame:
+) -> list[tuple[int, str, str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
 
     ``words`` is capped to the ``max_words`` most frequent words
@@ -109,8 +109,10 @@ def train_bpe_merges(
     collect), never as a joined subplan. Rounds stop early when no
     adjacent pair remains (tiny vocabularies), matching the oracle's
     empty-round semantics.
+
+    Returns the merge table as a list of
+    ``(merge_rank, left_sym, right_sym, merged_sym, pair_count)``.
     """
-    spark = words.sparkSession
     vocab = (
         words.select(F.col(word_col).alias("word"), F.col(freq_col).cast("long").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
@@ -147,7 +149,19 @@ def train_bpe_merges(
                 F.lit(f" {left}~{right} "),
             ),
         )
-    return spark.createDataFrame(out, MERGE_SCHEMA)
+    return out
+
+
+def train_bpe_merges(
+    words: DataFrame,
+    n_merges: int = 8,
+    max_words: int = 400,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """``train_bpe`` with the learned merge table as a DataFrame."""
+    rows = train_bpe(words, n_merges, max_words, word_col, freq_col)
+    return words.sparkSession.createDataFrame(rows, MERGE_SCHEMA)
 
 
 def apply_merges(

@@ -1159,3 +1159,227 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")).cast("long"),
         )
     )
+
+
+# Corpus-prefix decile: floor(doc_id * 10 / n_docs) — doc_ids are the
+# ingest order, so deciles are "the first 10% of the corpus", etc.
+# Exact for ids < 2^49 (the product stays inside double precision).
+_DECILE = (
+    "CAST(floor(doc_id * 10.0 / (SELECT count(*) FROM documents))"
+    " AS INTEGER)"
+)
+
+
+@register(
+    "vocab_growth",
+    f"""
+    WITH d AS (SELECT {_DECILE} AS bucket, {_TOKS_G} AS l FROM documents),
+    tok AS (SELECT bucket, unnest(l) AS token FROM d),
+    fb AS (SELECT token, min(bucket) AS first_bucket FROM tok GROUP BY token),
+    newt AS (SELECT first_bucket AS bucket,
+                    CAST(count(*) AS BIGINT) AS new_types
+             FROM fb GROUP BY first_bucket),
+    tot AS (SELECT bucket, CAST(sum(len(l)) AS BIGINT) AS bucket_tokens
+            FROM d GROUP BY bucket),
+    m AS (SELECT t.bucket, t.bucket_tokens,
+                 coalesce(n.new_types, 0) AS new_types
+          FROM tot t LEFT JOIN newt n ON n.bucket = t.bucket),
+    c AS (SELECT bucket, bucket_tokens, new_types,
+                 CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+                     AS cum_tokens,
+                 CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT)
+                     AS cum_types
+          FROM m)
+    SELECT bucket, bucket_tokens, new_types, cum_tokens, cum_types,
+           CASE WHEN cum_tokens > 1 AND cum_types > 0
+                THEN round(ln(cum_types) / ln(cum_tokens), 6) END
+               AS heaps_beta
+    FROM c
+    """,
+    doc="Vocabulary-growth (Heaps'-law) curve over corpus-prefix "
+    "deciles: new word TYPES first seen per decile, cumulative "
+    "vocabulary vs cumulative token volume, and the empirical Heaps "
+    "exponent log V / log N — the curve that says whether a corpus is "
+    "still contributing new vocabulary or has saturated (the "
+    "collect-more-data signal). First occurrence is min(bucket) per "
+    "token — one map-side-combined shuffle on token, never a "
+    "prefix-by-prefix rescan; the decile comes from a broadcast 1-row "
+    "corpus count; the cumulative window runs over the 10-row decile "
+    "relation (metadata-sized carry-in, the documented pattern).",
+    bench=True,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+    from ..session import repartition_for_compute
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    d = (
+        repartition_for_compute(docs.select("doc_id", "text"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(F.col("doc_id") * 10.0 / F.col("n_docs"))
+            .cast("int")
+            .alias("bucket"),
+            toks.alias("l"),
+        )
+    )
+    fb = (
+        d.select("bucket", F.explode("l").alias("token"))
+        .groupBy("token")
+        .agg(F.min("bucket").alias("first_bucket"))
+    )
+    newt = fb.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_types")
+    )
+    tot = d.groupBy("bucket").agg(
+        F.sum(F.size("l")).cast("long").alias("bucket_tokens")
+    )
+    m = tot.join(newt, "bucket", "left").select(
+        "bucket",
+        "bucket_tokens",
+        F.coalesce("new_types", F.lit(0).cast("long")).alias("new_types"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = m.select(
+        "bucket",
+        "bucket_tokens",
+        "new_types",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )
+    return c.select(
+        "bucket",
+        "bucket_tokens",
+        "new_types",
+        "cum_tokens",
+        "cum_types",
+        F.when(
+            (F.col("cum_tokens") > 1) & (F.col("cum_types") > 0),
+            F.round(F.log("cum_types") / F.log("cum_tokens"), 6),
+        ).alias("heaps_beta"),
+    )
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH sh AS (SELECT doc_id, shingle FROM ({_SHINGLES})),
+    b AS (SELECT s.shingle, {_DECILE} AS bucket
+          FROM sh s JOIN documents USING (doc_id)),
+    occ AS (SELECT shingle, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    f AS (SELECT shingle, bucket, cnt,
+                 min(bucket) OVER (PARTITION BY shingle) AS first_bucket
+          FROM occ)
+    SELECT bucket,
+           CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+           CAST(sum(CASE WHEN bucket = first_bucket THEN cnt ELSE 0 END)
+                AS BIGINT) AS new_ngrams,
+           round(sum(CASE WHEN bucket = first_bucket THEN cnt ELSE 0 END)
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS novelty
+    FROM f GROUP BY bucket
+    """,
+    doc="N-gram novelty per corpus-prefix decile: the share of 3-gram "
+    "shingle OCCURRENCES whose shingle first appears in that decile — "
+    "near 1 early, decaying as the corpus saturates; a flat-high tail "
+    "means genuinely novel incoming text, a collapsed tail means "
+    "you're re-crawling what you have (data-curation dashboard "
+    "staple). Occurrences pre-aggregate to (shingle, decile) "
+    "map-side; first-exposure is a window over the shingle partition "
+    "of that REDUCED relation (no second corpus shuffle); final "
+    "rollup is 10 rows.",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..session import repartition_for_compute
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    occ = (
+        repartition_for_compute(docs.select("doc_id", "text"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(F.col("doc_id") * 10.0 / F.col("n_docs"))
+            .cast("int")
+            .alias("bucket"),
+            F.explode(word_shingles("text", 3)).alias("shingle"),
+        )
+        .groupBy("shingle", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    f = occ.withColumn(
+        "first_bucket", F.min("bucket").over(W.partitionBy("shingle"))
+    )
+    new_cnt = F.sum(
+        F.when(F.col("bucket") == F.col("first_bucket"), F.col("cnt")).otherwise(
+            F.lit(0)
+        )
+    )
+    return f.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("total_ngrams"),
+        new_cnt.cast("long").alias("new_ngrams"),
+        F.round(new_cnt / F.sum("cnt").cast("double"), 6).alias("novelty"),
+    )
+
+
+@register(
+    "dedup_savings",
+    """
+    WITH g AS (SELECT source,
+                      coalesce(md5(text), 'null-' || doc_id) AS fp,
+                      CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(max(coalesce(length(text), 0)) AS BIGINT)
+                          AS doc_chars
+               FROM documents GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs,
+           CAST(sum((cnt - 1) * doc_chars) AS BIGINT) AS dup_chars,
+           round(sum((cnt - 1) * doc_chars)
+                 / CAST(nullif(sum(cnt * doc_chars), 0) AS DOUBLE), 6)
+               AS pct_chars_saved
+    FROM g GROUP BY source ORDER BY source
+    """,
+    doc="Exact-dedup savings forecast per source: documents, duplicate "
+    "documents, duplicate characters, and the fraction of stored "
+    "bytes a keep-one exact dedup reclaims — the capacity-planning "
+    "number quoted before running the dedup itself. One "
+    "map-side-combined shuffle on (source, fingerprint) then a "
+    "per-source rollup; NULL-text docs get a per-doc fingerprint so "
+    "they never count as duplicates of each other.",
+)
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "source",
+        F.coalesce(
+            F.md5("text"), F.concat(F.lit("null-"), F.col("doc_id"))
+        ).alias("fp"),
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max(F.coalesce(F.length("text"), F.lit(0)))
+        .cast("long")
+        .alias("doc_chars"),
+    )
+    dup_chars = F.sum((F.col("cnt") - 1) * F.col("doc_chars"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_docs"),
+            dup_chars.cast("long").alias("dup_chars"),
+            F.round(
+                dup_chars
+                / F.nullif(
+                    F.sum(F.col("cnt") * F.col("doc_chars")), F.lit(0)
+                ).cast("double"),
+                6,
+            ).alias("pct_chars_saved"),
+        )
+        .orderBy("source")
+    )

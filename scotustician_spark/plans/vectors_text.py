@@ -1165,8 +1165,9 @@ _BPE_TRAIN_K = 8  # merges learned; bounds the oracle's unrolled rounds
 _BPE_TRAIN_V = 400  # vocab cap (freq desc, word asc) — the trainer's bound
 
 
-def _bpe_train_oracle(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> str:
-    """Unrolled-K-round twin of operators/tokenizer.py::train_bpe_merges.
+def _bpe_train_parts(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> list[str]:
+    """CTE chain of the unrolled trainer — shared by the train oracle
+    and the composed compression oracle.
 
     Round r: weighted adjacent-pair counts over w{r-1}'s double-space
     symbol sequences → 1-row argmax t{r} (count desc, pair asc) →
@@ -1207,13 +1208,17 @@ def _bpe_train_oracle(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> str:
                 f" ' ' || t.l || '~' || t.r || ' '), w.seq) AS seq"
                 f" FROM w{r-1} w LEFT JOIN t{r} t ON TRUE)"
             )
+    return parts
+
+
+def _bpe_train_oracle(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> str:
     rows = " UNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_rank, l AS left_sym,"
         f" r AS right_sym, l || '~' || r AS merged_sym,"
         f" cnt AS pair_count FROM t{r}"
         for r in range(1, k + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + f"\n    {rows}"
+    return "WITH " + ",\n    ".join(_bpe_train_parts(k, v)) + f"\n    {rows}"
 
 
 @register(
@@ -1241,6 +1246,118 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wf = word_frequencies(_t(spark, sf_dir, "documents"))
     return train_bpe_merges(wf, n_merges=_BPE_TRAIN_K, max_words=_BPE_TRAIN_V)
+
+
+def _bpe_compression_oracle(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> str:
+    """Train oracle's CTE chain + recursive merge application over the
+    per-source distinct-word table + per-source rollup."""
+    parts = _bpe_train_parts(k, v)
+    merges_union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank,"
+        f" ' ' || l || '  ' || r || ' ' AS pat,"
+        f" ' ' || l || '~' || r || ' ' AS rep FROM t{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(f"merges AS MATERIALIZED ({merges_union})")
+    parts.append(
+        f"wsrc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt"
+        f" FROM (SELECT source, unnest({_TOKS_G}) AS word FROM documents)"
+        f" GROUP BY 1, 2)"
+    )
+    parts.append(
+        "prep AS (SELECT source, word, cnt,"
+        " ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' '"
+        " AS seq FROM wsrc)"
+    )
+    parts.append(
+        f"app AS (SELECT source, word, cnt, seq, 0 AS i FROM prep"
+        f" UNION ALL"
+        f" SELECT a.source, a.word, a.cnt, replace(a.seq, m.pat, m.rep),"
+        f" a.i + 1 FROM app a JOIN merges m ON m.merge_rank = a.i + 1"
+        f" WHERE a.i < {k})"
+    )
+    parts.append(
+        "fin AS (SELECT source, word, cnt, seq,"
+        " row_number() OVER (PARTITION BY source, word ORDER BY i DESC)"
+        " AS rn FROM app)"
+    )
+    nsym = "len(string_split(trim(seq), '  '))"
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * {nsym}) AS BIGINT) AS n_bpe_tokens,
+           round(sum(cnt * length(word))
+                 / CAST(sum(cnt * {nsym}) AS DOUBLE), 6) AS chars_per_token,
+           round(sum(cnt * {nsym})
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS fertility
+    FROM fin WHERE rn = 1 GROUP BY source ORDER BY source"""
+    )
+
+
+@register(
+    "bpe_compression_by_source",
+    _bpe_compression_oracle(),
+    doc="Full tokenizer lifecycle — train, apply, EVALUATE: the "
+    f"{_BPE_TRAIN_K} learned merges are applied once per DISTINCT "
+    "(source, word) — never per occurrence — and the per-source "
+    "rollup weights by word frequency: chars-per-BPE-token "
+    "(compression) and subwords-per-word (fertility), the two numbers "
+    "that say whether a tokenizer fits a data source (a drifting "
+    "source shows rising fertility before anything else). Scale "
+    "shape: one corpus pass builds the (source, word) frequency table "
+    "(map-side combined, localCheckpointed, reused by training and "
+    "evaluation); merge application is in-row literal replace over "
+    "the VOCAB-BOUNDED table — |sources| × |vocab| rows regardless of "
+    "corpus bytes. Oracle composes the unrolled trainer with the "
+    "recursive-CTE apply. operators/tokenizer.py.",
+    bench=True,
+)
+def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import apply_merges, train_bpe
+    from ..session import repartition_for_compute
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    wsrc = (
+        repartition_for_compute(docs.select("source", "text"))
+        .select("source", F.explode(toks).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()  # vocab-bounded; feeds training AND evaluation
+    )
+    wf = wsrc.groupBy("word").agg(F.sum("cnt").cast("long").alias("freq"))
+    merges = train_bpe(wf, n_merges=_BPE_TRAIN_K, max_words=_BPE_TRAIN_V)
+    prep = wsrc.select(
+        "source",
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all(F.col("word"), F.lit("."), 0), "  "),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    ap = apply_merges(prep, [(m[1], m[2]) for m in merges])
+    nsym = F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long")
+    n_chars = F.sum(F.col("cnt") * F.length("word"))
+    n_bpe = F.sum(F.col("cnt") * nsym)
+    return (
+        ap.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_word_occurrences"),
+            n_chars.cast("long").alias("n_chars"),
+            n_bpe.cast("long").alias("n_bpe_tokens"),
+            F.round(n_chars / n_bpe.cast("double"), 6).alias("chars_per_token"),
+            F.round(n_bpe / F.sum("cnt").cast("double"), 6).alias("fertility"),
+        )
+        .orderBy("source")
+    )
 
 
 def _mmr_oracle(k: int = 10, cand: int = 50, lam: float = 0.7) -> str:
