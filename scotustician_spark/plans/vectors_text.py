@@ -1232,14 +1232,16 @@ def _bpe_train_oracle(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> str:
     "apply (double-space encoding, engine-exact). The 100 TB shape of "
     "every production trainer (subword-nmt/HF/SentencePiece): the "
     "corpus contributes ONE map-side-combined word-count shuffle — "
-    "the only data-volume-scaled stage — and the merge loop runs over "
-    "the vocab-bounded (≤ "
-    f"{_BPE_TRAIN_V}-row) localCheckpointed word table, each round a "
-    "1-row argmax probe plus a literal replace() column (linear plan "
-    "growth; the argmax enters as a literal, never a joined subplan). "
-    "operators/tokenizer.py::train_bpe_merges; property-tested against "
-    "a pure-Python Sennrich loop in tests/test_tokenizer.py.",
-    bench=True,
+    "the only data-volume-scaled stage — plus a TakeOrdered vocab cap; "
+    "the merge loop runs on the collected word table, bounded at "
+    f"{_BPE_TRAIN_V} rows BY CONSTRUCTION (the trainer's explicit "
+    "memory budget; the cluster-counts-words / one-process-learns "
+    "split every real trainer uses — a distributed round loop "
+    "measured 8× slower on pure per-round scheduler cost). "
+    "operators/tokenizer.py::train_bpe; property-tested against an "
+    "independent Sennrich loop in tests/test_tokenizer.py. Not bench-"
+    "flagged: bpe_compression_by_source trains AND applies, so it is "
+    "the headline tokenizer entry.",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tokenizer import train_bpe_merges, word_frequencies
