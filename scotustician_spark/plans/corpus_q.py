@@ -1383,3 +1383,78 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _split_case(id_expr: str) -> str:
+    return (
+        f"CASE WHEN {_bucket_sql(100, id_expr=id_expr)} < 80 THEN 'train' "
+        f"WHEN {_bucket_sql(100, id_expr=id_expr)} < 90 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@register(
+    "split_leakage",
+    f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    x AS (SELECT id_a, id_b,
+                 {_split_case('id_a')} AS split_a,
+                 {_split_case('id_b')} AS split_b
+          FROM pairs),
+    n AS (SELECT least(split_a, split_b) AS split_lo,
+                 greatest(split_a, split_b) AS split_hi, id_a, id_b
+          FROM x WHERE split_a <> split_b),
+    p AS (SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM n GROUP BY 1, 2),
+    d AS (SELECT split_lo, split_hi,
+                 CAST(count(DISTINCT dd) AS BIGINT) AS n_docs
+          FROM (SELECT split_lo, split_hi, unnest([id_a, id_b]) AS dd
+                FROM n)
+          GROUP BY 1, 2)
+    SELECT p.split_lo, p.split_hi, p.n_pairs, d.n_docs
+    FROM p JOIN d USING (split_lo, split_hi)
+    """,
+    doc="Train/val/test LEAKAGE audit: MinHash-LSH near-duplicate "
+    "pairs whose endpoints land in different splits — the pairs that "
+    "silently inflate eval scores (a near-copy of a test doc in "
+    "train). Because splits are md5-of-id buckets, each endpoint's "
+    "split derives IN-ROW from the pair's own ids: the audit costs "
+    "exactly the LSH candidate generation (collision-bounded, never "
+    "n²) plus a metadata-sized rollup — no join back to the corpus, "
+    "no extra shuffle. Reports leaky pair count and distinct "
+    "implicated docs per split boundary.",
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=16, band_size=4
+    )
+
+    def split_of(c: str):
+        b = CP.hash_bucket(c, 100)
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    x = pairs.select(
+        "id_a", "id_b", split_of("id_a").alias("split_a"), split_of("id_b").alias("split_b")
+    ).filter(F.col("split_a") != F.col("split_b"))
+    n = x.select(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+        "id_a",
+        "id_b",
+    )
+    p = n.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    d = (
+        n.select(
+            "split_lo",
+            "split_hi",
+            F.explode(F.array("id_a", "id_b")).alias("dd"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.countDistinct("dd").cast("long").alias("n_docs"))
+    )
+    return p.join(d, ["split_lo", "split_hi"])

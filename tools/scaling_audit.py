@@ -52,6 +52,8 @@ QUERIES = [
     "embedding_near_dup",
     "label_propagation_communities",
     "hybrid_rrf_search",
+    "bpe_compression_by_source",
+    "vocab_growth",
 ]
 
 # subset measured on the synthetic ~sf1 tier (the all-pairs and
@@ -73,6 +75,8 @@ X1000_QUERIES = [
     "psi_drift",
     "event_sessions",
     "copurchase_triangles",
+    "bpe_compression_by_source",
+    "vocab_growth",
 ]
 
 
