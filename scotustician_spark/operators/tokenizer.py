@@ -154,6 +154,32 @@ def train_bpe_merges(
     return words.sparkSession.createDataFrame(rows, MERGE_SCHEMA)
 
 
+def write_bpe(spark, merges: list[tuple], path: str, params: dict | None = None) -> None:
+    """Persist a trained merge table (train once, serve many — the
+    tokenizer's analog of the ANN index lifecycle in ann_index.py):
+    ``{path}/merges`` parquet + ``{path}/meta`` json. One tiny file —
+    a tokenizer is metadata, not data."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(merges, MERGE_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    spark.createDataFrame([Row(**(params or {"n_merges": len(merges)}))]).coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def read_bpe(spark, path: str) -> list[tuple[int, str, str, str, int]]:
+    """Load a persisted merge table in rank order, ready for
+    ``apply_merges``."""
+    return [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
+        for r in spark.read.schema(MERGE_SCHEMA)
+        .parquet(f"{path}/merges")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
 def apply_merges(
     df: DataFrame, merges: list[tuple[str, str]], seq_col: str = "seq"
 ) -> DataFrame:

@@ -113,3 +113,28 @@ def test_train_tie_breaks_by_pair_string(spark):
     df = spark.createDataFrame([(0, "ab ba")], "doc_id long, text string")
     out = train_bpe_merges(word_frequencies(df), n_merges=1).collect()
     assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "b")
+
+
+def test_write_read_bpe_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, "abab abab cd cd cd")], "doc_id long, text string"
+    )
+    from scotustician_spark.operators.tokenizer import (
+        apply_merges,
+        read_bpe,
+        train_bpe,
+        write_bpe,
+    )
+
+    merges = train_bpe(word_frequencies(df), n_merges=3)
+
+    path = str(tmp_path / "tok")
+    write_bpe(spark, merges, path, {"n_merges": 3, "max_words": 400})
+    loaded = read_bpe(spark, path)
+    assert loaded == merges
+    seqs = spark.createDataFrame(
+        [(" a  b  a  b ",), (" c  d ",)], "seq string"
+    )
+    direct = [r["seq"] for r in apply_merges(seqs, [(m[1], m[2]) for m in merges]).collect()]
+    replay = [r["seq"] for r in apply_merges(seqs, [(m[1], m[2]) for m in loaded]).collect()]
+    assert direct == replay
