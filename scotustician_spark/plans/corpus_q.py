@@ -1458,3 +1458,113 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("dd").cast("long").alias("n_docs"))
     )
     return p.join(d, ["split_lo", "split_hi"])
+
+
+@register(
+    "dedup_cluster_purity",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS u, doc_id AS comp FROM documents
+        UNION
+        SELECT e.v AS u, r.comp AS comp
+        FROM reach r JOIN edges e ON e.u = r.u),
+    comps AS (SELECT u AS doc_id, min(comp) AS component_id
+              FROM reach GROUP BY u),
+    csize AS (SELECT component_id, CAST(count(*) AS BIGINT)
+                  AS component_size
+              FROM comps GROUP BY 1),
+    posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM posts GROUP BY doc_id),
+    inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+              FROM pairs p
+              JOIN posts a ON a.doc_id = p.id_a
+              JOIN posts b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    pj AS (SELECT coalesce(i.n_inter, 0) AS n_inter,
+                  sa.sz + sb.sz - coalesce(i.n_inter, 0) AS uni,
+                  c.component_id, cs.component_size
+           FROM pairs p
+           LEFT JOIN inter i USING (id_a, id_b)
+           JOIN sizes sa ON sa.doc_id = p.id_a
+           JOIN sizes sb ON sb.doc_id = p.id_b
+           JOIN comps c ON c.doc_id = p.id_a
+           JOIN csize cs USING (component_id))
+    SELECT component_size,
+           CAST(count(DISTINCT component_id) AS BIGINT) AS n_components,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(n_inter) AS DOUBLE)
+                 / CAST(sum(uni) AS DOUBLE), 6) AS micro_jaccard,
+           round(min(n_inter / CAST(uni AS DOUBLE)), 6) AS min_jaccard
+    FROM pj GROUP BY 1
+    """,
+    doc="Dedup OVER-MERGE audit: for every LSH component (the clusters "
+    "a dedup would collapse), the true shingle-Jaccard quality of its "
+    "member pairs, rolled up by component size — micro-averaged "
+    "Jaccard (exact BIGINT intersection/union sums, one final "
+    "division) and the worst pair. Large components with low "
+    "min_jaccard are transitive-closure chains gluing unrelated "
+    "documents — the failure mode that silently deletes good data at "
+    "corpus scale, and the measurement behind a band/threshold "
+    "re-tune. Exact verification is computed ONLY for candidate "
+    "pairs (collision-bounded), components via hash-min propagation; "
+    "the oracle replays both (recursive CTE + posting intersection).",
+)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=16, band_size=4
+    ).localCheckpoint(eager=False)  # pair edges: components + purity join
+    comps = CC.dedup_resolution(cands, docs.select("doc_id"))
+    posts = DD.shingle_postings(docs, "doc_id", "text", n=3)
+    cand_docs = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cposts = posts.join(F.broadcast(cand_docs), "doc_id")
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        F.broadcast(cands)
+        .join(cposts.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            cposts.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    pj = (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0).cast("long")))
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")),
+            "id_b",
+        )
+        .withColumn(
+            "uni", (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("long")
+        )
+        .join(
+            comps.select(
+                F.col("doc_id").alias("id_a"), "component_id", "component_size"
+            ),
+            "id_a",
+        )
+    )
+    return pj.groupBy("component_size").agg(
+        F.countDistinct("component_id").cast("long").alias("n_components"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("n_inter").cast("double") / F.sum("uni").cast("double"), 6
+        ).alias("micro_jaccard"),
+        F.round(
+            F.min(F.col("n_inter").cast("double") / F.col("uni").cast("double")),
+            6,
+        ).alias("min_jaccard"),
+    )
