@@ -1568,3 +1568,91 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("min_jaccard"),
     )
+
+
+# 8-token opening-prefix fingerprint: the shared-boilerplate key.
+# (The full-text variant of the same matrix is the exact-dup key of
+# dedup_exact_groups; this corpus has no cross-source exact dups, so
+# the prefix key is the one with signal.)
+_PFX_FP = (
+    "md5(array_to_string((regexp_split_to_array("
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),"
+    " '\\s+'))[1:8], ' '))"
+)
+
+
+@register(
+    "source_boilerplate_matrix",
+    f"""
+    WITH d AS (SELECT DISTINCT source, {_PFX_FP} AS fp
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fp
+          FROM d GROUP BY source),
+    x AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT x.source_a, x.source_b, x.n_shared,
+           na.n_fp AS n_a, nb.n_fp AS n_b,
+           round(x.n_shared
+                 / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE), 6)
+               AS containment
+    FROM x
+    JOIN n na ON na.source = x.source_a
+    JOIN n nb ON nb.source = x.source_b
+    """,
+    doc="Cross-source shared-BOILERPLATE matrix: for every source "
+    "pair, how many distinct 8-token opening-prefix fingerprints "
+    "they share, and the containment fraction (shared / smaller "
+    "side) — 'these two crawls carry the same page templates', the "
+    "matrix that flags re-crawls and mirror sites before mixing. "
+    "Distinct (source, prefix-fp) postings self-join on fingerprint, "
+    "so pair expansion is bounded by per-fingerprint source counts — "
+    "quadratic in SOURCES sharing a prefix, never in documents (the "
+    "posting-list shape of source_overlap_jaccard with O(1)-per-doc "
+    "keys instead of per-shingle postings); swapping the prefix key "
+    "for functions.text.fingerprint makes it the exact-duplicate "
+    "matrix. Empty/blank docs carry no fingerprint and never pair.",
+)
+def source_boilerplate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokens(F.lower(F.col("text")))
+    d = (
+        docs.select(
+            "source",
+            F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("fp"),
+        )
+        .filter(F.size(toks) > 0)
+        .distinct()
+    )
+    n = d.groupBy("source").agg(F.count("*").cast("long").alias("n_fp"))
+    a = d.select(F.col("source").alias("source_a"), "fp")
+    b = d.select(F.col("source").alias("source_b"), "fp")
+    x = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        x.join(F.broadcast(n.select(F.col("source").alias("source_a"),
+                                    F.col("n_fp").alias("n_a"))), "source_a")
+        .join(F.broadcast(n.select(F.col("source").alias("source_b"),
+                                   F.col("n_fp").alias("n_b"))), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
