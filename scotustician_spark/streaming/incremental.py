@@ -303,3 +303,70 @@ def run_components_state_update(
         .start()
         .awaitTermination()
     )
+
+
+def run_word_freq_state_update(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+) -> None:
+    """Streaming maintenance of the BPE trainer's sufficient statistic
+    (operators/tokenizer.py): each micro-batch's word counts merge
+    into the persisted (word, freq) table by SUMMING — counts are
+    exact and associative, so the maintained state equals the batch
+    ``word_frequencies`` of everything ever streamed, at any batch
+    split. State size is vocabulary-bounded (never corpus-bounded);
+    the retrain decision then runs off the state alone, so the corpus
+    is touched exactly once per document forever. Same copy-on-write
+    merge as the CMS/histogram sinks above (swap for a table-format
+    MERGE in a Delta/Iceberg deployment). Blocks until AvailableNow
+    drains."""
+    from pyspark.sql import functions as F
+
+    from ..operators.tokenizer import word_frequencies
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = word_frequencies(batch_df, text_col)
+        if _state_exists(spark, state_path):
+            merged = (
+                spark.read.parquet(state_path)
+                .unionByName(partial)
+                .groupBy("word")
+                .agg(F.sum("freq").cast("long").alias("freq"))
+            )
+        else:
+            merged = partial
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def bpe_merges_stale(
+    spark,
+    state_path: str,
+    saved_merges: list[tuple],
+    n_merges: int = 8,
+    max_words: int = 400,
+) -> bool:
+    """Retrain trigger: re-learn merges from the maintained
+    word-frequency state (driver-side over the vocab-capped table —
+    seconds, no corpus pass) and report whether they diverge from the
+    served merge table. The deployment loop: stream counts →
+    ``bpe_merges_stale`` on a schedule → ``write_bpe`` a new version
+    only when the answer is yes."""
+    from ..operators.tokenizer import train_bpe
+
+    current = train_bpe(
+        spark.read.parquet(state_path), n_merges=n_merges, max_words=max_words
+    )
+    return current != list(saved_merges)

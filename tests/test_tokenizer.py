@@ -138,3 +138,49 @@ def test_write_read_bpe_roundtrip(spark, tmp_path):
     direct = [r["seq"] for r in apply_merges(seqs, [(m[1], m[2]) for m in merges]).collect()]
     replay = [r["seq"] for r in apply_merges(seqs, [(m[1], m[2]) for m in loaded]).collect()]
     assert direct == replay
+
+
+def test_streaming_word_freq_state_and_retrain_trigger(spark, tmp_path):
+    """Two-batch streamed state == batch word_frequencies of the union
+    (exact, split-invariant); the retrain trigger stays quiet while
+    the learned merges hold and fires when new data changes them."""
+    from scotustician_spark.operators.tokenizer import train_bpe, word_frequencies
+    from scotustician_spark.streaming.incremental import (
+        bpe_merges_stale,
+        run_word_freq_state_update,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    b1 = [(0, "abab abab cdcd"), (1, "abab cdcd cdcd")]
+    b2 = [(2, "abab efef efef"), (3, "efef efef efef")]
+    spark.createDataFrame(b1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+
+    ckpt = str(tmp_path / "ckpt")  # ONE checkpoint across drains: the
+    # second drain must process only the NEW files (exactly-once merge)
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        run_word_freq_state_update(stream, state, ckpt, "text")
+
+    drain()
+    merges0 = train_bpe(spark.read.parquet(state), n_merges=2)
+    assert not bpe_merges_stale(spark, state, merges0, n_merges=2)
+
+    spark.createDataFrame(b2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    full = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want = {
+        (r["word"], r["freq"]) for r in word_frequencies(full).collect()
+    }
+    got = {
+        (r["word"], r["freq"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == want
+    # 'efef' now dominates: merges from the maintained state diverge
+    assert bpe_merges_stale(spark, state, merges0, n_merges=2)
