@@ -348,7 +348,12 @@ def _ivfpq_oracle(
     r: int = 6,
     base_pred: str = "TRUE",
     exclude_pred: str = "FALSE",
+    final_select: str | None = None,
 ) -> str:
+    # ``final_select``: replaces the default top-k SELECT (may open
+    # with further CTE definitions, continuing the WITH list) — used
+    # by diagnostics that read the build tables (pq_code_balance)
+    # instead of the search output.
     # ``base_pred``: the TRAINING population (seeds, centroid means,
     # codebook means are computed over base rows only). With the
     # default TRUE this is the plain one-shot build; with a narrower
@@ -461,11 +466,11 @@ def _ivfpq_oracle(
         JOIN lut l ON l.cell = c.cell AND l.j = c.j AND l.code = c.code
         WHERE l.query_id <> c.neighbor_id
         GROUP BY l.query_id, c.neighbor_id)
-    SELECT query_id, neighbor_id, approx_d2, CAST(rnk AS BIGINT) AS rnk
+    {final_select or f'''SELECT query_id, neighbor_id, approx_d2, CAST(rnk AS BIGINT) AS rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY approx_d2, neighbor_id) AS rnk
           FROM approx)
-    WHERE rnk <= {k}
+    WHERE rnk <= {k}'''}
     """
 
 
@@ -1347,3 +1352,68 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_BALANCE_TAIL = """, codecnt AS (
+        SELECT j, code, CAST(count(*) AS BIGINT) AS c
+        FROM codes GROUP BY 1, 2),
+    jt AS (SELECT j, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_codes_used,
+                  CAST(max(c) AS BIGINT) AS max_c
+           FROM codecnt GROUP BY j)
+    SELECT CAST(cc.j AS INTEGER) AS subspace,
+           jt.n AS n_vectors,
+           jt.n_codes_used,
+           round(sum(-(cc.c / CAST(jt.n AS DOUBLE))
+                     * ln(cc.c / CAST(jt.n AS DOUBLE))), 6) AS code_entropy,
+           round(jt.max_c / CAST(jt.n AS DOUBLE), 6) AS top_code_share
+    FROM codecnt cc JOIN jt ON jt.j = cc.j
+    GROUP BY cc.j, jt.n, jt.n_codes_used, jt.max_c"""
+
+
+@register(
+    "pq_code_balance",
+    _ivfpq_oracle(final_select=_BALANCE_TAIL),
+    doc="PQ codebook HEALTH: per subspace, how evenly the corpus "
+    "spreads over the 8 codes — distinct codes used, code-assignment "
+    "entropy (ln 8 ≈ 2.079 is perfectly balanced) and the hottest "
+    "code's share. Collapsed subspaces (one dominant code) mean the "
+    "quantizer wastes its byte budget and ADC distances lose "
+    "resolution — the diagnostic read BEFORE re-spending bytes on m "
+    "or probes (companion to ann_recall_curve, which showed this "
+    "config PQ-bound). Spark reads the PERSISTED index's code table "
+    "(metadata-sized: one row per vector per subspace) — two tiny "
+    "aggregations, no rebuild; the oracle replays the deterministic "
+    "build via the shared CTE chain with a diagnostics tail.",
+)
+def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _served_ivfpq_index(spark, sf_dir)
+    cc = idx.codes.groupBy("j", "code").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    jt = cc.groupBy("j").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_codes_used"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cc.join(F.broadcast(jt), "j")
+        .groupBy(
+            F.col("j").cast("int").alias("subspace"),
+            F.col("n").alias("n_vectors"),
+            "n_codes_used",
+            "max_c",
+        )
+        .agg(
+            F.round(F.sum(-p * F.log(p)), 6).alias("code_entropy"),
+            F.round(
+                F.max(F.col("max_c").cast("double") / F.col("n")), 6
+            ).alias("top_code_share"),
+        )
+        .drop("max_c")
+        .select(
+            "subspace", "n_vectors", "n_codes_used", "code_entropy",
+            "top_code_share",
+        )
+    )

@@ -1812,3 +1812,75 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("est"), 6).alias("mean_minhash_est"),
         F.round(F.avg("abs_err"), 6).alias("mean_abs_err"),
     )
+
+
+@register(
+    "token_burstiness",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_G} AS l FROM documents),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+    wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(l) AS word FROM base)
+           GROUP BY 1, 2),
+    st AS (SELECT word,
+                  CAST(count(*) AS BIGINT) AS n_docs_with,
+                  CAST(sum(c) AS BIGINT) AS total_occ,
+                  CAST(sum(c * c) AS BIGINT) AS sum_sq
+           FROM wc GROUP BY word),
+    top AS (SELECT word, n_docs_with, total_occ, sum_sq FROM st
+            ORDER BY total_occ DESC, word LIMIT 50)
+    SELECT word, n_docs_with, total_occ,
+           round(total_occ / CAST(n_docs_with AS DOUBLE), 6) AS burstiness,
+           round((CAST(sum_sq AS DOUBLE) / nd.n_docs
+                  - (CAST(total_occ AS DOUBLE) / nd.n_docs)
+                    * (CAST(total_occ AS DOUBLE) / nd.n_docs))
+                 / (CAST(total_occ AS DOUBLE) / nd.n_docs), 6) AS vmr
+    FROM top CROSS JOIN nd
+    """,
+    doc="Word BURSTINESS (Church & Gale 1995): for the 50 most frequent "
+    "words, occurrences-per-containing-doc (Eb — function words sit "
+    "near their per-doc rate, topical words burst) and the "
+    "variance-to-mean ratio over ALL docs (VMR > 1 = over-dispersed "
+    "vs Poisson — the statistical signature of topicality; the signal "
+    "behind stopword-vs-keyword decisions and TF saturation). All "
+    "moments accumulate as exact BIGINTs (count, Σc, Σc²) in one "
+    "map-side-combined (doc, word) reduction + one word rollup — "
+    "aggregation-order-deterministic at any parallelism; the corpus "
+    "count rides a broadcast 1-row relation.",
+)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import repartition_for_compute
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    base = repartition_for_compute(docs.select("doc_id", "text")).select(
+        "doc_id", toks.alias("l")
+    )
+    nd = base.agg(F.count("*").cast("long").alias("n_docs"))
+    wc = (
+        base.select("doc_id", F.explode("l").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    st = wc.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_docs_with"),
+        F.sum("c").cast("long").alias("total_occ"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    top = st.orderBy(F.desc("total_occ"), F.asc("word")).limit(50)
+    mean = F.col("total_occ").cast("double") / F.col("n_docs")
+    return top.crossJoin(F.broadcast(nd)).select(
+        "word",
+        "n_docs_with",
+        "total_occ",
+        F.round(
+            F.col("total_occ") / F.col("n_docs_with").cast("double"), 6
+        ).alias("burstiness"),
+        F.round(
+            (F.col("sum_sq").cast("double") / F.col("n_docs") - mean * mean)
+            / mean,
+            6,
+        ).alias("vmr"),
+    )
