@@ -1344,8 +1344,14 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count("*").cast("long").alias("n_exact"),
                 F.count("__hit").cast("long").alias("n_hit"),
+                # when(n>0): the no-groupBy agg emits a row even on an
+                # EMPTY corpus, where 0/0 is an ANSI divide-by-zero
                 F.round(
-                    F.count("__hit").cast("double") / F.count("*"), 6
+                    F.when(
+                        F.count("*") > 0,
+                        F.count("__hit").cast("double") / F.count("*"),
+                    ),
+                    6,
                 ).alias("recall"),
             )
             .select(F.lit(p).cast("int").alias("n_probe"), "*")
