@@ -1656,3 +1656,123 @@ def source_boilerplate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+_SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM posts GROUP BY doc_id),
+    inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+              FROM pairs p
+              JOIN posts a ON a.doc_id = p.id_a
+              JOIN posts b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    pj AS (SELECT p.id_a, p.id_b, coalesce(i.n_inter, 0) AS n_inter,
+                  sa.sz + sb.sz - coalesce(i.n_inter, 0) AS uni
+           FROM pairs p
+           LEFT JOIN inter i USING (id_a, id_b)
+           JOIN sizes sa ON sa.doc_id = p.id_a
+           JOIN sizes sb ON sb.doc_id = p.id_b),
+    th AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
+               AS threshold),
+    x AS (SELECT t.threshold, p.id_a, p.id_b
+          FROM pj p JOIN th t ON p.n_inter >= t.threshold * p.uni),
+    pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM x GROUP BY 1),
+    dc AS (SELECT threshold, CAST(count(DISTINCT dd) AS BIGINT) AS n_docs
+           FROM (SELECT threshold, unnest([id_a, id_b]) AS dd FROM x)
+           GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS corpus FROM documents)
+    SELECT t.threshold,
+           coalesce(pc.n_pairs, 0) AS n_pairs,
+           coalesce(dc.n_docs, 0) AS n_docs_involved,
+           round(coalesce(dc.n_docs, 0)
+                 / CAST(nullif(nd.corpus, 0) AS DOUBLE), 6) AS pct_corpus
+    FROM th t
+    LEFT JOIN pc ON pc.threshold = t.threshold
+    LEFT JOIN dc ON dc.threshold = t.threshold
+    CROSS JOIN nd
+    """,
+    doc="Dedup THRESHOLD sizing: at Jaccard cut-offs "
+    f"{list(_SWEEP_THRESHOLDS)}, how many candidate pairs survive and "
+    "how much of the corpus they touch — the table read before "
+    "committing a similarity threshold (completes the calibration "
+    "family: minhash_estimate_error = estimator bias, "
+    "dedup_cluster_purity = over-merge, dedup_savings = exact-dup "
+    "floor, this = the knob). True Jaccard is verified ONLY for LSH "
+    "candidates; the threshold test is the integer-safe n_inter >= "
+    "t*union (no division); every threshold row appears even when "
+    "empty. One pair table feeds all thresholds via a broadcast "
+    "4-row relation.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=16, band_size=4
+    ).localCheckpoint(eager=False)
+    posts = DD.shingle_postings(docs, "doc_id", "text", n=3)
+    cand_docs = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cposts = posts.join(F.broadcast(cand_docs), "doc_id")
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        F.broadcast(cands)
+        .join(cposts.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            cposts.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    pj = (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0).cast("long")))
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")),
+            "id_b",
+        )
+        .withColumn(
+            "uni", (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("long")
+        )
+    )
+    th = docs.sparkSession.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    x = pj.crossJoin(F.broadcast(th)).filter(
+        F.col("n_inter") >= F.col("threshold") * F.col("uni")
+    )
+    pc = x.groupBy("threshold").agg(F.count("*").cast("long").alias("n_pairs"))
+    dc = (
+        x.select("threshold", F.explode(F.array("id_a", "id_b")).alias("dd"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("dd").cast("long").alias("n_docs"))
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("corpus"))
+    return (
+        th.join(pc, "threshold", "left")
+        .join(dc, "threshold", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs_involved"),
+            F.round(
+                F.coalesce("n_docs", F.lit(0).cast("long")).cast("double")
+                / F.nullif(F.col("corpus"), F.lit(0)).cast("double"),
+                6,
+            ).alias("pct_corpus"),
+        )
+    )
