@@ -730,3 +730,74 @@ def test_prefix_filter_lossless_and_prunes(spark):
     # (the common opener), but only the near-dup pair survives — and
     # the prefix join must generate fewer candidates than that
     assert len(got) == 1
+
+
+def test_dedup_cluster_purity_matches_python_composition(spark, tmp_path, sf_dir):
+    """dedup_cluster_purity vs an independent Python composition: take
+    the SAME Spark LSH candidate pairs, then do components (union-find),
+    exact shingle Jaccard (python sets via word_shingles semantics) and
+    the size rollup entirely in Python."""
+    from collections import defaultdict
+
+    from scotustician_spark.operators.dedup import minhash_lsh_candidates
+    from scotustician_spark.plans.corpus_q import dedup_cluster_purity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", n=3, num_hashes=16, band_size=4
+        ).collect()
+    ]
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+    def shingles(t):
+        toks = (t or "").lower().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)} if toks else set()
+
+    # union-find over doc ids
+    parent = {d: d for d in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    csize = defaultdict(int)
+    for d in texts:
+        csize[find(d)] += 1
+
+    agg = defaultdict(lambda: [set(), 0, 0, 0, 1.0])  # comps, pairs, i, u, minj
+    for a, b in pairs:
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        inter = len(sa & sb)
+        uni = len(sa) + len(sb) - inter
+        comp = find(a)
+        size = csize[comp]
+        e = agg[size]
+        e[0].add(comp)
+        e[1] += 1
+        e[2] += inter
+        e[3] += uni
+        e[4] = min(e[4], inter / uni)
+    want = {
+        size: (len(e[0]), e[1], round(e[2] / e[3], 6), round(e[4], 6))
+        for size, e in agg.items()
+    }
+    got = {
+        r["component_size"]: (
+            r["n_components"],
+            r["n_pairs"],
+            r["micro_jaccard"],
+            r["min_jaccard"],
+        )
+        for r in dedup_cluster_purity(spark, sf_dir).collect()
+    }
+    assert got == want
