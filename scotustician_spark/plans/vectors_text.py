@@ -1884,3 +1884,103 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("vmr"),
     )
+
+
+def _bpe_vocab_oracle(k: int = _BPE_TRAIN_K, v: int = _BPE_TRAIN_V) -> str:
+    """Train CTE chain + recursive apply over ALL corpus words +
+    frequency-weighted symbol rollup."""
+    parts = _bpe_train_parts(k, v)
+    merges_union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank,"
+        f" ' ' || l || '  ' || r || ' ' AS pat,"
+        f" ' ' || l || '~' || r || ' ' AS rep FROM t{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(f"merges AS MATERIALIZED ({merges_union})")
+    parts.append(
+        "prep AS (SELECT word, freq,"
+        " ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' '"
+        " AS seq FROM wf)"
+    )
+    parts.append(
+        f"app AS (SELECT word, freq, seq, 0 AS i FROM prep"
+        f" UNION ALL"
+        f" SELECT a.word, a.freq, replace(a.seq, m.pat, m.rep), a.i + 1"
+        f" FROM app a JOIN merges m ON m.merge_rank = a.i + 1"
+        f" WHERE a.i < {k})"
+    )
+    parts.append(
+        "fin AS (SELECT word, freq, seq,"
+        " row_number() OVER (PARTITION BY word ORDER BY i DESC) AS rn"
+        " FROM app)"
+    )
+    parts.append(
+        "sym AS (SELECT word, freq,"
+        " unnest(string_split(trim(seq), '  ')) AS symbol"
+        " FROM fin WHERE rn = 1)"
+    )
+    parts.append(
+        "st AS (SELECT symbol,"
+        " CAST(sum(freq) AS BIGINT) AS n_occurrences,"
+        " CAST(count(DISTINCT word) AS BIGINT) AS n_words"
+        " FROM sym GROUP BY symbol)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + """
+    SELECT symbol, n_occurrences, n_words,
+           symbol LIKE '%~%' AS is_merged
+    FROM st ORDER BY n_occurrences DESC, symbol LIMIT 50"""
+    )
+
+
+@register(
+    "bpe_vocab_table",
+    _bpe_vocab_oracle(),
+    doc="The derived VOCABULARY — the artifact shipped WITH the merge "
+    "table: after applying the learned merges to every corpus word, "
+    "the top-50 symbols by frequency-weighted occurrence count, with "
+    "how many distinct words contain each and whether it is a merged "
+    "(multi-char) unit — the table an embedding-matrix sizing / "
+    "token-budget decision reads. Same scale shape as "
+    "bpe_compression_by_source: merges apply in-row to the "
+    "vocab-bounded word-frequency table (never per occurrence), the "
+    "symbol rollup is one map-side-combined shuffle over "
+    "symbols-per-distinct-word, selection is TakeOrdered(50).",
+)
+def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import apply_merges, train_bpe, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_frequencies(docs).localCheckpoint()  # trainer + apply table
+    merges = train_bpe(wf, n_merges=_BPE_TRAIN_K, max_words=_BPE_TRAIN_V)
+    prep = wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all(F.col("word"), F.lit("."), 0), "  "),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    ap = apply_merges(prep, [(m[1], m[2]) for m in merges])
+    sym = ap.select(
+        "word",
+        "freq",
+        F.explode(F.split(F.trim(F.col("seq")), "  ")).alias("symbol"),
+    )
+    st = sym.groupBy("symbol").agg(
+        F.sum("freq").cast("long").alias("n_occurrences"),
+        F.countDistinct("word").cast("long").alias("n_words"),
+    )
+    return (
+        st.orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+        .limit(50)
+        .select(
+            "symbol",
+            "n_occurrences",
+            "n_words",
+            F.col("symbol").contains("~").alias("is_merged"),
+        )
+    )
