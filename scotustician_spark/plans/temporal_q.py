@@ -225,3 +225,55 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vals, -1).alias("last_value"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+@register(
+    "event_seasonality",
+    """
+    WITH c AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM c)
+    SELECT dow, hr, n_events, n_users, value_cents,
+           round(n_events / CAST(t.total AS DOUBLE), 6) AS share
+    FROM c CROSS JOIN t
+    """,
+    doc="Traffic seasonality profile: events, distinct users and exact "
+    "integer-cent value per (day-of-week x hour) cell, plus each "
+    "cell's share of total traffic — the capacity-planning / "
+    "anomaly-baseline heatmap (event_rate_anomaly flags deviations "
+    "from per-key rates; this is the calendar-shaped baseline they "
+    "deviate FROM). One map-side-combined shuffle on 168 cells; "
+    "value sums quantize to integer cents first, so the aggregate is "
+    "exact at any parallelism (the repo's money discipline); the "
+    "total rides a broadcast 1-row relation. DOW mapping pinned: "
+    "DuckDB dayofweek is 0-based Sunday, Spark 1-based.",
+)
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    t = c.agg(F.sum("n_events").cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hr",
+        "n_events",
+        "n_users",
+        "value_cents",
+        F.round(F.col("n_events") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+    )
