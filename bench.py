@@ -12,6 +12,13 @@ anchor — each bench query's ORACLE SQL, min-of-3 on the same parquet
 — so the Spark/DuckDB ratio is machine-readable per query
 ("paired": {name: {spark, duckdb, ratio}}) and in total ("ratio").
 Set SPARK_GRAFT_SKIP_DUCKDB=1 to skip the anchor pass.
+
+Output contract (round 5): stdout carries ONE compact JSON line —
+{"metric", "value", "unit", "queries", "sf", "ratio", "duckdb_total"}
+— sized to survive the driver's tail capture (BENCH_r04 was
+parsed:null because medians + the per-query paired block overflowed
+it). The full detail (per-query medians, paired spark/duckdb/ratio
+triples) goes to BENCH_DETAIL.json next to this file instead.
 """
 
 from __future__ import annotations
@@ -101,9 +108,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_median": medians,
         "sf": sf,
     }
+    detail = {"queries_median": medians, "sf": sf}
 
     if os.environ.get("SPARK_GRAFT_SKIP_DUCKDB") != "1":
         try:
@@ -121,11 +128,19 @@ def main() -> None:
             }
             sp = sum(timings[n] for n in ddb)
             dd = sum(ddb.values())
-            result["paired"] = paired
+            detail["paired"] = paired
+            detail["spark_paired_total"] = round(sp, 3)
             result["duckdb_total"] = round(dd, 3)
-            result["spark_paired_total"] = round(sp, 3)
             result["ratio"] = round(sp / dd, 2) if dd > 0 else None
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # The compact summary MUST be the final stdout line (driver tail
+    # capture); detail lives in BENCH_DETAIL.json only.
     print(json.dumps(result))
 
 

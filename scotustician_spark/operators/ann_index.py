@@ -391,14 +391,26 @@ def write_tombstones(
     ).write.mode("append").parquet(f"{path}/tombstones")
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop FS existence probe (any scheme the session can reach).
+    Only a MISSING path may mean 'empty state' — genuine read errors
+    (transient FS failure, corrupt footer) must propagate, otherwise a
+    server would silently serve deleted vectors or re-publish v1 over
+    an existing 'immutable' version dir."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_tombstones(spark: SparkSession, path: str) -> DataFrame:
     """The live tombstone set (distinct cids; empty frame when none
-    were ever written — schema pinned, never inferred)."""
-    try:
-        t = spark.read.schema("cid long").parquet(f"{path}/tombstones")
-    except Exception:
+    were ever written — schema pinned, never inferred). Emptiness is
+    decided by an FS existence probe, not by swallowing read errors."""
+    if not _fs_exists(spark, f"{path}/tombstones"):
         return spark.createDataFrame([], "cid long")
-    return t.distinct()
+    return spark.read.schema("cid long").parquet(f"{path}/tombstones").distinct()
 
 
 def read_ivfpq_index_live(spark: SparkSession, path: str) -> IvfPqIndex:
@@ -530,11 +542,12 @@ def ivfpq_tombstone_sink(
 
 def _latest_version(spark: SparkSession, root: str) -> int | None:
     """Read the LATEST pointer (one JSON row written through Spark).
-    Returns None when no version has been published."""
-    try:
-        rows = spark.read.json(f"{root}/LATEST").collect()
-    except Exception:
+    Returns None ONLY when no pointer exists (FS probe); a pointer that
+    exists but can't be read raises — resetting versioning to v1 on a
+    transient error would overwrite an existing immutable version."""
+    if not _fs_exists(spark, f"{root}/LATEST"):
         return None
+    rows = spark.read.json(f"{root}/LATEST").collect()
     return int(rows[0]["version"]) if rows else None
 
 

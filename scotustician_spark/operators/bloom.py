@@ -200,3 +200,106 @@ def bloom_anti_join(
         .join(keys, fact_key, "left_anti")
     )
     return definite_out.unionByName(survivors)
+
+
+# ---- profile-gated strategy selection ------------------------------
+
+#: Spark's own spark.sql.autoBroadcastJoinThreshold default.
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024
+
+
+def choose_semi_strategy(
+    dim_bytes: int,
+    skew_ratio: float | None = None,
+    broadcast_threshold: int = BROADCAST_THRESHOLD_BYTES,
+    skew_ratio_threshold: float = 8.0,
+) -> str:
+    """Pick the membership-filter plan from measured inputs — the
+    decision a planner makes before launching a 100 TB job with the
+    wrong shape:
+
+    - ``'broadcast'`` — the dim key set fits the broadcast budget:
+      a plain ``left_semi`` against the broadcast keys is 3 exchanges
+      and unbeatable; a bloom filter would pay 3 extra exchanges
+      (build + settle) for nothing at this size.
+    - ``'bloom'`` — dim too big to broadcast, fact keys roughly even:
+      ship an array<long> bit set of the dim keys to the fact scan
+      and let the exact semi join settle false positives over the
+      survivor sliver (~|matches| + fpp·|fact| rows, not |fact|).
+    - ``'salted'`` — dim too big AND the fact is heavily skewed on
+      the join key (one key's reducer runs skew_ratio× the average):
+      bloom-prune, then settle with hot keys salted across reducers.
+
+    ``dim_bytes``: Catalyst's optimized-plan sizeInBytes estimate (or
+    any size measurement). ``skew_ratio``: max ``skew_ratio`` from
+    ``operators.skew.key_skew_profile`` over the FACT side's key —
+    the side that shuffles; None means unmeasured (assumed even).
+    """
+    if dim_bytes <= broadcast_threshold:
+        return "broadcast"
+    if skew_ratio is not None and skew_ratio > skew_ratio_threshold:
+        return "salted"
+    return "bloom"
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (parquet footer stats ×
+    filter selectivity) — the same statistic Spark's planner compares
+    against autoBroadcastJoinThreshold, read without executing."""
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j maps scala BigInt to int for small values, JavaObject otherwise
+    return size if isinstance(size, int) else int(size.toString())
+
+
+def auto_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    skew_ratio: float | None = None,
+    broadcast_threshold: int = BROADCAST_THRESHOLD_BYTES,
+    skew_ratio_threshold: float = 8.0,
+    n_salts: int = 16,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact semi join through the strategy ``choose_semi_strategy``
+    picks from the dim's Catalyst size estimate (no execution — the
+    same stats Spark's own broadcast decision reads). Results are
+    identical across strategies; only the plan shape changes.
+
+    ``skew_ratio`` is caller-provided (from ``key_skew_profile`` over
+    the fact key) because measuring it costs a full fact scan — a
+    planner measures once per table, not per query."""
+    strategy = choose_semi_strategy(
+        plan_size_bytes(dim.select(dim_key)),
+        skew_ratio,
+        broadcast_threshold,
+        skew_ratio_threshold,
+    )
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    if strategy == "broadcast":
+        return fact.join(F.broadcast(keys), fact_key, "left_semi")
+    if strategy == "salted":
+        # bloom-prune the fact scan, then settle the survivors with
+        # hot keys spread across n_salts reducers (replicate the dim
+        # key row per salt; fact side salts deterministically)
+        num_bits = bloom_num_bits(max(dim.count(), 1), fpp)
+        bloom = bloom_build(dim, dim_key, num_bits, num_hashes=3)
+        pre = (
+            fact.join(F.broadcast(bloom))
+            .filter(
+                bloom_might_contain(F.col("__bloom"), F.col(fact_key), num_bits, 3)
+            )
+            .drop("__bloom")
+        )
+        salted_fact = pre.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*pre.columns), F.lit(n_salts)).cast("int"),
+        )
+        salted_keys = keys.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        return salted_fact.join(
+            salted_keys, [fact_key, "__salt"], "left_semi"
+        ).drop("__salt")
+    return bloom_semi_join(fact, dim, fact_key, dim_key, fpp=fpp)

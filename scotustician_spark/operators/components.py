@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import cut_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -41,20 +43,27 @@ def connected_components(
     dst: str = "id_b",
     id_col: str = "doc_id",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it
     (the component id). Vertices absent from ``edges`` are singleton
     components labeled by themselves.
 
+    ``checkpoint_dir``: use RELIABLE per-round checkpoints (survive
+    executor loss on a cluster) instead of localCheckpoint — see
+    operators/lineage.py.
+
     Returns (``id_col``, ``component_id``).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)  # reused every round
+    sym = cut_lineage(sym.distinct(), True, checkpoint_dir)  # reused every round
 
-    labels = vertices.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = cut_lineage(
+        vertices.select(F.col(id_col).alias("u"), F.col(id_col).alias("comp")),
+        True,
+        checkpoint_dir,
+    )
 
     def _label_checksum(lbl: DataFrame):
         # hash-min labels only ever decrease, so the label multiset is
@@ -69,11 +78,12 @@ def connected_components(
     prev_sum = _label_checksum(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "comp")
-        labels = (
+        labels = cut_lineage(
             labels.unionByName(msgs)
             .groupBy("u")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("comp").alias("comp")),
+            True,
+            checkpoint_dir,
         )
         cur_sum = _label_checksum(labels)
         if cur_sum == prev_sum:

@@ -824,8 +824,17 @@ def prefix_filtered_jaccard_pairs(
     ranked = ex.join(tok_freq, "t").withColumn(
         "pos", F.row_number().over(w)
     )
+    # ceil(t*n) computed on a 6dp-rounded product: raw FP error (e.g.
+    # 0.7*10 = 7.000000000000001 -> ceil 8) would oversize the bound
+    # and shorten the prefix BELOW the lossless length, silently
+    # dropping qualifying pairs. 6dp matches the repo's cross-engine
+    # rounding discipline and keeps ceil exact for any threshold a
+    # user can meaningfully specify.
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("pos")
+        <= F.col("n")
+        - F.ceil(F.round(F.lit(threshold) * F.col("n"), 6))
+        + 1
     ).select("doc_id", "t")
     cands = (
         prefix.alias("a")

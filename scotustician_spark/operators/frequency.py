@@ -136,14 +136,21 @@ def cms_estimate(
     min over the 4 rows of the addressed cell. Always >= the true
     count (every occurrence of the item landed in each addressed
     cell). Probes are tiny by construction; the join against the
-    fixed-size cell relation broadcasts."""
+    fixed-size cell relation broadcasts.
+
+    The cell relation is SPARSE (zero-count cells have no row), so the
+    join is LEFT with a coalesce-to-0: an unseen/rare probe whose
+    addressed cell is empty must contribute 0 to the min — an inner
+    join would both overestimate (min over the non-empty cells only)
+    and drop probes whose 4 cells are all empty, violating the CMS
+    point-query contract est >= true with est = min over ALL rows."""
     keyed = probes.select(
         item_col, F.explode(_cms_keys(item_col, width)).alias("p")
     ).select(item_col, F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
     return (
-        keyed.join(cells, ["r", "bucket"])
+        keyed.join(cells, ["r", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("c").cast("long").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
     )
 
 

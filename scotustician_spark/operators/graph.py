@@ -26,9 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .lineage import cut_lineage
+
 
 def triangle_counts(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact per-vertex triangle counts via degree-ordered orientation
     (Schank–Wagner): each undirected edge points from its lower-
@@ -49,13 +54,14 @@ def triangle_counts(
     # (e.g. the frequent-pairs mining that produced the graph) doesn't
     # re-evaluate per consumer — same lineage-cut discipline as the
     # pagerank/components loops
-    e = (
+    e = cut_lineage(
         pairs.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        True,
+        checkpoint_dir,
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -110,6 +116,7 @@ def pagerank(
     dst: str = "id_b",
     damping: float = 0.85,
     n_iter: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected pair graph.
 
@@ -120,6 +127,10 @@ def pagerank(
     one tiny count() action up front; everything else is the per-round
     join+agg pair. Edge shares (u, v, 1/outdeg(u)) are precomputed and
     checkpointed once, so each round moves only (vertex, rank) rows.
+
+    ``checkpoint_dir``: cut each round's lineage with a RELIABLE
+    checkpoint into that fault-tolerant dir instead of localCheckpoint
+    (see operators/lineage.py — survives executor loss on a cluster).
     """
     n = vertices.count()
     if n == 0:
@@ -132,14 +143,18 @@ def pagerank(
             .withColumn("pagerank", F.lit(0.0))
             .limit(0)
         )
-    sym = symmetrize(edges, src, dst).localCheckpoint(eager=True)
+    sym = cut_lineage(symmetrize(edges, src, dst), True, checkpoint_dir)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    shares = (
-        sym.join(deg, "u")
-        .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("share"))
-        .localCheckpoint(eager=True)
+    shares = cut_lineage(
+        sym.join(deg, "u").select(
+            "u", "v", (F.lit(1.0) / F.col("deg")).alias("share")
+        ),
+        True,
+        checkpoint_dir,
     )
-    verts = vertices.select(F.col(id_col).alias("v")).localCheckpoint(eager=True)
+    verts = cut_lineage(
+        vertices.select(F.col(id_col).alias("v")), True, checkpoint_dir
+    )
     ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
     for _ in range(n_iter):
@@ -148,15 +163,15 @@ def pagerank(
             .groupBy(shares.v)
             .agg(F.sum(F.col("r") * F.col("share")).alias("c"))
         )
-        ranks = (
-            verts.join(contrib, "v", "left")
-            .select(
+        ranks = cut_lineage(
+            verts.join(contrib, "v", "left").select(
                 "v",
                 (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
                     "r"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            True,
+            checkpoint_dir,
         )
     out_deg = deg.select(F.col("u").alias("v"), F.col("deg"))
     return (
@@ -175,6 +190,7 @@ def kcore_peel(
     rounds: int,
     src: str = "item_a",
     dst: str = "item_b",
+    checkpoint_dir: str | None = None,
 ):
     """Bounded k-core peeling: ``rounds`` iterations of "keep vertices
     with degree ≥ k in the current induced subgraph, drop edges
@@ -195,14 +211,15 @@ def kcore_peel(
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.localCheckpoint(eager=False)
+    e = cut_lineage(e, False, checkpoint_dir)
     for _ in range(rounds):
         keep = e.groupBy("u").count().filter(F.col("count") >= k).select("u")
-        e = (
+        e = cut_lineage(
             e.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=False)
+            .select("u", "v"),
+            False,
+            checkpoint_dir,
         )
     return e.groupBy("u").agg(F.count("*").cast("bigint").alias("core_degree")).select(
         F.col("u").alias("vertex"), "core_degree"
@@ -210,7 +227,11 @@ def kcore_peel(
 
 
 def label_propagation(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", rounds: int = 4
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), determinized: label_0(v) = v; each round every vertex
@@ -229,7 +250,7 @@ def label_propagation(
     and lineage is cut per round with localCheckpoint like the
     pagerank/components loops. Returns (vertex, community).
     """
-    sym = symmetrize(pairs, src, dst).localCheckpoint(eager=True)
+    sym = cut_lineage(symmetrize(pairs, src, dst), True, checkpoint_dir)
     # round 1 collapses: with identity initial labels every neighbor
     # label is distinct (edges are deduped), so every count is 1 and
     # the mode-with-smallest-tie IS the minimum neighbor id — one
@@ -244,11 +265,12 @@ def label_propagation(
             F.col("v") == F.col("__nv"),
         )
         cnt = nbr.groupBy("u", "lbl").agg(F.count("*").alias("c"))
-        labels = (
+        labels = cut_lineage(
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("v"), "lbl")
-            .localCheckpoint(eager=False)
+            .select(F.col("u").alias("v"), "lbl"),
+            False,
+            checkpoint_dir,
         )
     # label rides in its NATIVE type — vertex ids may be strings
     # (docket numbers); numeric casts here would crash under ANSI,

@@ -20,6 +20,7 @@ Stages (all lazy until a gate or sink forces them):
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,8 @@ class PipelineResult:
     models: dict[str, DataFrame]
     gates: dict[str, int] = field(default_factory=dict)
     data_test_violations: dict[str, int] = field(default_factory=dict)
+    #: per-stage cost relation (metrics.py) when collect_metrics=True
+    stage_metrics: DataFrame | None = None
 
 
 def run_pipeline(
@@ -66,26 +69,44 @@ def run_pipeline(
     embed_dim: int = 8,
     n_clusters: int = 4,
     embed_mode: str = "hash",
+    collect_metrics: bool = False,
 ) -> PipelineResult:
     """Run the full reference pipeline over a JSON corpus directory.
 
     With ``out_dir`` set, also writes the partitioned utterance table,
     XML corpus, quarantine and run summary (the reference's S3 layout).
+
+    ``collect_metrics``: attach a QueryExecutionListener for the run
+    and return a per-stage cost relation (wall/rows/bytes-read/shuffle
+    volume — metrics.py, the reference's cost_tracking.py analog) as
+    ``PipelineResult.stage_metrics``; with ``out_dir`` it is also
+    persisted to ``{out_dir}/stage_metrics``.
     """
     gates: dict[str, int] = {}
+    mc = None
+    if collect_metrics:
+        from scotustician_spark.metrics import StageMetricsCollector
+
+        mc = StageMetricsCollector(spark)
+
+    def _stage(name: str):
+        return mc.stage(name) if mc else nullcontext()
 
     docs = read_oa_json(spark, corpus_dir)
     valid, junk = split_quarantine(docs)
-    gates["valid_documents"] = count_gate(valid, 1, "ingested documents")
+    with _stage("ingest"):
+        gates["valid_documents"] = count_gate(valid, 1, "ingested documents")
 
     utterances = classify_speaker_role(flatten_utterances(valid))
     # cache: five downstream consumers (chunks, models, summary, xml,
     # partitioned sink) would otherwise re-read + re-flatten the corpus
     utterances.cache()
-    gates["utterances"] = count_gate(utterances, 1, "flattened utterances")
+    with _stage("flatten"):
+        gates["utterances"] = count_gate(utterances, 1, "flattened utterances")
 
-    chunks = assemble_section_chunks(utterances)
-    gates["chunks"] = count_gate(chunks, 1, "section chunks")
+    with _stage("chunk"):
+        chunks = assemble_section_chunks(utterances)
+        gates["chunks"] = count_gate(chunks, 1, "section chunks")
 
     embeddings = embed_text(
         chunks.select("case_id", "oa_id", "section_id", "chunk_text", "token_count"),
@@ -93,7 +114,8 @@ def run_pipeline(
         dim=embed_dim,
         mode=embed_mode,
     ).drop("chunk_text")
-    gates["embeddings"] = count_gate(embeddings, 1, "chunk embeddings")
+    with _stage("embed"):
+        gates["embeddings"] = count_gate(embeddings, 1, "chunk embeddings")
 
     case_vectors = weighted_mean_vectors(
         embeddings, ["case_id"], "embedding", "token_count", out_col="case_vec"
@@ -107,7 +129,8 @@ def run_pipeline(
     violations = run_data_tests(spark)
 
     if out_dir:
-        write_partitioned(utterances, f"{out_dir}/utterances", ("term",))
+        with _stage("sink_utterances"):
+            write_partitioned(utterances, f"{out_dir}/utterances", ("term",))
         write_xml(utterances, f"{out_dir}/xml")
         if junk.limit(1).count():
             write_quarantine(junk.select("_corrupt_record"), f"{out_dir}/junk")
@@ -121,6 +144,13 @@ def run_pipeline(
         ).csv(f"{out_dir}/cluster_results")
         report.write.mode("overwrite").json(f"{out_dir}/cluster_report")
 
+    metrics_df = None
+    if mc is not None:
+        metrics_df = mc.to_df(spark)
+        if out_dir:
+            metrics_df.write.mode("overwrite").parquet(f"{out_dir}/stage_metrics")
+        mc.close()
+
     return PipelineResult(
         utterances=utterances,
         chunks=chunks,
@@ -130,4 +160,5 @@ def run_pipeline(
         models=models,
         gates=gates,
         data_test_violations=violations,
+        stage_metrics=metrics_df,
     )

@@ -1379,8 +1379,11 @@ _CMS_BUCKET = (
         SELECT token, r, {_CMS_BUCKET} AS bucket
         FROM hh, {_CMS_HASH_ROWS}),
     est AS (
-        SELECT token, CAST(min(c) AS BIGINT) AS cms_est
-        FROM keys JOIN cells USING (r, bucket)
+        -- LEFT + coalesce(0): sparse cell relation, empty cells must
+        -- count as 0 in the min (twin of cms_estimate's left join;
+        -- identical here since heavy hitters never hit empty cells)
+        SELECT token, CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_est
+        FROM keys LEFT JOIN cells USING (r, bucket)
         GROUP BY token)
     SELECT h.token, h.freq, e.cms_est,
            CAST(e.cms_est - h.freq AS BIGINT) AS overcount

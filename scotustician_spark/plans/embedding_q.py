@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..ml.embedding import embed_text
 from .registry import register
+from .tables import load_table
 
 _DIM = 8
 
@@ -36,7 +37,7 @@ _OUT = ", ".join(f"round(r{j} / nrm, 6) AS e{j}" for j in range(_DIM))
     bench=True,
 )
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", normalize_ntz=False).select("doc_id", "text")
     out = embed_text(d, "text", dim=_DIM, mode="hash")
     return out.select(
         "doc_id", *[F.round(F.col("embedding")[j], 6).alias(f"e{j}") for j in range(_DIM)]

@@ -14,12 +14,13 @@ from pyspark.sql import functions as F
 
 from ..ml import clustering as ML
 from .registry import register
+from .tables import load_table
 from .relational import _t
 from .vectors_text import _EMB_LONG
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
 
 
 _CENTROID_DIST = f"""

@@ -10,9 +10,10 @@ which DuckDB reproduces in SQL.
 (seeded-hyperplane bucketing) with a full SQL twin, including the
 bucket computation.
 
-The ANN family splits one-shot vs served: ``ivfpq_ann_topk`` pays the
+The ANN family splits one-shot vs served: ``ann_build`` pays the
 index build inside the call (the batch-job shape, and the honest
-build benchmark), while ``ann_probe_only`` / ``ann_rerank_topk`` /
+build benchmark), while ``ivfpq_ann_topk`` (the 50-query serving
+headline) / ``ann_probe_only`` / ``ann_rerank_topk`` /
 ``ann_append_probe`` serve from a PERSISTED index cached under
 spark-warehouse by dataset fingerprint (build once, probe many — the
 FAISS/pgvector serving reality; see operators/ann_index.py).
@@ -31,6 +32,7 @@ from ..operators import ann_index as ANN
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from .registry import register
+from .tables import load_table
 
 _N_DIMS = 8
 _ASCII = "^[ -~]*$"  # printable-ASCII docs: byte offsets == char offsets
@@ -38,7 +40,7 @@ _ASCII = "^[ -~]*$"  # printable-ASCII docs: byte offsets == char offsets
 
 def _docs_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        load_table(spark, sf_dir, "documents", normalize_ntz=False)
         .select("doc_id", F.encode("text", "utf-8").alias("content"), "text")
     )
 
@@ -154,7 +156,7 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5) ->
     bench=True,
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     out = SIM.lsh_bucket_topk(
         e,
         e.filter(F.col("vec_id") < 10),
@@ -241,7 +243,7 @@ def _ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
     "MLlib-quantizer sibling (rows-only).",
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     out = SIM.ivf_topk_onestep(
         e,
         e.filter(F.col("vec_id") < 10),
@@ -325,7 +327,7 @@ def _pq_oracle(
     "instead of dim floats, distances are table lookups.",
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     return SIM.pq_topk_onestep(
         e,
         e.filter(F.col("vec_id") < 10),
@@ -349,6 +351,7 @@ def _ivfpq_oracle(
     base_pred: str = "TRUE",
     exclude_pred: str = "FALSE",
     final_select: str | None = None,
+    query_pred: str = "vec_id < 10",
 ) -> str:
     # ``final_select``: replaces the default top-k SELECT (may open
     # with further CTE definitions, continuing the WITH list) — used
@@ -447,7 +450,7 @@ def _ivfpq_oracle(
         SELECT vec_id AS query_id, cell FROM (
             SELECT vec_id, cell,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
-            FROM d1 WHERE vec_id < 10) WHERE rr <= {n_probe}),
+            FROM d1 WHERE {query_pred}) WHERE rr <= {n_probe}),
     qrsub AS (
         SELECT p.query_id, p.cell, e.pos // {sub} AS j, e.pos % {sub} AS spos,
                e.v - c.cm AS rv
@@ -475,23 +478,26 @@ def _ivfpq_oracle(
 
 
 @register(
-    "ivfpq_ann_topk",
+    "ann_build",
     _ivfpq_oracle(),
     bench=True,
-    doc="IVF + PQ composed (the FAISS IVFADC layout, "
-    "operators/similarity.py::ivfpq_topk_onestep): the one-step-Lloyd "
-    "coarse quantizer bounds WHICH vectors a query touches (n_probe "
-    "inverted lists), residual product-quantization bounds HOW MUCH of "
-    "each is read (m one-byte codes, asymmetric-distance lookup "
-    "tables) — scan cost is |probed lists| × m bytes, independent of "
-    "both corpus size and embedding width. Residual encoding is the "
-    "composition dividend: residuals have far less variance than raw "
-    "vectors, so the same codebook budget quantizes finer. The oracle "
+    doc="IVF + PQ one-shot BUILD+search benchmark (the FAISS IVFADC "
+    "layout, operators/similarity.py::ivfpq_topk_onestep): the "
+    "one-step-Lloyd coarse quantizer bounds WHICH vectors a query "
+    "touches (n_probe inverted lists), residual product-quantization "
+    "bounds HOW MUCH of each is read (m one-byte codes, "
+    "asymmetric-distance lookup tables) — scan cost is |probed lists| "
+    "× m bytes, independent of both corpus size and embedding width. "
+    "Residual encoding is the composition dividend: residuals have far "
+    "less variance than raw vectors, so the same codebook budget "
+    "quantizes finer. This row pays the FULL index construction inside "
+    "the call — the build-cost benchmark; the serving headline "
+    "(ivfpq_ann_topk) probes the persisted index instead. The oracle "
     "replays the full index build (cells, residuals, codebooks) and "
     "the ADC search in one SQL chain.",
 )
-def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     return SIM.ivfpq_topk_onestep(
         e,
         e.filter(F.col("vec_id") < 10),
@@ -504,6 +510,32 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=4,
         n_codes=8,
     ).select("query_id", "neighbor_id", "approx_d2", "rnk")
+
+
+@register(
+    "ivfpq_ann_topk",
+    _ivfpq_oracle(query_pred="vec_id < 50"),
+    bench=True,
+    doc="Headline ANN top-k, SERVED: 50 queries probe the PERSISTED "
+    "IVFPQ index (operators/ann_index.py — broadcast centroid/codebook "
+    "LUTs, packed codes partitioned BY CELL so the scan "
+    "partition-prunes to the probed inverted lists; probe cost is "
+    "|probed lists| × m bytes regardless of corpus size). The index "
+    "builds once per dataset fingerprint (ann_build benchmarks that "
+    "cost); repeat calls — the serving reality — touch only the "
+    "persisted tables. Oracle: the full deterministic build replayed "
+    "in SQL with the 50-query slice; the persisted build parquet "
+    "round-trips exactly, proven by ann_probe_only sharing this "
+    "oracle family.",
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _served_ivfpq_index(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings", normalize_ntz=False).filter(
+        F.col("vec_id") < 50
+    )
+    return ANN.probe_ivfpq_index(idx, q, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "approx_d2", "rnk"
+    )
 
 
 # ---- served (persisted) IVFPQ index -------------------------------
@@ -552,7 +584,7 @@ def _served_ivfpq_index(
     fp = _embeddings_fingerprint(sf_dir, base_pred or "")
     path = os.path.join(_INDEX_ROOT, f"ivfpq_{fp}")
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
-        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
         if base_pred:
             e = e.filter(F.expr(base_pred))
         idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
@@ -575,7 +607,7 @@ def _served_ivfpq_index(
 )
 def ann_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _served_ivfpq_index(spark, sf_dir)
-    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+    q = load_table(spark, sf_dir, "embeddings", normalize_ntz=False).filter(
         F.col("vec_id") < 10
     )
     return ANN.probe_ivfpq_index(idx, q, k=5, n_probe=2).select(
@@ -587,7 +619,7 @@ def _served_ivfflat_index(spark: SparkSession, sf_dir: str) -> ANN.IvfFlatIndex:
     fp = _embeddings_fingerprint(sf_dir, "flat")
     path = os.path.join(_INDEX_ROOT, f"ivfflat_{fp}")
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
-        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
         ANN.write_ivfflat_index(
             ANN.build_ivfflat_index(e, n_cells=8, d2_round=6), path
         )
@@ -609,7 +641,7 @@ def _served_ivfflat_index(spark: SparkSession, sf_dir: str) -> ANN.IvfFlatIndex:
 )
 def ivfflat_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _served_ivfflat_index(spark, sf_dir)
-    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+    q = load_table(spark, sf_dir, "embeddings", normalize_ntz=False).filter(
         F.col("vec_id") < 10
     )
     return ANN.probe_ivfflat_index(idx, q, k=5, n_probe=2).select(
@@ -637,7 +669,7 @@ _APPEND_BASE = "vec_id % 10 < 9"
     "exactly.",
 )
 def ann_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     idx = _served_ivfpq_index(spark, sf_dir, base_pred=_APPEND_BASE)
     delta = e.filter(~F.expr(_APPEND_BASE))
     appended = ANN.append_to_ivfpq_index(idx, delta)
@@ -667,7 +699,7 @@ _DELETE_PRED = "vec_id % 10 = 7"
     "CTE only — training untouched, the same frozen-delete semantics.",
 )
 def ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     idx = _served_ivfpq_index(spark, sf_dir)  # shared full-corpus build
     doomed = e.filter(F.expr(_DELETE_PRED)).select("vec_id")
     live = ANN.delete_from_ivfpq_index(idx, doomed)
@@ -727,7 +759,7 @@ def _rerank_oracle(k: int = 5, n_candidates: int = 50, r: int = 6) -> str:
 )
 def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _served_ivfpq_index(spark, sf_dir)
-    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+    q = load_table(spark, sf_dir, "embeddings", normalize_ntz=False).filter(
         F.col("vec_id") < 10
     )
     return ANN.rerank_from_index(
@@ -746,7 +778,7 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an equi-join on cell id.",
 )
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     return SIM.ivf_topk(
         e,
         e.filter(F.col("vec_id") < 10),
@@ -827,7 +859,7 @@ def _semantic_dedup_oracle(n_cells: int = 8, thr: float = 0.4, r: int = 6) -> st
     "operators/similarity.py::semantic_dedup_cells.",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     return SIM.semantic_dedup_cells(
         e, id_col="vec_id", vec_col="embedding", n_cells=8, threshold=0.4
     )
@@ -869,7 +901,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/similarity.py::incremental_topk.",
 )
 def incremental_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     queries = e.filter(F.col("vec_id") < 10)
     base = e.filter((F.col("vec_id") % 5 != 0) | (F.col("vec_id") < 10))
     delta = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 10))
@@ -960,7 +992,7 @@ _KNN_ORACLE = f"""
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     labels = e.select("vec_id", F.col("label").cast("int").alias("label"))
     exact = _REG["cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
@@ -1040,7 +1072,7 @@ _NDCG_ORACLE = f"""
     "6-decimal rounding.",
 )
 def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     lab = e.select("vec_id", F.col("label").cast("int").alias("label"))
     exact = _REG["cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id", "rnk"
@@ -1138,7 +1170,7 @@ _EMB_LONG_SIL = """
     "vec x vec pair join.",
 )
 def label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("v", F.col("v").cast("double"))
@@ -1249,7 +1281,7 @@ _CALIB_ORACLE = f"""
 def knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     lab = e.select("vec_id", F.col("label").cast("int").alias("label"))
     exact = _REG["cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
@@ -1328,7 +1360,7 @@ _CURVE_ORACLE = (
 )
 def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _served_ivfpq_index(spark, sf_dir)
-    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+    q = load_table(spark, sf_dir, "embeddings", normalize_ntz=False).filter(
         F.col("vec_id") < 10
     )
     exact = _REG["cosine_topk"].fn(spark, sf_dir).select(

@@ -26,6 +26,7 @@ from ..operators.quality import (
 from ..operators.temporal import funnel_stages
 from .registry import QUERY_REGISTRY, register
 from .relational import _events
+from .tables import load_table
 
 # Lower-cased whitespace tokens with python-str.split() semantics, and
 # the zero-token guard (DuckDB splits '' into [''], Spark tokens()
@@ -54,7 +55,7 @@ def _ngrams_sql(n: int) -> str:
 
 
 def _d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table(spark, sf_dir, "documents", normalize_ntz=False)
 
 
 @register(

@@ -23,20 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .registry import register
+from .tables import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Parquet written with isAdjustedToUTC=false loads as TIMESTAMP_NTZ
-    # under Spark 4's NTZ inference; normalize to TIMESTAMP so the
-    # timestamp function surface (unix_micros, window, …) applies. The
-    # session timezone is pinned to UTC (session.py), so the cast is a
-    # pure re-tag — identical wall-clock micros, and identical to the
-    # DuckDB oracle's naive-timestamp-as-UTC semantics.
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    # Memoized per (session, path); NTZ→TIMESTAMP normalization and the
+    # rationale live in plans/tables.py.
+    return load_table(spark, sf_dir, name, normalize_ntz=True)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,6 +1084,46 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     )
     kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "semi_join_auto",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = lineitem.l_orderkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="Profile-gated membership filter (operators/bloom.py::"
+    "auto_semi_join): choose_semi_strategy reads the dim's Catalyst "
+    "size estimate — the same statistic Spark's broadcast decision "
+    "uses — and picks plain broadcast semi (dim fits the broadcast "
+    "budget; this is what it picks here and at sf0.1), bloom pre-"
+    "filter (dim too big to broadcast), or bloom+salted settle (fact "
+    "skewed on the key). Same semantics as bloom_semi_revenue at "
+    "every size; only the plan shape changes.",
+    bench=True,
+)
+def semi_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import auto_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = auto_semi_join(li, urgent, "l_orderkey", "o_orderkey")
     return kept.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -18,10 +18,13 @@ from ..functions import vector as V
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from .registry import register
+from .tables import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Memoized per (session, path) — see plans/tables.py. NTZ left as-is
+    # (these tables are text/vector; no timestamp surface).
+    return load_table(spark, sf_dir, name, normalize_ntz=False)
 
 
 # --- shared oracle SQL fragments ------------------------------------------

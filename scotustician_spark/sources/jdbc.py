@@ -59,6 +59,11 @@ def read_jdbc_partitioned(
         )
         row = reader.option("dbtable", probe).load().collect()[0]
         b = {k.lower(): v for k, v in row.asDict().items()}
+        if b["lo"] is None or b["hi"] is None:
+            # empty table: MIN/MAX are NULL — no strides to cut, so
+            # fall back to a plain unpartitioned load (0 rows) instead
+            # of raising an opaque TypeError from int(None)
+            return reader.option("dbtable", table).load()
         lower = int(b["lo"]) if lower is None else lower
         upper = int(b["hi"]) if upper is None else upper
     return (

@@ -33,6 +33,92 @@ def _state_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ), hpath, jvm
+
+
+def _applied_versions(spark: SparkSession, versions: str) -> list[int]:
+    """Batch ids with a COMPLETE version dir (``b=<id>/_APPLIED``
+    marker present — a dir without the marker is a crashed write and
+    is recomputed)."""
+    fs, root, jvm = _fs(spark, versions)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("b=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_APPLIED")
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def exactly_once_merge_sink(
+    spark: SparkSession,
+    state_path: str,
+    batch_id: int,
+    partial: DataFrame,
+    merge,
+) -> None:
+    """Replay-safe copy-on-write merge for foreachBatch sum-merge
+    sinks (CMS cells, word frequencies, quantile histograms).
+
+    foreachBatch is AT-LEAST-ONCE: a batch replayed after a crash
+    between the state overwrite and the streaming-checkpoint commit
+    would be merged twice, double-counting. This helper makes the
+    merge exactly-once by versioning state per batch id:
+
+    - versions live at ``{state_path}__versions/b=<batch_id>``; a
+      version is complete only once its ``_APPLIED`` marker exists
+      (written strictly after the parquet write returns);
+    - batch N merges ``partial`` into the LATEST COMPLETE version
+      < N — never into the published copy — and writes version N;
+      a replayed batch (id <= latest complete) merges nothing and
+      only re-publishes, so it is a no-op on the counts;
+    - ``state_path`` itself is a PUBLISHED copy of the latest
+      version, refreshed after every apply/replay, so readers keep
+      the plain ``spark.read.parquet(state_path)`` contract; a crash
+      mid-publish is healed by the next drain's republish while the
+      versioned copy stays intact;
+    - versions older than the latest are pruned after publish.
+
+    Contract: a state path is bound to ONE streaming checkpoint
+    (standard foreachBatch practice) — batch ids restart at 0 on a
+    fresh checkpoint, which also re-reads the whole source.
+
+    State tables in this family are bounded by construction (sketch
+    width / vocabulary / groups×bins), so the extra publish read+write
+    per batch is O(state), never O(history)."""
+    versions = state_path + "__versions"
+    done = _applied_versions(spark, versions)
+    applied = done[-1] if done else -1
+    fs, _, jvm = _fs(spark, versions)
+    if batch_id > applied:
+        if applied >= 0:
+            base = spark.read.parquet(f"{versions}/b={applied}")
+            merged = merge(base, partial)
+        else:
+            merged = partial
+        vdir = f"{versions}/b={batch_id}"
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(vdir)
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{vdir}/_APPLIED"), True
+        ).close()
+        applied = batch_id
+    # publish (also heals a previous torn publish on replay)
+    spark.read.parquet(f"{versions}/b={applied}").write.mode(
+        "overwrite"
+    ).parquet(state_path)
+    for old in _applied_versions(spark, versions):
+        if old < applied:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{versions}/b={old}"), True)
+
+
 def incremental_filter(
     new_df: DataFrame, processed: DataFrame, key_cols: list[str]
 ) -> DataFrame:
@@ -106,18 +192,12 @@ def run_quantile_state_update(
         partial = quantile_partial(
             batch_df, group_cols, value_col, lo, hi, n_bins
         )
-        # only a MISSING state table means "first batch" — any other
-        # error (corrupt footer, transient FS) must fail the batch and
-        # retry, never silently reset accumulated state
-        if _state_exists(spark, state_path):
-            merged = quantile_merge(
-                group_cols, n_bins, spark.read.parquet(state_path), partial
-            )
-        else:
-            merged = partial
-        # materialize before overwriting the path still being read
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        exactly_once_merge_sink(
+            spark,
+            state_path,
+            batch_id,
+            partial,
+            lambda base, p: quantile_merge(group_cols, n_bins, base, p),
         )
 
     (
@@ -153,17 +233,14 @@ def run_cms_state_update(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         partial = cms_cells(batch_df, item_col, width)
-        if _state_exists(spark, state_path):
-            merged = (
-                spark.read.parquet(state_path)
-                .unionByName(partial)
-                .groupBy("r", "bucket")
-                .agg(F.sum("c").cast("long").alias("c"))
-            )
-        else:
-            merged = partial
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        exactly_once_merge_sink(
+            spark,
+            state_path,
+            batch_id,
+            partial,
+            lambda base, p: base.unionByName(p)
+            .groupBy("r", "bucket")
+            .agg(F.sum("c").cast("long").alias("c")),
         )
 
     (
@@ -329,17 +406,14 @@ def run_word_freq_state_update(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         partial = word_frequencies(batch_df, text_col)
-        if _state_exists(spark, state_path):
-            merged = (
-                spark.read.parquet(state_path)
-                .unionByName(partial)
-                .groupBy("word")
-                .agg(F.sum("freq").cast("long").alias("freq"))
-            )
-        else:
-            merged = partial
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        exactly_once_merge_sink(
+            spark,
+            state_path,
+            batch_id,
+            partial,
+            lambda base, p: base.unionByName(p)
+            .groupBy("word")
+            .agg(F.sum("freq").cast("long").alias("freq")),
         )
 
     (

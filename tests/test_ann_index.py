@@ -471,3 +471,36 @@ def test_tombstone_sink_through_real_stream(spark, corpus, tmp_path):
         n_probe=2,
     )
     assert _rows(after) == sorted(tuple(r) for r in probed)
+
+
+def test_tombstone_and_latest_read_errors_propagate(spark, tmp_path):
+    """Only a MISSING path means 'no tombstones / no version' — a
+    path that EXISTS but cannot be read must raise, not silently
+    serve deleted vectors or reset versioning to v1 over an existing
+    immutable version dir."""
+    import os
+
+    import pytest
+
+    from scotustician_spark.operators.ann_index import (
+        _latest_version,
+        read_tombstones,
+    )
+
+    # missing paths: clean empties
+    assert read_tombstones(spark, str(tmp_path / "idx")).count() == 0
+    assert _latest_version(spark, str(tmp_path / "idx")) is None
+
+    # corrupt tombstones: a non-parquet FILE at the tombstones path
+    bad = tmp_path / "bad_idx"
+    bad.mkdir()
+    (bad / "tombstones").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        read_tombstones(spark, str(bad)).collect()
+
+    # corrupt LATEST pointer: present but unreadable as {version: N}
+    root = tmp_path / "bad_root"
+    os.makedirs(root / "LATEST")
+    (root / "LATEST" / "part-00000.json").write_text("{\"nonsense\": true}")
+    with pytest.raises(Exception):
+        _latest_version(spark, str(root))

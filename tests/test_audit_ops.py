@@ -479,3 +479,54 @@ def test_label_propagation_round1_is_min_neighbor(spark):
         ).collect()
     }
     assert out == {"hub": "l1", "l1": "hub", "l2": "hub", "l3": "hub"}
+
+
+def test_label_propagation_reliable_checkpoint_identical(spark, tmp_path):
+    """The reliable-checkpoint cut (checkpoint_dir set — survives
+    executor loss at cluster scale) produces results identical to the
+    default localCheckpoint cut, and actually writes round state into
+    the directory."""
+    import os
+
+    from scotustician_spark.operators.components import connected_components
+    from scotustician_spark.operators.graph import label_propagation
+
+    edges = [(i, i + 1) for i in range(0, 20, 2)] + [(1, 2), (11, 12)]
+    e_df = spark.createDataFrame(edges, "item_a long, item_b long")
+
+    local = sorted(
+        map(tuple, label_propagation(e_df, "item_a", "item_b", rounds=4).collect())
+    )
+    ckpt = str(tmp_path / "lpa_ckpt")
+    reliable = sorted(
+        map(
+            tuple,
+            label_propagation(
+                e_df, "item_a", "item_b", rounds=4, checkpoint_dir=ckpt
+            ).collect(),
+        )
+    )
+    assert reliable == local
+    # the reliable cut really wrote RDD checkpoint state to the dir
+    found = any(files for _, _, files in os.walk(ckpt))
+    assert found
+
+    verts = spark.createDataFrame(
+        [(v,) for v in sorted({x for ab in edges for x in ab})], "doc_id long"
+    )
+    cc_local = sorted(
+        map(tuple, connected_components(e_df, verts, "item_a", "item_b").collect())
+    )
+    cc_rel = sorted(
+        map(
+            tuple,
+            connected_components(
+                e_df,
+                verts,
+                "item_a",
+                "item_b",
+                checkpoint_dir=str(tmp_path / "cc_ckpt"),
+            ).collect(),
+        )
+    )
+    assert cc_rel == cc_local

@@ -73,3 +73,62 @@ def test_bloom_anti_join_equals_plain_anti(spark):
     # and with an undersized (high-fpp) bloom, results are STILL exact
     tiny = bloom_anti_join(fact, dim, "fk", "dk", num_bits=256)
     assert sorted(map(tuple, tiny.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_choose_semi_strategy_branches():
+    from scotustician_spark.operators.bloom import choose_semi_strategy
+
+    mb = 1024 * 1024
+    assert choose_semi_strategy(5 * mb) == "broadcast"
+    assert choose_semi_strategy(50 * mb) == "bloom"
+    assert choose_semi_strategy(50 * mb, skew_ratio=3.0) == "bloom"
+    assert choose_semi_strategy(50 * mb, skew_ratio=20.0) == "salted"
+    # skew never overrides a broadcastable dim: broadcast has no
+    # shuffle to skew
+    assert choose_semi_strategy(5 * mb, skew_ratio=20.0) == "broadcast"
+
+
+def test_auto_semi_join_all_branches_agree(spark):
+    """The three strategies return identical rows, and each forced
+    branch produces its signature plan shape: broadcast -> a LeftSemi
+    BroadcastHashJoin with no bloom bit-set filter; bloom -> the
+    xxhash64 bit-probe in the scan-stage Filter; salted -> the settle
+    join keyed on (key, __salt)."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.bloom import auto_semi_join
+
+    fact = spark.range(2000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(40).select((F.col("id") * 2).alias("dk"))
+    want = sorted(
+        (r["k"], r["v"])
+        for r in fact.join(
+            dim.select(F.col("dk").alias("k")), "k", "left_semi"
+        ).collect()
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # measured path at this size: broadcast
+    auto = auto_semi_join(fact, dim, "k", "dk")
+    assert sorted((r["k"], r["v"]) for r in auto.collect()) == want
+    p = plan_of(auto)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "xxhash64" not in p and "__salt" not in p
+
+    # forced bloom (threshold below any real relation estimate)
+    bloom = auto_semi_join(fact, dim, "k", "dk", broadcast_threshold=-1)
+    assert sorted((r["k"], r["v"]) for r in bloom.collect()) == want
+    p = plan_of(bloom)
+    assert "xxhash64" in p and "__salt" not in p
+
+    # forced salted settle (too-big dim + measured skew)
+    salted = auto_semi_join(
+        fact, dim, "k", "dk", broadcast_threshold=-1, skew_ratio=100.0
+    )
+    assert sorted((r["k"], r["v"]) for r in salted.collect()) == want
+    p = plan_of(salted)
+    assert "xxhash64" in p and "__salt" in p

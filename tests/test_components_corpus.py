@@ -801,3 +801,28 @@ def test_dedup_cluster_purity_matches_python_composition(spark, tmp_path, sf_dir
         for r in dedup_cluster_purity(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_prefix_filter_fp_safe_bound(spark):
+    """FP regression: ceil(0.7*10) must be 7, not 8 — raw float gives
+    7.000000000000001 -> ceil 8, shortening doc A's prefix below the
+    lossless length and silently dropping a pair with jaccard exactly
+    at the threshold. Construction: A = 12 distinct words (10
+    shingles), B = A's last 9 words (7 shingles, all shared) ->
+    jaccard = 7/10 = 0.7; A's 3 unique shingles have tdf=1 and fill
+    the whole prefix when the bound is oversized by the FP error."""
+    from scotustician_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot "
+        "golf hotel india juliet kilo lima"
+    ).split()
+    rows = [(1, " ".join(words)), (2, " ".join(words[3:]))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filtered_jaccard_pairs(df, "doc_id", "text", 0.7).collect()
+    }
+    assert got == {(1, 2): 0.7}

@@ -16,7 +16,11 @@ def result(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("e2e")
     write_corpus_json(make_corpus(n_docs=10, seed=5), str(d / "corpus"), junk=1)
     return run_pipeline(
-        spark, str(d / "corpus"), out_dir=str(d / "out"), n_clusters=3
+        spark,
+        str(d / "corpus"),
+        out_dir=str(d / "out"),
+        n_clusters=3,
+        collect_metrics=True,
     ), d
 
 
@@ -57,3 +61,24 @@ def test_outputs_written(result, spark):
     assert results.count() == 10
     report = spark.read.json(str(d / "out" / "cluster_report"))
     assert report.count() > 0
+
+
+def test_stage_metrics_relation(result, spark):
+    """The cost-tracking analog (metrics.py, reference
+    cost_tracking.py:9-124): one metrics row per named pipeline stage
+    with executed-plan resource rollups — wall time, output rows, and
+    real scan bytes on the stages that touch the corpus."""
+    res, d = result
+    m = res.stage_metrics
+    assert m is not None
+    rows = {r["stage"]: r for r in m.collect()}
+    for stage in ("ingest", "flatten", "chunk", "embed", "sink_utterances"):
+        assert stage in rows, f"missing metrics row for {stage}"
+        assert rows[stage]["wall_ms"] > 0
+    # gate counts ran over real data: the count actions report rows
+    assert rows["ingest"]["rows_out"] is not None
+    # the ingest stage scanned the corpus files for real
+    assert rows["ingest"]["files_read_bytes"] > 0
+    # persisted alongside the other run artifacts
+    persisted = spark.read.parquet(str(d / "out" / "stage_metrics"))
+    assert persisted.count() == m.count()

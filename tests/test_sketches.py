@@ -97,3 +97,29 @@ def test_cms_cells_merge_across_partitions(spark):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_estimate_unseen_item_is_zero(spark):
+    """CMS point-query contract for UNSEEN items: a probe that was
+    never inserted must appear in the output, and when any of its 4
+    addressed cells is empty the min must include that 0 — the sparse
+    cell relation joins LEFT with coalesce(c, 0), never inner (an
+    inner join would overestimate or drop the probe entirely)."""
+    from scotustician_spark.operators.frequency import cms_cells, cms_estimate
+
+    rows = [(t,) for t in ["a"] * 7 + ["b"] * 3]
+    cells = cms_cells(
+        spark.createDataFrame(rows, "token string"), "token", width=8192
+    )
+    probes = spark.createDataFrame(
+        [("a",), ("never_inserted_zzz",)], "token string"
+    )
+    got = {
+        r["token"]: r["cms_est"]
+        for r in cms_estimate(cells, probes, "token", width=8192).collect()
+    }
+    # the unseen probe is PRESENT and exact-zero: with 2 distinct items
+    # in a width-8192 sketch its md5-addressed cells are empty (fixed
+    # strings, deterministic hashes — verified at authoring time)
+    assert got["never_inserted_zzz"] == 0
+    assert got["a"] >= 7

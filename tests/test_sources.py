@@ -269,3 +269,24 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         num_partitions=4, driver=drv,
     )
     assert explicit.count() == 200
+
+
+def test_jdbc_partitioned_empty_table(spark, tmp_path):
+    """MIN/MAX bounds probe on an EMPTY table returns NULLs — the
+    reader must fall back to a plain unpartitioned load (0 rows), not
+    raise int(None)."""
+    from scotustician_spark.sources.jdbc import (
+        read_jdbc_partitioned,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/wh_empty;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(5).selectExpr("id", "id * 3 as val").filter("id < 0")
+    write_jdbc(src, url, "nothing", mode="overwrite", driver=drv)
+
+    back = read_jdbc_partitioned(
+        spark, url, "nothing", "id", num_partitions=4, driver=drv
+    )
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "val"]

@@ -561,3 +561,37 @@ def test_run_cms_state_update_two_batches(spark, tmp_path):
 
     run()  # replay: checkpoint has seen every file
     assert sorted(map(tuple, spark.read.parquet(state).collect())) == expected
+
+
+def test_exactly_once_merge_sink_replay_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch id that was
+    already merged must not double-count. The versioned merge keys
+    every apply to its batch id and derives state only from the
+    latest COMPLETE version, so a replay only republishes."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.streaming.incremental import (
+        exactly_once_merge_sink,
+    )
+
+    state = str(tmp_path / "state")
+
+    def merge(base, p):
+        return (
+            base.unionByName(p)
+            .groupBy("k")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, c long")
+
+    exactly_once_merge_sink(spark, state, 0, batch([("a", 2), ("b", 1)]), merge)
+    # crash-replay of batch 0 (same data, same id) — must be a no-op
+    exactly_once_merge_sink(spark, state, 0, batch([("a", 2), ("b", 1)]), merge)
+    exactly_once_merge_sink(spark, state, 1, batch([("a", 3)]), merge)
+    # replay of batch 1 too
+    exactly_once_merge_sink(spark, state, 1, batch([("a", 3)]), merge)
+
+    got = {r["k"]: r["c"] for r in spark.read.parquet(state).collect()}
+    assert got == {"a": 5, "b": 1}
