@@ -80,6 +80,45 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 8, seed: int = 42)
     return out.alias("bucket")
 
 
+def lsh_bucket_relation(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    id_out: str = "neighbor_id",
+    vec_out: str = "c_vec",
+) -> DataFrame:
+    """The (id, vec, bucket) LSH index relation: sign-bit bucketing
+    against the deterministic seeded hyperplanes. Factored out of
+    ``lsh_bucket_topk`` so a serving path can PERSIST the corpus's
+    bucket relation (build once) and pay only the query-side bucketing
+    per call — at 100 TB the corpus bucketing is a full map pass you
+    run once, not per query batch."""
+    spark = df.sparkSession
+    planes = [
+        [math.sin(seed + p * dim + i) for i in range(dim)] for p in range(n_planes)
+    ]
+    pdf = spark.createDataFrame([(planes,)], "__planes array<array<double>>")
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), F.col("__planes")[p], lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.crossJoin(F.broadcast(pdf)).select(
+        F.col(id_col).alias(id_out),
+        F.col(vec_col).alias(vec_out),
+        bucket.alias("bucket"),
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -90,6 +129,7 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     seed: int = 42,
     sim_round: int | None = None,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket.
 
@@ -107,36 +147,20 @@ def lsh_bucket_topk(
     reference is free to the planner — same values (driver-computed
     sinusoids), measured ~25% faster end-to-end, and the plan size no
     longer grows with the plane count.
+
+    ``corpus_buckets``: a precomputed (PERSISTED) corpus bucket
+    relation from ``lsh_bucket_relation`` — the serving path skips the
+    corpus-side bucketing entirely.
     """
-    spark = corpus.sparkSession
-    planes = [
-        [math.sin(seed + p * dim + i) for i in range(dim)] for p in range(n_planes)
-    ]
-    pdf = spark.createDataFrame([(planes,)], "__planes array<array<double>>")
-
-    def bucket() -> F.Column:
-        bits = []
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(F.col(vec_col), F.col("__planes")[p], lambda x, h: x * h),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.alias("bucket")
-
-    cb = corpus.crossJoin(F.broadcast(pdf)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        bucket(),
+    cb = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else lsh_bucket_relation(
+            corpus, dim, id_col, vec_col, n_planes, seed, "neighbor_id", "c_vec"
+        )
     )
-    qb = queries.crossJoin(F.broadcast(pdf)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        bucket(),
+    qb = lsh_bucket_relation(
+        queries, dim, id_col, vec_col, n_planes, seed, "query_id", "q_vec"
     )
     sim = cosine_similarity("q_vec", "c_vec")
     if sim_round is not None:

@@ -152,11 +152,23 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5) ->
     doc="ANN scale path (W2 at 100 TB): seeded-hyperplane LSH buckets + "
     "equi-join on bucket — corpus partitions by bucket once instead of "
     "a per-query linear scan; brute-force cosine_topk is the exact "
-    "baseline it approximates.",
+    "baseline it approximates. The corpus bucket relation is PERSISTED "
+    "per dataset stamp (tables.py::persisted_relation) — calls pay the "
+    "query-side bucketing + bucket join only, the serving discipline "
+    "shared with the IVFPQ/dedup indexes.",
     bench=True,
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import persisted_relation
+
     e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
+    cb = persisted_relation(
+        spark,
+        "lsh_buckets",
+        [f"{sf_dir}/embeddings.parquet"],
+        "dim64_p8_s42",
+        lambda: SIM.lsh_bucket_relation(e, dim=64, id_col="vec_id", vec_col="embedding"),
+    )
     out = SIM.lsh_bucket_topk(
         e,
         e.filter(F.col("vec_id") < 10),
@@ -165,6 +177,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=5,
         sim_round=6,
+        corpus_buckets=cb,
     )
     return out.select("query_id", "neighbor_id", "sim", "rnk")
 

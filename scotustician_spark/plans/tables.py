@@ -62,3 +62,41 @@ def load_table(
                 )
         per_session[key] = df
     return df
+
+
+# ---- persisted derived-relation cache ------------------------------
+# Build-once/serve-many for derived index relations (LSH band indexes,
+# fingerprint sets): keyed by the SOURCE dataset's path stamp plus a
+# caller-supplied parameter tag, persisted as parquet under the repo
+# warehouse. The same discipline as the persisted ANN index
+# (plans/multimodal_ann.py): a serving query pays the probe, never the
+# index build; a regenerated dataset or changed parameters re-key and
+# rebuild. (Local-FS stamps — swap for a catalog/manifest on an
+# object store.)
+
+import hashlib as _hashlib
+
+_REL_CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "rel_cache",
+)
+
+
+def persisted_relation(
+    spark: SparkSession,
+    name: str,
+    source_paths: list[str],
+    params: str,
+    build,
+) -> DataFrame:
+    """Return the parquet-persisted result of ``build()`` for this
+    (source stamp, params) key, building it on first use. ``build``
+    must be deterministic — the parquet round-trip is served verbatim
+    and correctness gates replay the build in SQL."""
+    stamp = [_path_stamp(p) for p in sorted(source_paths)] + [params]
+    key = _hashlib.md5(repr(stamp).encode()).hexdigest()[:16]
+    path = os.path.join(_REL_CACHE_ROOT, f"{name}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

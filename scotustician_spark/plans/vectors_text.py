@@ -385,18 +385,37 @@ def _incremental_dedup_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
     _incremental_dedup_oracle(),
     doc="Incremental dedup of a new batch (doc_id %% 5 = 0) against the "
     "already-indexed base corpus: exact-fingerprint probe + LSH-band probe, "
-    "both equi-joins against persisted index relations — the base text is "
-    "never rescanned. Triage decision per delta document.",
+    "both equi-joins against PERSISTED index relations (tables.py::"
+    "persisted_relation, keyed by dataset stamp + LSH params — built once, "
+    "probed every call, the same serving discipline as the persisted ANN "
+    "index) — the base text is never rescanned. Triage decision per delta "
+    "document.",
     bench=True,
 )
 def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import fingerprint
+    from .tables import persisted_relation
 
     d = _t(spark, sf_dir, "documents")
     delta = d.filter(F.col("doc_id") % 5 == 0)
     base = d.filter(F.col("doc_id") % 5 != 0)
-    base_fps = base.select(fingerprint("text").alias("fp"))
-    base_bands = DD.minhash_bands(base, "doc_id", "text", n=3, num_hashes=16, band_size=4)
+    src = [f"{sf_dir}/documents.parquet"]
+    base_fps = persisted_relation(
+        spark,
+        "dedup_base_fps",
+        src,
+        "mod5base",
+        lambda: base.select(fingerprint("text").alias("fp")),
+    )
+    base_bands = persisted_relation(
+        spark,
+        "dedup_base_bands",
+        src,
+        "mod5base_n3_h16_b4",
+        lambda: DD.minhash_bands(
+            base, "doc_id", "text", n=3, num_hashes=16, band_size=4
+        ),
+    )
     return DD.incremental_dedup(
         delta, base_fps, base_bands, "doc_id", "text", n=3, num_hashes=16, band_size=4
     )

@@ -1,0 +1,119 @@
+"""Execute the REAL-model inference arm end-to-end.
+
+``embed_text(mode='model')`` and ``hf_token_count`` are import-gated on
+sentence-transformers / transformers, which this container lacks — so
+until now the model arm (executor singleton, Arrow batch loop, encode →
+array column) was verified only by construction. These tests vendor
+tiny API-COMPATIBLE offline stand-ins (same class/method surface:
+``SentenceTransformer(name).encode(list, batch_size=) -> ndarray``,
+``AutoTokenizer.from_pretrained(name).encode(text) -> list``) and ship
+them to the Python workers with ``sc.addPyFile`` — the arm's actual
+``mapInPandas`` code path runs on executors, exercising the singleton
+caching, batching, and schema contract with zero network access.
+
+What this does NOT test: the real models' weights/outputs. It tests
+every line of OUR code in the arm (reference behavior:
+services/transformers/helpers.py:209-231 encode loop, :90-98 token
+counts).
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+import zipfile
+
+import pytest
+
+_ST_STUB = textwrap.dedent(
+    '''
+    """Offline API stand-in for sentence-transformers (tests only)."""
+    import hashlib
+
+    import numpy as np
+
+
+    class SentenceTransformer:
+        def __init__(self, model_name):
+            self.model_name = model_name
+
+        def encode(self, texts, batch_size=32):
+            out = []
+            for t in texts:
+                h = hashlib.md5((t or "").encode()).digest()
+                v = np.frombuffer(h, dtype=np.uint8).astype("float64")
+                n = float(np.linalg.norm(v))
+                out.append(v / (n or 1.0))
+            return np.stack(out) if out else np.zeros((0, 16))
+    '''
+)
+
+_TR_STUB = textwrap.dedent(
+    '''
+    """Offline API stand-in for transformers (tests only)."""
+
+
+    class _Tokenizer:
+        def encode(self, text):
+            # BOS/EOS + one id per whitespace token
+            return list(range(2 + len((text or "").split())))
+
+
+    class AutoTokenizer:
+        @classmethod
+        def from_pretrained(cls, name):
+            return _Tokenizer()
+    '''
+)
+
+
+@pytest.fixture(scope="module")
+def model_stubs(spark, tmp_path_factory):
+    """Build the stub packages as a zip and ship to driver+workers.
+    Module-scoped: addPyFile registers a file NAME once per Spark
+    context; a second add with the same name raises."""
+    z = tmp_path_factory.mktemp("stubs") / "model_stubs.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("sentence_transformers/__init__.py", _ST_STUB)
+        zf.writestr("transformers/__init__.py", _TR_STUB)
+    spark.sparkContext.addPyFile(str(z))
+    import sys
+
+    sys.path.insert(0, str(z))
+    yield
+    sys.path.remove(str(z))
+    for m in ("sentence_transformers", "transformers"):
+        sys.modules.pop(m, None)
+
+
+def test_embed_text_model_arm_executes(spark, model_stubs):
+    from scotustician_spark.ml.embedding import embed_text
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} text") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = embed_text(df, "text", mode="model", batch_size=8).collect()
+    assert len(out) == 40
+    by_id = {r["doc_id"]: r["embedding"] for r in out}
+    for vec in by_id.values():
+        assert len(vec) == 16  # md5 digest width from the stand-in
+        assert abs(sum(v * v for v in vec) - 1.0) < 1e-9  # L2-normalized
+    # deterministic: same text -> same vector across a fresh run
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_text(df, "text", mode="model", batch_size=8).collect()
+    }
+    assert again == by_id
+
+
+def test_hf_token_count_arm_executes(spark, model_stubs):
+    from scotustician_spark.ml.embedding import hf_token_count
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, None), (4, "word")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["token_count"] for r in hf_token_count(df, "text").collect()}
+    # stand-in contract: BOS/EOS + one id per whitespace token
+    assert got == {1: 5, 2: 2, 3: 2, 4: 3}

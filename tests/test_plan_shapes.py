@@ -291,9 +291,21 @@ def test_ivfpq_assignment_partial_combines_map_side(spark, sf_dir):
     # the struct-min argmin must plan as a HashAggregate with a
     # partial_min phase (map-side combine BEFORE the exchange) — the
     # property that collapses corpus×codes to one row per vector; a
-    # regression to a row_number sort window would shuffle it all
-    plan = _final_plan(QUERY_REGISTRY["ivfpq_ann_topk"].fn(spark, sf_dir))
+    # regression to a row_number sort window would shuffle it all.
+    # ann_build is the row that pays the inline build (ivfpq_ann_topk
+    # serves the persisted index, so the build never appears in its
+    # plan).
+    plan = _final_plan(QUERY_REGISTRY["ann_build"].fn(spark, sf_dir))
     assert "partial_min(struct(d2r" in plan, plan
+
+
+def test_ivfpq_headline_serves_persisted_index(spark, sf_dir):
+    # the serving headline must read the persisted index tables, never
+    # rebuild inline: no quantizer argmin in the plan, and the scans
+    # come from the warehouse index layout
+    plan = _final_plan(QUERY_REGISTRY["ivfpq_ann_topk"].fn(spark, sf_dir))
+    assert "partial_min(struct(d2r" not in plan, plan
+    assert "ann_index/ivfpq_" in plan, plan
 
 
 def test_transition_matrix_broadcast_normalizer(spark, sf_dir):
