@@ -491,3 +491,65 @@ def temperature_mix(
         .filter(b < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    hex_off: int = 9,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source, deterministically —
+    the per-domain cap of crawl pipelines (bound any one domain's
+    share of the training mix). Selection order is (md5 bucket,
+    id): a stable pseudo-random sample, identical at any parallelism
+    and on any engine.
+
+    Scale shape (the global_row_index two-phase trick, applied per
+    source): a naive row_number window PARTITION BY source puts an
+    entire source on one reducer — a 10M-doc domain serializes. Here:
+
+    1. per-(source, bucket) counts — a tiny relation, at most
+       |sources| × n_buckets rows, map-side combined;
+    2. running offsets per source over that COUNTS relation (window
+       over ≤ n_buckets rows per source, never over documents);
+    3. broadcast back: buckets whose offset+count ≤ cap pass whole
+       (an in-row filter on the scan); only the single BOUNDARY
+       bucket per source pays a row_number — ~1/n_buckets of the
+       source, not the source.
+
+    Row-identical to the naive window (the oracle) by construction:
+    both implement rank-by-(bucket, id) ≤ cap under a strict total
+    order.
+    """
+    from pyspark.sql.window import Window as W
+
+    b = hash_bucket(id_col, n_buckets, hex_off=hex_off)
+    with_b = df.withColumn("__b", b)
+    counts = with_b.groupBy(source_col, "__b").agg(F.count("*").alias("__cnt"))
+    w = W.partitionBy(source_col).orderBy("__b")
+    offs = counts.withColumn(
+        "__before",
+        F.coalesce(
+            F.sum("__cnt").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    joined = with_b.join(F.broadcast(offs), [source_col, "__b"])
+    whole = joined.filter(F.col("__before") + F.col("__cnt") <= cap)
+    boundary = (
+        joined.filter(
+            (F.col("__before") < cap) & (F.col("__before") + F.col("__cnt") > cap)
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(source_col, "__b").orderBy(id_col)
+            ),
+        )
+        .filter(F.col("__rn") <= cap - F.col("__before"))
+        .drop("__rn")
+    )
+    return whole.unionByName(boundary).drop("__b", "__cnt", "__before")

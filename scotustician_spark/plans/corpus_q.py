@@ -1776,3 +1776,34 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_corpus"),
         )
     )
+
+
+@register(
+    "source_cap_sample",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {_bucket_sql(1000, hex_off=9)},
+                                           doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, source FROM ranked WHERE rn <= 10
+    """,
+    doc="Per-domain cap (Common-Crawl-style: bound any one source's "
+    "share of the training mix): keep at most 10 docs per source, "
+    "selected by deterministic (md5-bucket, id) order — a stable "
+    "pseudo-random sample, identical on any engine/parallelism. "
+    "operators/corpus.py::per_source_cap — the global_row_index "
+    "two-phase trick per source: per-(source, bucket) counts (tiny, "
+    "map-side combined) + running offsets over the COUNTS relation, "
+    "broadcast back; whole buckets pass as an in-row filter and only "
+    "the boundary bucket (~1/1000 of a source) pays a row_number — a "
+    "10M-doc domain never serializes onto one reducer, unlike the "
+    "naive PARTITION BY source window the oracle uses.",
+    bench=True,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import per_source_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return per_source_cap(d, "source", "doc_id", cap=10).select("doc_id", "source")

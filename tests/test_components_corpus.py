@@ -826,3 +826,37 @@ def test_prefix_filter_fp_safe_bound(spark):
         for r in prefix_filtered_jaccard_pairs(df, "doc_id", "text", 0.7).collect()
     }
     assert got == {(1, 2): 0.7}
+
+
+def test_per_source_cap_matches_naive_window(spark):
+    """The two-phase cap (whole-bucket filter + boundary-bucket-only
+    row_number) is row-identical to the naive PARTITION BY source
+    window for caps that land mid-bucket, at bucket edges, above the
+    source size, and at zero survivors per bucket."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from scotustician_spark.operators.corpus import hash_bucket, per_source_cap
+
+    rows = [(i, f"s{i % 3}") for i in range(300)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    for cap in (1, 7, 50, 100, 500):
+        got = sorted(
+            (r["source"], r["doc_id"])
+            for r in per_source_cap(df, "source", "doc_id", cap=cap).collect()
+        )
+        w = W.partitionBy("source").orderBy(
+            hash_bucket("doc_id", 1000, hex_off=9), "doc_id"
+        )
+        want = sorted(
+            (r["source"], r["doc_id"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .collect()
+        )
+        assert got == want, f"cap={cap}"
+        per_src = {}
+        for s, _ in got:
+            per_src[s] = per_src.get(s, 0) + 1
+        assert all(v <= cap for v in per_src.values())
