@@ -553,3 +553,68 @@ def per_source_cap(
         .drop("__rn")
     )
     return whole.unionByName(boundary).drop("__b", "__cnt", "__before")
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_shards: int = 64,
+    hex_off: int = 13,
+) -> DataFrame:
+    """Weighted sampling without replacement, k per group — the
+    Efraimidis–Spirakis (2006) reservoir scheme, determinized: each
+    row draws u from its own md5 bits and ranks by ln(u)/w (the
+    monotone twin of u^(1/w)); the k largest keys per group are the
+    sample, with inclusion probability proportional to weight. No
+    RNG state, identical survivors at any parallelism and on any
+    engine (keys rounded to 9dp before ranking so libm last-ulp
+    differences cannot flip an order; ties break on id).
+
+    Scale shape — distributed TOP-K SELECTION, not a group-wide sort:
+    a PARTITION BY group window buffers an entire group on one
+    reducer. Instead the rows shard by independent md5 bits and each
+    (group, shard) aggregates its own k best into a bounded array
+    (array_sort over collect_list, capped by slice — the agg buffer
+    holds one shard's rows, 1/n_shards of the group); the second
+    aggregation merges n_shards×k candidates per group. Exact by the
+    selection property: the global top-k is contained in the union of
+    shard top-ks. Returns (group_cols..., id, key rank 1..k).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), hex_off, 8), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), hex_off + 8, 8), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    scored = df.filter(F.col(weight_col) > 0).select(
+        *group_cols,
+        F.col(id_col),
+        key.alias("__key"),
+        shard.alias("__shard"),
+    )
+    # sort ascending on (-key, id) == key desc, id asc
+    item = F.struct((-F.col("__key")).alias("nk"), F.col(id_col).alias("i"))
+    stage1 = scored.groupBy(*group_cols, "__shard").agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__top")
+    )
+    merged = (
+        stage1.select(*group_cols, F.explode("__top").alias("c"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("c")), 1, k).alias("__top"))
+    )
+    return merged.select(
+        *group_cols, F.posexplode("__top").alias("__pos", "c")
+    ).select(
+        *group_cols,
+        F.col("c.i").alias(id_col),
+        (-F.col("c.nk")).alias("sample_key"),
+        (F.col("__pos") + 1).cast("bigint").alias("rnk"),
+    )

@@ -1807,3 +1807,41 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return per_source_cap(d, "source", "doc_id", cap=10).select("doc_id", "source")
+
+
+@register(
+    "weighted_reservoir_sample",
+    """
+    WITH scored AS (
+        SELECT lang, doc_id,
+               round(ln((CAST(concat('0x',
+                          substring(md5(CAST(doc_id AS VARCHAR)), 13, 8))
+                          AS BIGINT) + 0.5) / 4294967296.0)
+                     / n_chars, 9) AS sample_key
+        FROM documents
+        WHERE n_chars > 0)
+    SELECT lang, doc_id, sample_key, CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY sample_key DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Weighted sampling without replacement, 5 docs per language, "
+    "probability proportional to n_chars — Efraimidis-Spirakis (2006) "
+    "reservoir keys ln(u)/w with u drawn deterministically from each "
+    "row's own md5 bits (no RNG state; engine-portable; 9dp-rounded "
+    "keys so libm ulp noise can't flip ranks). "
+    "operators/corpus.py::weighted_reservoir_sample — distributed "
+    "top-k SELECTION: per-(group, md5-shard) bounded top-k arrays "
+    "merge in a second aggregation, so no reducer ever buffers more "
+    "than 1/64th of a group, unlike the PARTITION BY group window the "
+    "oracle uses.",
+    bench=True,
+)
+def weighted_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import weighted_reservoir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_reservoir_sample(
+        d, ["lang"], "n_chars", "doc_id", k=5
+    ).select("lang", "doc_id", "sample_key", "rnk")

@@ -860,3 +860,60 @@ def test_per_source_cap_matches_naive_window(spark):
         for s, _ in got:
             per_src[s] = per_src.get(s, 0) + 1
         assert all(v <= cap for v in per_src.values())
+
+
+def test_weighted_reservoir_sample_properties(spark):
+    """Sharded two-stage selection equals the naive per-group window
+    (selection property), every group yields min(k, group_size) rows,
+    and inclusion tracks weight: over md5-uniform keys a doc with 9x
+    the weight of the rest must enter the k=1 sample for far more
+    groups than 1/n would."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from scotustician_spark.operators.corpus import weighted_reservoir_sample
+
+    # 40 groups x 10 docs; doc 0 of each group carries 9x weight
+    rows = [
+        (g * 100 + i, f"g{g}", 9000 if i == 0 else 1000)
+        for g in range(40)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+
+    out = weighted_reservoir_sample(df, ["grp"], "w", "doc_id", k=3)
+    got = sorted(
+        (r["grp"], r["doc_id"], r["rnk"]) for r in out.collect()
+    )
+    key = F.round(
+        F.log(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 13, 8),
+                    16,
+                    10,
+                ).cast("long")
+                .cast("double")
+                + 0.5
+            )
+            / 4294967296.0
+        )
+        / F.col("w"),
+        9,
+    )
+    w = W.partitionBy("grp").orderBy(F.desc("__k"), F.asc("doc_id"))
+    want = sorted(
+        (r["grp"], r["doc_id"], r["rn"])
+        for r in df.withColumn("__k", key)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 40 * 3
+    # weight bias: the heavy doc (P[in k=1 sample] ~ 9/18 = 0.5 per
+    # group) appears as rank-1 far more often than uniform 1/10 would
+    top1_heavy = sum(
+        1 for g, d, r in got if r == 1 and d % 100 == 0
+    )
+    assert top1_heavy >= 10  # E~20 of 40; uniform would give E=4
