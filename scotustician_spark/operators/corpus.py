@@ -120,6 +120,7 @@ def stable_global_index(
     order_cols: list[str],
     name: str = "global_idx",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Globally-ordered 0-based row index WITHOUT the single-partition
     trap: ``row_number().over(Window.orderBy(...))`` with no
@@ -147,16 +148,31 @@ def stable_global_index(
     resumable training order) where sort order matters — where it
     doesn't, ``hash_bucket``/``pack_by_budget`` stay shuffle-lighter.
     """
+    from .lineage import cut_lineage
+
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     ).sortWithinPartitions(*order_cols)
     mid = F.monotonically_increasing_id()
-    with_pos = part.select(
-        "*",
-        F.shiftright(mid, 33).alias("__pid"),
-        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("__rn"),
+    # MATERIALIZED before fan-out: the (pid, rn) columns are placement
+    # facts, and this relation feeds TWO consumers (the counts agg and
+    # the offset join). Without a materialization each consumer
+    # re-executes the range shuffle and AQE may coalesce the two
+    # executions DIFFERENTLY — disjoint __pid spaces, and the inner
+    # join silently drops every row whose pid has no offset (observed
+    # at sf0.1: 150k rows → 66k). The cut pins one placement that both
+    # consumers read; pass checkpoint_dir for a fault-tolerant cut on
+    # a real cluster.
+    with_pos = cut_lineage(
+        part.select(
+            "*",
+            F.shiftright(mid, 33).alias("__pid"),
+            mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("__rn"),
+        ),
+        True,
+        checkpoint_dir,
     )
     counts = (
         with_pos.groupBy("__pid")

@@ -917,3 +917,31 @@ def test_weighted_reservoir_sample_properties(spark):
         1 for g, d, r in got if r == 1 and d % 100 == 0
     )
     assert top1_heavy >= 10  # E~20 of 40; uniform would give E=4
+
+
+def test_stable_global_index_no_row_loss_with_aqe(spark):
+    """Regression (caught by the sf0.1 oracle sweep): the (pid, rn)
+    placement relation feeds two consumers; without a materialization
+    AQE may coalesce the two re-executions of the range shuffle
+    differently, giving disjoint __pid spaces — and the offset join
+    silently DROPPED rows (150k -> 66k at sf0.1). Pin: every row
+    survives and the index is exactly the permutation 0..n-1 in sort
+    order, at a size where AQE coalescing decisions actually engage."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.corpus import stable_global_index
+
+    n = 150_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1000003).alias("key"), F.col("id")
+    )
+    out = stable_global_index(df, ["key", "id"], name="gidx")
+    rows = out.select("key", "id", "gidx").collect()
+    assert len(rows) == n
+    idx = sorted(r["gidx"] for r in rows)
+    assert idx[0] == 0 and idx[-1] == n - 1 and len(set(idx)) == n
+    # index order == (key, id) sort order
+    by_idx = sorted(rows, key=lambda r: r["gidx"])
+    assert [(r["key"], r["id"]) for r in by_idx] == sorted(
+        (r["key"], r["id"]) for r in rows
+    )
