@@ -449,3 +449,145 @@ def with_media_metadata(
             F.lit(None).cast("double").alias("duration_s"),
         ),
     )
+
+
+# ---- perceptual hashing (image near-dup) ---------------------------
+
+def _dhash60_from_gray(gray: list[int], w: int, h: int) -> int:
+    """dHash over an 8-bit grayscale image: block-mean downsample to a
+    9×8 grid, then one bit per horizontal neighbor pair (left mean <
+    right mean), row-major. The classic scheme yields 64 bits; this
+    packs the FIRST 60 (rows 0-6 fully + 4 bits of row 7) so the hash
+    rides a non-negative signed 64-bit long on every engine — the
+    repo's cross-engine integer discipline. Robust to rescaling and
+    small edits; brightness shifts flip few difference bits."""
+    gw, gh = 9, 8
+    sums = [[0] * gw for _ in range(gh)]
+    cnts = [[0] * gw for _ in range(gh)]
+    for y in range(h):
+        gy = y * gh // h
+        base = y * w
+        for x in range(w):
+            gx = x * gw // w
+            sums[gy][gx] += gray[base + x]
+            cnts[gy][gx] += 1
+    bits = 0
+    n = 0
+    for gy in range(gh):
+        for gx in range(gw - 1):
+            if n >= 60:
+                break
+            a = sums[gy][gx] / (cnts[gy][gx] or 1)
+            b = sums[gy][gx + 1] / (cnts[gy][gx + 1] or 1)
+            bits = (bits << 1) | (1 if a < b else 0)
+            n += 1
+    return bits << (60 - n) if n < 60 else bits
+
+
+def _fake_dhash60(content: bytes) -> int:
+    """Deterministic stand-in hash for non-decodable content: the
+    first 15 md5 hex digits as a 60-bit int — exactly replayable in
+    SQL (the oracle arm)."""
+    return int(hashlib.md5(content).hexdigest()[:15], 16)
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "auto",
+) -> DataFrame:
+    """(id, dhash): 60-bit perceptual hash per binary document.
+
+    ``mode='auto'``: PNG content gets the REAL pipeline — stdlib pixel
+    decode (``_png_gray_pixels``) → 9×8 block means → difference bits;
+    anything else falls back to the deterministic md5 stand-in (the
+    stub discipline multimodal_features uses, SQL-replayable).
+    ``mode='fake'`` forces the stand-in for every row (the
+    oracle-gated arm). Arrow-batched mapInPandas, dispatch resolved
+    once per partition."""
+    if mode not in ("auto", "fake"):
+        raise ValueError(f"mode must be 'auto' or 'fake', got {mode!r}")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def one(b) -> int:
+        content = bytes(b)
+        if mode == "auto" and sniff_media(content) == "png":
+            w, h = _image_dims(content, "png")
+            return _dhash60_from_gray(_png_gray_pixels(content), w, h)
+        return _fake_dhash60(content)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "dhash": [one(b) for b in pdf[content_col]],
+                }
+            )
+
+    from ..session import repartition_for_compute
+
+    src = repartition_for_compute(
+        df.filter(F.col(content_col).isNotNull()).select(id_col, content_col)
+    )
+    return src.mapInPandas(run, schema).withColumnRenamed("id", id_col)
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes: band the
+    60-bit hash into ``n_bands`` 15-bit slices, candidates are pairs
+    sharing ≥1 exact band (equi-join on (band index, band value) —
+    the LSH shape: cost scales with band collisions, never pairs²),
+    verified by popcount hamming ≤ ``max_hamming``. Pure Catalyst bit
+    arithmetic — no Python in the pair path. Recall follows the
+    banding pigeonhole: a pair within ``max_hamming`` surfaces iff
+    some band is untouched (same contract as MinHash banding; more
+    bands → higher recall, more candidates)."""
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.shiftright(F.col(hash_col), j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    ex = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"), F.explode(bands).alias("b")
+    ).select("id", "h", F.col("b.j").alias("j"), F.col("b.bv").alias("bv"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(b, ["j", "bv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1468,3 +1468,46 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_code_share",
         )
     )
+
+
+@register(
+    "image_phash_pairs",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               CAST(concat('0x',
+                    substring(md5(substring(text, 1, 64)), 1, 15)) AS BIGINT)
+                   AS dhash
+        FROM documents WHERE text IS NOT NULL),
+    bands AS (
+        SELECT doc_id, dhash, j, (dhash >> (j * 15)) & 32767 AS bv
+        FROM h, (VALUES (0), (1), (2), (3)) t(j)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+                                 AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+    doc="Image near-duplicate pairs by perceptual hash "
+    "(operators/multimodal.py::image_dhash + phash_near_pairs): binary "
+    "content → 60-bit dHash (REAL arm: stdlib PNG pixel decode → 9×8 "
+    "block-mean difference bits, unit-tested on real PNGs; non-image "
+    "content uses the deterministic md5 stand-in this oracle replays — "
+    "here each doc's 'image' is stubbed by its leading 64 bytes, a "
+    "thumbnail stand-in under which shared-boilerplate docs collide) "
+    "→ 4×15-bit banding, candidates from the (band, value) equi-join "
+    "— the LSH shape, collision-bounded, never pairs² — verified by "
+    "popcount hamming ≤ 6, all Catalyst bit arithmetic. The image "
+    "twin of simhash_near_pairs; at 100 TB the hash pass is one map "
+    "over the blobs and only (id, 60-bit hash) ever shuffles.",
+    bench=True,
+)
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", normalize_ntz=False).select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("content"),
+    )
+    hashes = MM.image_dhash(d, "content", "doc_id", mode="auto")
+    return MM.phash_near_pairs(hashes, "doc_id", "dhash", max_hamming=6)

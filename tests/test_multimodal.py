@@ -296,3 +296,55 @@ def test_media_metadata_struct(bdf):
     assert row["width"] is None and row["duration_s"] is None
     # schema is the typed struct, not a map
     assert dict(out.dtypes)["media_meta"].startswith("struct<media_type:string")
+
+
+def test_image_dhash_real_png_arm(spark):
+    """REAL dHash path: two PNGs differing in one pixel land within a
+    small hamming distance and pair through the banded join; a
+    structurally different image does not. Fake arm (non-PNG bytes)
+    equals the md5 stand-in and is engine-deterministic."""
+    import hashlib
+
+    from scotustician_spark.operators.multimodal import (
+        _dhash60_from_gray,
+        _fake_dhash60,
+        _png_gray_pixels,
+        image_dhash,
+        phash_near_pairs,
+    )
+
+    w = h = 16
+    # gradient image; B differs from A in ONE pixel; C is the inverse
+    base = [bytes([(x * 16 + y) % 256 for x in range(w)]) for y in range(h)]
+    tweak = [bytearray(r) for r in base]
+    tweak[3][3] = (tweak[3][3] + 8) % 256
+    inv = [bytes([255 - b for b in r]) for r in base]
+    png_a = _make_png(base, w, 0)
+    png_b = _make_png([bytes(r) for r in tweak], w, 0)
+    png_c = _make_png(inv, w, 0)
+
+    da = _dhash60_from_gray(_png_gray_pixels(png_a), w, h)
+    db = _dhash60_from_gray(_png_gray_pixels(png_b), w, h)
+    dc = _dhash60_from_gray(_png_gray_pixels(png_c), w, h)
+    assert 0 <= da < (1 << 60)
+    assert bin(da ^ db).count("1") <= 3  # one-pixel edit: tiny distance
+    assert bin(da ^ dc).count("1") >= 20  # inverse image: far away
+
+    df = spark.createDataFrame(
+        [(1, png_a), (2, png_b), (3, png_c), (4, b"not an image")],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == da and got[2] == db and got[3] == dc
+    assert got[4] == _fake_dhash60(b"not an image") == int(
+        hashlib.md5(b"not an image").hexdigest()[:15], 16
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(
+            image_dhash(df), max_hamming=6
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
