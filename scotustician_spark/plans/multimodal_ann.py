@@ -594,14 +594,23 @@ def _served_ivfpq_index(
     ``base_pred`` restricts the indexed population (the append query
     trains on a base slice and appends the rest); it participates in
     the cache key."""
+    from .tables import _prune_stale
+
     fp = _embeddings_fingerprint(sf_dir, base_pred or "")
-    path = os.path.join(_INDEX_ROOT, f"ivfpq_{fp}")
+    # identity tag (dataset path + variant — stable across data
+    # regenerations) in the dir name, so stale-stamp pruning only ever
+    # drops old builds of the SAME dataset/variant: the sf0.01 gate,
+    # the sf0.1 bench, and the append-base variant each keep one live
+    # build
+    tag = hashlib.md5(f"{sf_dir}|{base_pred or ''}".encode()).hexdigest()[:8]
+    path = os.path.join(_INDEX_ROOT, f"ivfpq_{tag}_{fp}")
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
         if base_pred:
             e = e.filter(F.expr(base_pred))
         idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
         ANN.write_ivfpq_index(idx, path)
+        _prune_stale(_INDEX_ROOT, f"ivfpq_{tag}_", keep=f"ivfpq_{tag}_{fp}")
     return ANN.read_ivfpq_index(spark, path)
 
 
@@ -629,13 +638,17 @@ def ann_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _served_ivfflat_index(spark: SparkSession, sf_dir: str) -> ANN.IvfFlatIndex:
+    from .tables import _prune_stale
+
     fp = _embeddings_fingerprint(sf_dir, "flat")
-    path = os.path.join(_INDEX_ROOT, f"ivfflat_{fp}")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(_INDEX_ROOT, f"ivfflat_{tag}_{fp}")
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
         ANN.write_ivfflat_index(
             ANN.build_ivfflat_index(e, n_cells=8, d2_round=6), path
         )
+        _prune_stale(_INDEX_ROOT, f"ivfflat_{tag}_", keep=f"ivfflat_{tag}_{fp}")
     return ANN.read_ivfflat_index(spark, path)
 
 

@@ -94,9 +94,35 @@ def persisted_relation(
     (source stamp, params) key, building it on first use. ``build``
     must be deterministic — the parquet round-trip is served verbatim
     and correctness gates replay the build in SQL."""
+    # two-part key: WHICH dataset+params (path strings — stable across
+    # regenerations) and WHICH build (stats — stale when the data
+    # changes). Pruning drops stale builds of the SAME dataset only,
+    # so e.g. the sf0.01 correctness gate and the sf0.1 bench keep
+    # independent live builds instead of evicting each other.
+    ident = _hashlib.md5(repr((sorted(source_paths), params)).encode()).hexdigest()[:8]
     stamp = [_path_stamp(p) for p in sorted(source_paths)] + [params]
-    key = _hashlib.md5(repr(stamp).encode()).hexdigest()[:16]
-    path = os.path.join(_REL_CACHE_ROOT, f"{name}_{key}")
+    key = _hashlib.md5(repr(stamp).encode()).hexdigest()[:8]
+    path = os.path.join(_REL_CACHE_ROOT, f"{name}_{ident}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build().write.mode("overwrite").parquet(path)
+        _prune_stale(
+            _REL_CACHE_ROOT, f"{name}_{ident}_", keep=f"{name}_{ident}_{key}"
+        )
     return spark.read.parquet(path)
+
+
+def _prune_stale(root: str, prefix: str, keep: str) -> None:
+    """Drop SIBLING cache dirs for the same relation name but a stale
+    source stamp (regenerated dataset / changed params) — the cache
+    holds one live build per name, not one per historical dataset.
+    Single-host dev-loop hygiene; a shared deployment would version +
+    garbage-collect through its catalog instead."""
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for e in entries:
+        if e.startswith(prefix) and e != keep:
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
