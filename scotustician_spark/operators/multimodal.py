@@ -591,3 +591,61 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _audio_dhash60(content: bytes) -> int:
+    """60-bit audio fingerprint from REAL WAV decode: 61 per-window
+    RMS energies (``_decode_wav``'s summary at 61 dims), one bit per
+    adjacent-window comparison (rms[i] < rms[i+1]). Gain-invariant
+    (uniform amplitude scaling preserves every comparison), robust to
+    resampling at the ~window scale — the audio member of the dHash
+    family."""
+    feats, _ = _decode_wav(content, 61)
+    bits = 0
+    for i in range(60):
+        bits = (bits << 1) | (1 if feats[i] < feats[i + 1] else 0)
+    return bits
+
+
+def audio_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "auto",
+) -> DataFrame:
+    """(id, dhash): 60-bit fingerprint per binary audio document —
+    WAV content gets the REAL stdlib decode (RMS-envelope difference
+    bits); anything else the deterministic md5 stand-in (the SQL-
+    replayable stub arm). Near-dup pairs come from the same
+    ``phash_near_pairs`` banded hamming join the image path uses."""
+    if mode not in ("auto", "fake"):
+        raise ValueError(f"mode must be 'auto' or 'fake', got {mode!r}")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def one(b) -> int:
+        content = bytes(b)
+        if mode == "auto" and sniff_media(content) == "wav":
+            return _audio_dhash60(content)
+        return _fake_dhash60(content)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "dhash": [one(b) for b in pdf[content_col]],
+                }
+            )
+
+    from ..session import repartition_for_compute
+
+    src = repartition_for_compute(
+        df.filter(F.col(content_col).isNotNull()).select(id_col, content_col)
+    )
+    return src.mapInPandas(run, schema).withColumnRenamed("id", id_col)

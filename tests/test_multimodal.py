@@ -348,3 +348,64 @@ def test_image_dhash_real_png_arm(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_dhash_real_wav_arm(spark):
+    """REAL audio fingerprint: a gain-scaled copy of a WAV matches its
+    original EXACTLY (RMS-envelope comparisons are gain-invariant), a
+    different envelope lands far away, and the banded hamming join
+    pairs only the true near-dups. Non-WAV bytes use the md5 stand-in."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from scotustician_spark.operators.multimodal import (
+        _audio_dhash60,
+        _fake_dhash60,
+        audio_dhash,
+        phash_near_pairs,
+    )
+
+    def tone_wav(freqs: list[float], gain: float = 0.9, n: int = 6100) -> bytes:
+        # piecewise tones: one frequency per equal segment -> a
+        # distinctive RMS envelope per segment boundary
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            seg = n // len(freqs)
+            samples = []
+            for k, f in enumerate(freqs):
+                amp = gain * 32000 * (0.3 + 0.7 * (k % 2))
+                samples += [
+                    int(amp * math.sin(2 * math.pi * f * i / 8000))
+                    for i in range(seg)
+                ]
+            samples += [0] * (n - len(samples))
+            w.writeframes(struct.pack(f"<{n}h", *samples))
+        return buf.getvalue()
+
+    a = tone_wav([440, 880, 220, 660], gain=0.9)
+    a_quiet = tone_wav([440, 880, 220, 660], gain=0.45)  # same envelope shape
+    c = tone_wav([660, 220, 880, 440], gain=0.9)  # reordered envelope
+
+    da, dq, dc = _audio_dhash60(a), _audio_dhash60(a_quiet), _audio_dhash60(c)
+    assert da == dq  # gain-invariant: identical fingerprint
+    assert bin(da ^ dc).count("1") >= 10
+
+    df = spark.createDataFrame(
+        [(1, a), (2, a_quiet), (3, c), (4, b"plain bytes")],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r["dhash"] for r in audio_dhash(df).collect()}
+    assert got[1] == da and got[2] == dq and got[3] == dc
+    assert got[4] == _fake_dhash60(b"plain bytes")
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(audio_dhash(df), max_hamming=6).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
