@@ -857,3 +857,42 @@ def prefix_filtered_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def update_dedup_index(
+    delta: DataFrame,
+    fp_path: str,
+    band_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    kernel: str = "pandas",
+) -> dict[str, int]:
+    """Maintain the persisted dedup index with a NEW batch — the write
+    half of ``incremental_dedup`` (which probes these same relations):
+    the delta's exact fingerprints append to ``fp_path`` and its LSH
+    band signatures to ``band_path``, both through ``idempotent_append``
+    so a replayed batch is a no-op (at-least-once ingest safe). The
+    base corpus is never rescanned — index growth costs exactly one
+    map pass over the delta. Two-batch maintenance == one-shot build
+    of the union (both relations are row-level deterministic).
+
+    Returns {'fp_inserted', 'fp_skipped', 'band_inserted',
+    'band_skipped'} for the ingest log."""
+    from ..functions.text import fingerprint
+    from ..sources.sinks import idempotent_append
+
+    fps = delta.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    fp_stats = idempotent_append(fps, fp_path, ["doc_id"])
+    bands = minhash_bands(delta, id_col, text_col, n, num_hashes, band_size, kernel)
+    band_stats = idempotent_append(bands, band_path, ["doc_id", "band"])
+    return {
+        "fp_inserted": fp_stats["inserted"],
+        "fp_skipped": fp_stats["skipped"],
+        "band_inserted": band_stats["inserted"],
+        "band_skipped": band_stats["skipped"],
+    }

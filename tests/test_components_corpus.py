@@ -945,3 +945,63 @@ def test_stable_global_index_no_row_loss_with_aqe(spark):
     assert [(r["key"], r["id"]) for r in by_idx] == sorted(
         (r["key"], r["id"]) for r in rows
     )
+
+
+def test_update_dedup_index_two_batches_equal_one_shot(spark, tmp_path):
+    """Maintaining the dedup index with two batches equals building it
+    from the union in one shot, a replayed batch is a no-op, and
+    incremental_dedup probes the maintained index correctly."""
+    from scotustician_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_bands,
+        update_dedup_index,
+    )
+    from scotustician_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    fp_path = str(tmp_path / "fps")
+    band_path = str(tmp_path / "bands")
+    b1 = [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(10)]
+    b2 = [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(10, 20)]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+
+    s1 = update_dedup_index(df1, fp_path, band_path)
+    assert s1["fp_inserted"] == 10 and s1["band_inserted"] > 0
+    s_replay = update_dedup_index(df1, fp_path, band_path)
+    assert s_replay["fp_inserted"] == 0 and s_replay["band_inserted"] == 0
+    update_dedup_index(df2, fp_path, band_path)
+
+    both = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want_bands = sorted(
+        map(tuple, minhash_bands(both, "doc_id", "text").collect())
+    )
+    got_bands = sorted(map(tuple, spark.read.parquet(band_path).collect()))
+    assert got_bands == want_bands
+    want_fps = sorted(
+        (r["doc_id"], r["fp"])
+        for r in both.select("doc_id", fingerprint("text").alias("fp")).collect()
+    )
+    got_fps = sorted(
+        (r["doc_id"], r["fp"]) for r in spark.read.parquet(fp_path).collect()
+    )
+    assert got_fps == want_fps
+
+    # the probe half consumes the maintained index: an exact dup of a
+    # base doc triages as drop_exact
+    delta = spark.createDataFrame(
+        [(100, b1[0][1]), (101, "totally unrelated words qrs tuv wxy zab")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["decision"]
+        for r in incremental_dedup(
+            delta,
+            spark.read.parquet(fp_path),
+            spark.read.parquet(band_path),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert got[100] == "drop_exact"
+    assert got[101] == "keep"
