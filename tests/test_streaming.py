@@ -595,3 +595,40 @@ def test_exactly_once_merge_sink_replay_noop(spark, tmp_path):
 
     got = {r["k"]: r["c"] for r in spark.read.parquet(state).collect()}
     assert got == {"a": 5, "b": 1}
+
+
+def test_exactly_once_merge_sink_heals_torn_publish(spark, tmp_path):
+    """A crash between the version write and the publish leaves the
+    published copy missing/torn while the versioned copy is complete;
+    the replayed batch must republish from the version without
+    re-merging."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.streaming.incremental import (
+        exactly_once_merge_sink,
+    )
+
+    state = str(tmp_path / "state")
+
+    def merge(base, p):
+        return (
+            base.unionByName(p)
+            .groupBy("k")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, c long")
+
+    exactly_once_merge_sink(spark, state, 0, batch([("a", 2)]), merge)
+    # simulate the crash window: the published copy vanishes, the
+    # complete version dir survives
+    shutil.rmtree(state)
+    exactly_once_merge_sink(spark, state, 0, batch([("a", 2)]), merge)
+    got = {r["k"]: r["c"] for r in spark.read.parquet(state).collect()}
+    assert got == {"a": 2}  # healed, not doubled
+    exactly_once_merge_sink(spark, state, 1, batch([("a", 5)]), merge)
+    got = {r["k"]: r["c"] for r in spark.read.parquet(state).collect()}
+    assert got == {"a": 7}
