@@ -469,3 +469,76 @@ def test_quality_classifier_invariants(spark, tmp_path_factory, texts):
         else:
             assert 0.0 < r["quality_score"] < 1.0
             assert r["keep"] == (1 if r["quality_score"] >= 0.5 else 0)
+
+
+sample_data = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # doc_id (dups allowed? no: see below)
+        st.sampled_from(["s1", "s2", "s3", "s4"]),
+        st.integers(min_value=1, max_value=1000),  # weight
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(sample_data, st.integers(min_value=1, max_value=12))
+def test_per_source_cap_matches_python_oracle(spark, data, cap):
+    """Two-phase cap == pure-Python rank-by-(md5 bucket, id) <= cap."""
+    import hashlib
+
+    from scotustician_spark.operators.corpus import per_source_cap
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in data], "doc_id long, source string"
+    )
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in per_source_cap(df, "source", "doc_id", cap=cap).collect()
+    )
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[8:16], 16) % 1000
+
+    want = []
+    by_src: dict = {}
+    for i, s, _ in data:
+        by_src.setdefault(s, []).append(i)
+    for s, ids in by_src.items():
+        for i in sorted(ids, key=lambda x: (bucket(x), x))[:cap]:
+            want.append((s, i))
+    assert got == sorted(want)
+
+
+@SLOW
+@given(sample_data, st.integers(min_value=1, max_value=6))
+def test_weighted_reservoir_matches_python_oracle(spark, data, k):
+    """Sharded two-stage selection == pure-Python top-k by the exact
+    rounded Efraimidis-Spirakis key."""
+    import hashlib
+    import math
+
+    from scotustician_spark.operators.corpus import weighted_reservoir_sample
+
+    df = spark.createDataFrame(data, "doc_id long, source string, w long")
+    got = sorted(
+        (r["source"], r["doc_id"], r["rnk"])
+        for r in weighted_reservoir_sample(
+            df, ["source"], "w", "doc_id", k=k
+        ).collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[12:20], 16)
+        return round(math.log((h + 0.5) / 4294967296.0) / w, 9)
+
+    want = []
+    by_src: dict = {}
+    for i, s, w in data:
+        by_src.setdefault(s, []).append((i, w))
+    for s, rows in by_src.items():
+        ranked = sorted(rows, key=lambda t: (-key(*t), t[0]))[:k]
+        want += [(s, i, r + 1) for r, (i, _) in enumerate(ranked)]
+    assert got == sorted(want)
