@@ -163,3 +163,52 @@ def key_skew_profile(
             ).alias("skew_ratio"),
         )
     )
+
+
+def choose_agg_strategy(
+    skew_ratio: float | None, skew_ratio_threshold: float = 8.0
+) -> str:
+    """'plain' or 'salted' from a measured key-skew ratio (max
+    ``skew_ratio`` of ``key_skew_profile`` — rows on the hottest key ÷
+    mean rows-per-key). Map-side partial aggregation already collapses
+    a hot key WITHIN each input partition, so mild skew costs nothing;
+    salting pays two aggregations and only wins when one reducer's
+    merge work dominates the stage (hot key's partials ≫ the rest).
+    None = unmeasured → plain (measure once per table, not per
+    query)."""
+    if skew_ratio is not None and skew_ratio > skew_ratio_threshold:
+        return "salted"
+    return "plain"
+
+
+def auto_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    skew_ratio: float | None = None,
+    skew_ratio_threshold: float = 8.0,
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(keys).agg(...) through the strategy
+    ``choose_agg_strategy`` picks — the aggregation twin of
+    ``bloom.auto_semi_join``. Results are bit-identical across
+    strategies for the supported algebraic aggregates (sum/count/
+    min/max/avg); only the plan shape changes."""
+    if choose_agg_strategy(skew_ratio, skew_ratio_threshold) == "salted":
+        return salted_agg(df, keys, aggs, n_salts)
+    derived_avg = [(alias, col) for col, fn, alias in aggs if fn == "avg"]
+    plan = []
+    for col, fn, alias in aggs:
+        if fn == "avg":
+            plan.append(F.sum(col).alias(f"__s_{alias}"))
+            plan.append(F.count(col).alias(f"__c_{alias}"))
+        elif fn in _ALGEBRAIC:
+            plan.append(_ALGEBRAIC[fn][0](col).alias(alias))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r}")
+    out = df.groupBy(*keys).agg(*plan)
+    for alias, _ in derived_avg:
+        out = out.withColumn(
+            alias, F.col(f"__s_{alias}") / F.col(f"__c_{alias}")
+        ).drop(f"__s_{alias}", f"__c_{alias}")
+    return out

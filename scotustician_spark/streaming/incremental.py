@@ -444,3 +444,42 @@ def bpe_merges_stale(
         spark.read.parquet(state_path), n_merges=n_merges, max_words=max_words
     )
     return current != list(saved_merges)
+
+
+def run_lsh_index_update(
+    stream_df: DataFrame,
+    bucket_path: str,
+    checkpoint: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Streaming maintenance of the LSH ANN bucket index
+    (operators/similarity.py::lsh_bucket_relation): each micro-batch
+    of NEW corpus vectors is bucketed (an in-row map — the hyperplanes
+    are a broadcast one-row table) and appended to the persisted
+    (neighbor_id, c_vec, bucket) relation through the keyed idempotent
+    sink, so redelivered batches and re-sent vectors are no-ops. The
+    base corpus is never rescanned; index growth costs one map pass
+    over the delta — the LSH member of the index-maintenance family
+    (ANN tombstones/append, dedup fp/band update). Serving probes the
+    maintained relation via ``lsh_bucket_topk(corpus_buckets=...)``.
+    Blocks until AvailableNow drains."""
+    from ..operators.similarity import lsh_bucket_relation
+    from ..sources.sinks import idempotent_append
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        buckets = lsh_bucket_relation(
+            batch_df, dim, id_col, vec_col, n_planes, seed
+        )
+        idempotent_append(buckets, bucket_path, ["neighbor_id"])
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

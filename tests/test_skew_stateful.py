@@ -228,3 +228,39 @@ def test_streaming_rate_anomaly_matches_batch_on_closed_hours(spark, tmp_path):
     # the spike hour was flagged
     spike_h = int((base + dt.timedelta(hours=28)).timestamp() // 3600)
     assert got[spike_h]["is_anomaly"]
+
+
+def test_auto_agg_strategy_and_equality(spark):
+    """auto_agg: plain and salted branches return identical results;
+    the measured-skew gate picks salting only past the threshold, and
+    the salted plan really fans the key out (two aggregation phases)."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.skew import (
+        auto_agg,
+        choose_agg_strategy,
+    )
+
+    assert choose_agg_strategy(None) == "plain"
+    assert choose_agg_strategy(3.0) == "plain"
+    assert choose_agg_strategy(50.0) == "salted"
+
+    rows = [("hot", float(i % 7), i) for i in range(3000)] + [
+        (f"k{i % 5}", float(i), i) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, c long")
+    aggs = [("v", "sum", "sv"), ("c", "count", "nc"), ("v", "avg", "av"),
+            ("v", "min", "mn"), ("v", "max", "mx")]
+
+    plain = auto_agg(df, ["k"], aggs)
+    salted = auto_agg(df, ["k"], aggs, skew_ratio=100.0)
+    to_set = lambda d: {
+        r["k"]: (round(r["sv"], 6), r["nc"], round(r["av"], 9), r["mn"], r["mx"])
+        for r in d.collect()
+    }
+    assert to_set(plain) == to_set(salted)
+
+    p_plain = plain._jdf.queryExecution().executedPlan().toString()
+    p_salted = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in p_plain
+    assert "__salt" in p_salted

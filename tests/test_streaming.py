@@ -632,3 +632,64 @@ def test_exactly_once_merge_sink_heals_torn_publish(spark, tmp_path):
     exactly_once_merge_sink(spark, state, 1, batch([("a", 5)]), merge)
     got = {r["k"]: r["c"] for r in spark.read.parquet(state).collect()}
     assert got == {"a": 7}
+
+
+def test_run_lsh_index_update_two_batches(spark, tmp_path):
+    """Streaming LSH index maintenance: the maintained bucket relation
+    after two AvailableNow drains equals the one-shot bucket relation
+    of the union, replay with nothing new is a no-op, and the served
+    probe over the maintained index equals the inline-bucketing probe."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.similarity import (
+        lsh_bucket_relation,
+        lsh_bucket_topk,
+    )
+    from scotustician_spark.streaming.incremental import run_lsh_index_update
+
+    dim = 8
+    src = tmp_path / "lsh_src"
+    src.mkdir()
+    bucket_path = str(tmp_path / "lsh_buckets")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    schema = f"vec_id LONG, embedding ARRAY<DOUBLE>"
+
+    def vec(i):
+        return [((i * 7 + j * 3) % 17 - 8) / 8.0 for j in range(dim)]
+
+    def feed(ids):
+        spark.createDataFrame(
+            [(i, vec(i)) for i in ids], schema
+        ).coalesce(1).write.mode("append").json(str(src / uuid.uuid4().hex))
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src) + "/*")
+        run_lsh_index_update(stream, bucket_path, ckpt, dim)
+
+    feed(range(0, 30))
+    run()
+    feed(range(30, 50))
+    run()
+    run()  # nothing new: no-op
+
+    both = spark.createDataFrame([(i, vec(i)) for i in range(50)], schema)
+    want = sorted(
+        (r["neighbor_id"], r["bucket"])
+        for r in lsh_bucket_relation(both, dim).collect()
+    )
+    got = sorted(
+        (r["neighbor_id"], r["bucket"])
+        for r in spark.read.parquet(bucket_path).collect()
+    )
+    assert got == want
+
+    queries = both.filter(F.col("vec_id") < 3)
+    served = lsh_bucket_topk(
+        both, queries, dim, k=3, sim_round=6,
+        corpus_buckets=spark.read.parquet(bucket_path),
+    )
+    inline = lsh_bucket_topk(both, queries, dim, k=3, sim_round=6)
+    key = lambda d: sorted(map(tuple, d.select("query_id", "neighbor_id", "sim", "rnk").collect()))
+    assert key(served) == key(inline)
