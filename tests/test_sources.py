@@ -290,3 +290,68 @@ def test_jdbc_partitioned_empty_table(spark, tmp_path):
     )
     assert back.count() == 0
     assert [f.name for f in back.schema.fields] == ["id", "val"]
+
+
+def test_snapshot_publication_lifecycle(spark, tmp_path):
+    """Multi-table snapshot publication: readers resolved at v1 keep a
+    consistent view while v2 lands; a torn publish (version dir without
+    _MANIFEST, pointer untouched) is invisible; explicit-version reads
+    give time travel; pruning keeps the newest versions."""
+    import json
+
+    import pytest
+
+    from scotustician_spark.sources.snapshot import (
+        latest_snapshot_version,
+        prune_snapshots,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    t1 = {
+        "orders": spark.range(10).selectExpr("id", "id * 2 as v"),
+        "users": spark.range(3).selectExpr("id as uid"),
+    }
+    assert latest_snapshot_version(spark, root) is None
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root)
+
+    v1 = publish_snapshot(spark, t1, root)
+    assert v1 == 1
+    snap1 = read_snapshot(spark, root)
+    assert snap1["orders"].count() == 10 and snap1["users"].count() == 3
+
+    # v2 lands with different contents; the v1-resolved relations are
+    # pinned to v1 paths and do not move
+    t2 = {
+        "orders": spark.range(20).selectExpr("id", "id * 2 as v"),
+        "users": spark.range(5).selectExpr("id as uid"),
+    }
+    v2 = publish_snapshot(spark, t2, root)
+    assert v2 == 2
+    assert snap1["orders"].count() == 10  # consistent old view
+    assert read_snapshot(spark, root)["orders"].count() == 20
+    assert read_snapshot(spark, root, version=1)["users"].count() == 3
+
+    # torn publish: a v3 dir WITHOUT _MANIFEST — readers and the next
+    # publisher both ignore it; the next publish supersedes it
+    import os
+
+    os.makedirs(f"{root}/v3/orders", exist_ok=True)
+    assert latest_snapshot_version(spark, root) == 2
+    assert read_snapshot(spark, root)["orders"].count() == 20
+    v3 = publish_snapshot(spark, {"orders": spark.range(7)}, root)
+    assert v3 == 3
+    assert read_snapshot(spark, root)["orders"].count() == 7
+
+    # corrupt pointer must raise, never restart versioning
+    (tmp_path / "snap" / "LATEST").write_text("not json")
+    with pytest.raises(Exception):
+        latest_snapshot_version(spark, root)
+    (tmp_path / "snap" / "LATEST").write_text(json.dumps({"version": 3}))
+
+    dropped = prune_snapshots(spark, root, keep=2)
+    assert dropped == [1]
+    assert read_snapshot(spark, root, version=2)["orders"].count() == 20
+    assert read_snapshot(spark, root)["orders"].count() == 7
