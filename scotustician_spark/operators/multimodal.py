@@ -453,6 +453,29 @@ def with_media_metadata(
 
 # ---- perceptual hashing (image near-dup) ---------------------------
 
+def _block_mean_resize(
+    gray: list[int], w: int, h: int, out_w: int, out_h: int
+) -> list[float]:
+    """Area-average (block-mean) downsample of a row-major grayscale
+    image to out_w×out_h — the resize kernel behind thumbnails and the
+    dHash grid. Every source pixel contributes to exactly one output
+    cell, so the pass is O(pixels) and deterministic."""
+    sums = [[0] * out_w for _ in range(out_h)]
+    cnts = [[0] * out_w for _ in range(out_h)]
+    for y in range(h):
+        gy = y * out_h // h
+        base = y * w
+        for x in range(w):
+            gx = x * out_w // w
+            sums[gy][gx] += gray[base + x]
+            cnts[gy][gx] += 1
+    return [
+        sums[gy][gx] / (cnts[gy][gx] or 1)
+        for gy in range(out_h)
+        for gx in range(out_w)
+    ]
+
+
 def _dhash60_from_gray(gray: list[int], w: int, h: int) -> int:
     """dHash over an 8-bit grayscale image: block-mean downsample to a
     9×8 grid, then one bit per horizontal neighbor pair (left mean <
@@ -462,23 +485,15 @@ def _dhash60_from_gray(gray: list[int], w: int, h: int) -> int:
     repo's cross-engine integer discipline. Robust to rescaling and
     small edits; brightness shifts flip few difference bits."""
     gw, gh = 9, 8
-    sums = [[0] * gw for _ in range(gh)]
-    cnts = [[0] * gw for _ in range(gh)]
-    for y in range(h):
-        gy = y * gh // h
-        base = y * w
-        for x in range(w):
-            gx = x * gw // w
-            sums[gy][gx] += gray[base + x]
-            cnts[gy][gx] += 1
+    means = _block_mean_resize(gray, w, h, gw, gh)
     bits = 0
     n = 0
     for gy in range(gh):
         for gx in range(gw - 1):
             if n >= 60:
                 break
-            a = sums[gy][gx] / (cnts[gy][gx] or 1)
-            b = sums[gy][gx + 1] / (cnts[gy][gx + 1] or 1)
+            a = means[gy * gw + gx]
+            b = means[gy * gw + gx + 1]
             bits = (bits << 1) | (1 if a < b else 0)
             n += 1
     return bits << (60 - n) if n < 60 else bits
@@ -640,6 +655,71 @@ def audio_dhash(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "dhash": [one(b) for b in pdf[content_col]],
+                }
+            )
+
+    from ..session import repartition_for_compute
+
+    src = repartition_for_compute(
+        df.filter(F.col(content_col).isNotNull()).select(id_col, content_col)
+    )
+    return src.mapInPandas(run, schema).withColumnRenamed("id", id_col)
+
+
+def resize_image_gray(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    out_w: int = 8,
+    out_h: int = 8,
+    mode: str = "auto",
+) -> DataFrame:
+    """(id, src_width, src_height, pixels): block-mean grayscale
+    thumbnail per binary image — the resize stage of a multimodal
+    ingest pipeline (thumbnails, model-input normalization, the dHash
+    grid). ``mode='auto'``: PNG content gets the REAL pipeline
+    (stdlib pixel decode → area-average resample, rounded to ints);
+    non-decodable content yields a deterministic md5-derived pixel
+    grid (the stub discipline — plumbing, schema, and batch shape are
+    real; swap the stub for a PIL/ffmpeg decode where those libs
+    exist). Arrow-batched mapInPandas; the corpus never shuffles."""
+    if mode not in ("auto", "fake"):
+        raise ValueError(f"mode must be 'auto' or 'fake', got {mode!r}")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("src_width", T.IntegerType()),
+            T.StructField("src_height", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def one(b) -> tuple:
+        content = bytes(b)
+        if mode == "auto" and sniff_media(content) == "png":
+            w, h = _image_dims(content, "png")
+            px = [
+                int(round(v))
+                for v in _block_mean_resize(
+                    _png_gray_pixels(content), w, h, out_w, out_h
+                )
+            ]
+            return (w, h, px)
+        # deterministic fake grid: one md5-derived byte per cell
+        d = hashlib.md5(content).digest()
+        px = [d[(i * 7) % len(d)] for i in range(out_w * out_h)]
+        return (None, None, px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "src_width": [r[0] for r in rows],
+                    "src_height": [r[1] for r in rows],
+                    "pixels": [r[2] for r in rows],
                 }
             )
 

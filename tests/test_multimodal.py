@@ -409,3 +409,32 @@ def test_audio_dhash_real_wav_arm(spark):
     }
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs
+
+
+def test_resize_image_gray_real_and_fake(spark):
+    """REAL resize arm: block-mean thumbnail of a ground-truth PNG
+    equals the Python-side area averages; fake arm is deterministic
+    with the declared grid shape."""
+    from scotustician_spark.operators.multimodal import (
+        _block_mean_resize,
+        _png_gray_pixels,
+        resize_image_gray,
+    )
+
+    w = h = 16
+    rows = [bytes([(x * 16 + y) % 256 for x in range(w)]) for y in range(h)]
+    png = _make_png(rows, w, 0)
+    df = spark.createDataFrame(
+        [(1, png), (2, b"not an image")], "doc_id long, content binary"
+    )
+    got = {r["doc_id"]: r for r in resize_image_gray(df, out_w=4, out_h=4).collect()}
+    want = [
+        int(round(v))
+        for v in _block_mean_resize(_png_gray_pixels(png), w, h, 4, 4)
+    ]
+    assert got[1]["pixels"] == want
+    assert (got[1]["src_width"], got[1]["src_height"]) == (16, 16)
+    assert len(got[2]["pixels"]) == 16 and got[2]["src_width"] is None
+    # 4x4 block means of the column-major-ish gradient: strictly
+    # structured, not constant
+    assert len(set(got[1]["pixels"])) > 1
