@@ -13,12 +13,13 @@ anchor — each bench query's ORACLE SQL, min-of-3 on the same parquet
 ("paired": {name: {spark, duckdb, ratio}}) and in total ("ratio").
 Set SPARK_GRAFT_SKIP_DUCKDB=1 to skip the anchor pass.
 
-Output contract (round 5): stdout carries ONE compact JSON line —
-{"metric", "value", "unit", "queries", "sf", "ratio", "duckdb_total"}
-— sized to survive the driver's tail capture (BENCH_r04 was
-parsed:null because medians + the per-query paired block overflowed
-it). The full detail (per-query medians, paired spark/duckdb/ratio
-triples) goes to BENCH_DETAIL.json next to this file instead.
+Output contract (round 6): stdout carries ONE compact JSON line —
+{"metric", "value", "unit", "sf", "n_queries", "ratio",
+"duckdb_total"} and NOTHING ELSE. BENCH_r04 and BENCH_r05 were both
+parsed:null because the per-query map (~2 KB for 69 queries) alone
+overflowed the driver's tail capture; the map now lives ONLY in
+BENCH_DETAIL.json (per-query mins, medians, paired
+spark/duckdb/ratio triples) next to this file.
 """
 
 from __future__ import annotations
@@ -107,10 +108,10 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
     }
-    detail = {"queries_median": medians, "sf": sf}
+    detail = {"queries": timings, "queries_median": medians, "sf": sf}
 
     if os.environ.get("SPARK_GRAFT_SKIP_DUCKDB") != "1":
         try:
