@@ -31,6 +31,7 @@ reference serving half that makes the pipeline self-contained.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -180,18 +181,122 @@ def read_bpe(spark, path: str) -> list[tuple[int, str, str, str, int]]:
     ]
 
 
+#: Above this merge count the literal ``F.replace`` chain is replaced
+#: by the Arrow-batched kernel: one ``withColumn``+``replace`` per
+#: merge builds a vocab-deep Catalyst expression tree (30k-deep at a
+#: production vocab — analyzer/codegen blowup long before data size
+#: matters), while the kernel's plan depth is constant.
+ARROW_APPLY_THRESHOLD = 64
+
+
 def apply_merges(
-    df: DataFrame, merges: list[tuple[str, str]], seq_col: str = "seq"
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    seq_col: str = "seq",
+    arrow_threshold: int = ARROW_APPLY_THRESHOLD,
 ) -> DataFrame:
     """Apply learned merges in rank order to double-space-encoded
-    sequences (serving half; merge table is literals, corpus never
-    shuffles)."""
-    cur = df
-    for left, right in merges:
-        cur = cur.withColumn(
-            seq_col,
-            F.replace(
-                seq_col, F.lit(f" {left}  {right} "), F.lit(f" {left}~{right} ")
-            ),
-        )
-    return cur
+    sequences (serving half; merge table is task-broadcast literals,
+    corpus never shuffles).
+
+    Two equality-tested arms (tests/test_tokenizer.py pins them
+    bit-identical on random corpora):
+
+    - ``len(merges) <= arrow_threshold``: one JVM ``F.replace`` per
+      merge — whole-stage-codegen, zero Python, the plan the oracle
+      SQL mirrors. Plan depth grows with the merge count, so it is
+      capped.
+    - above the threshold: a single Arrow-batched pandas UDF
+      (constant plan depth) applying the same greedy non-overlapping
+      left-to-right semantics at symbol level with a min-rank merge
+      loop + per-unique-word memoization — the standard BPE serving
+      kernel (GPT-2 ``bpe()``); O(len * merges_applied) per unique
+      word instead of O(len * vocab) scan passes.
+
+    The two orders are equivalent: a merge collapses two symbols into
+    one NEW symbol, so adjacency between pre-existing symbols is never
+    created by a later merge — each learned pair needs exactly one
+    left-to-right pass, in any rank-respecting order.
+    """
+    if len(merges) <= arrow_threshold:
+        cur = df
+        for left, right in merges:
+            cur = cur.withColumn(
+                seq_col,
+                F.replace(
+                    seq_col, F.lit(f" {left}  {right} "), F.lit(f" {left}~{right} ")
+                ),
+            )
+        return cur
+    return df.withColumn(seq_col, _arrow_apply_udf(merges)(F.col(seq_col)))
+
+
+def _arrow_apply_udf(merges: list[tuple[str, str]]):
+    """Build the Arrow-batched serving kernel for a frozen merge
+    table. The rank dict rides to executors once per task via closure
+    serialization (~1 MB at a 30k vocab — broadcast-sized)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _decode(s: str) -> list[str] | None:
+        # Well-formed iff the symbol list round-trips and no symbol
+        # embeds a space: then every substring match of the literal
+        # chain falls exactly on a symbol boundary and the two arms
+        # are provably identical. Anything else takes the fallback,
+        # which IS the literal semantics.
+        if len(s) < 3 or s[0] != " " or s[-1] != " ":
+            return None
+        sy = s[1:-1].split("  ")
+        if any((not sym) or (" " in sym) for sym in sy):
+            return None
+        return sy
+
+    def _bpe_word(sy: list[str]) -> str:
+        # Symbol-level greedy apply: repeatedly merge the lowest-rank
+        # pair present (all its occurrences, left-to-right,
+        # non-overlapping) — bit-identical to the rank-order replace
+        # chain (see apply_merges docstring).
+        while len(sy) > 1:
+            best = None
+            for pair in zip(sy, sy[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, pair)
+            if best is None:
+                break
+            left, right = best[1]
+            merged = f"{left}~{right}"
+            res, j = [], 0
+            while j < len(sy):
+                if j + 1 < len(sy) and sy[j] == left and sy[j + 1] == right:
+                    res.append(merged)
+                    j += 2
+                else:
+                    res.append(sy[j])
+                    j += 1
+            sy = res
+        return " " + "  ".join(sy) + " "
+
+    def _fallback(s: str) -> str:
+        # Input not in the double-space encoding: reproduce the
+        # literal chain verbatim (plain substring replace per merge).
+        for left, right in merges:
+            s = s.replace(f" {left}  {right} ", f" {left}~{right} ")
+        return s
+
+    @F.pandas_udf(StringType())
+    def _apply(col: pd.Series) -> pd.Series:
+        cache: dict[str, str] = {}
+
+        def one(s):
+            if s is None:
+                return None
+            hit = cache.get(s)
+            if hit is None:
+                sy = _decode(s)
+                hit = _bpe_word(sy) if sy is not None else _fallback(s)
+                cache[s] = hit
+            return hit
+
+        return col.map(one)
+
+    return _apply
