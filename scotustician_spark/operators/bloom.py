@@ -292,9 +292,18 @@ def auto_semi_join(
             )
             .drop("__bloom")
         )
+        # Salt from (key, per-row id), NOT a hash of every column:
+        # xxhash64 rejects MAP-typed columns outright, and exact
+        # duplicate rows would all hash to one salt, keeping a hot key
+        # made of duplicates on a single reducer. The monotonic id is
+        # only a spreading term — correctness never depends on its
+        # value, any per-row distinct-ish value works.
         salted_fact = pre.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(*pre.columns), F.lit(n_salts)).cast("int"),
+            F.pmod(
+                F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()),
+                F.lit(n_salts),
+            ).cast("int"),
         )
         salted_keys = keys.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

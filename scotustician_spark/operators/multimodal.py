@@ -458,22 +458,28 @@ def _block_mean_resize(
 ) -> list[float]:
     """Area-average (block-mean) downsample of a row-major grayscale
     image to out_w×out_h — the resize kernel behind thumbnails and the
-    dHash grid. Every source pixel contributes to exactly one output
-    cell, so the pass is O(pixels) and deterministic."""
-    sums = [[0] * out_w for _ in range(out_h)]
-    cnts = [[0] * out_w for _ in range(out_h)]
-    for y in range(h):
-        gy = y * out_h // h
-        base = y * w
-        for x in range(w):
-            gx = x * out_w // w
-            sums[gy][gx] += gray[base + x]
-            cnts[gy][gx] += 1
-    return [
-        sums[gy][gx] / (cnts[gy][gx] or 1)
-        for gy in range(out_h)
-        for gx in range(out_w)
-    ]
+    dHash grid. Each output cell averages the source-pixel rectangle
+    given by its rounded boundaries; ``x1 = max(x0+1, ...)`` guarantees
+    EVERY cell covers at least one pixel, so upscales (w < out_w or
+    h < out_h) replicate nearest source pixels instead of silently
+    averaging zero pixels to 0.0 (which gave degenerate dHash bits on
+    tiny images). Downscales tile the image exactly — O(pixels)."""
+    def _bounds(n_src: int, n_out: int, g: int) -> tuple[int, int]:
+        lo = g * n_src // n_out
+        return lo, max(lo + 1, (g + 1) * n_src // n_out)
+
+    out = []
+    for gy in range(out_h):
+        y0, y1 = _bounds(h, out_h, gy)
+        for gx in range(out_w):
+            x0, x1 = _bounds(w, out_w, gx)
+            s = 0
+            for y in range(y0, y1):
+                base = y * w
+                for x in range(x0, x1):
+                    s += gray[base + x]
+            out.append(s / ((y1 - y0) * (x1 - x0)))
+    return out
 
 
 def _dhash60_from_gray(gray: list[int], w: int, h: int) -> int:

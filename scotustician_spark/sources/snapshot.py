@@ -89,8 +89,14 @@ def publish_snapshot(
     flip LATEST. Returns the new version number. Write order is the
     whole safety argument: per-table parquet → _MANIFEST (version now
     complete) → LATEST (readers can now see it)."""
-    cur = latest_snapshot_version(spark, root)
-    nxt = 1 if cur is None else cur + 1
+    # Next version = past BOTH the pointer and any complete-but-
+    # unpointed version: a crash between the _MANIFEST write and the
+    # pointer flip leaves v<N> complete (readable via explicit time
+    # travel) while LATEST still says N-1 — deriving from the pointer
+    # alone would silently overwrite that immutable version in place.
+    cur = latest_snapshot_version(spark, root) or 0
+    done = _complete_versions(spark, root)
+    nxt = max(cur, max(done, default=0)) + 1
     vdir = f"{root}/v{nxt}"
     manifest: dict[str, int] = {}
     for name, df in tables.items():
@@ -125,10 +131,16 @@ def read_snapshot(
 def prune_snapshots(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` COMPLETE versions (incomplete
     crash leftovers are removed too, except anything at or above the
-    newest kept version). Returns the dropped version numbers."""
+    newest kept version). The version LATEST points to is never
+    dropped, even in a torn-publish state where a newer complete-but-
+    unpointed version exists — pruning the pointer's target would
+    break every ``read_snapshot()``. Returns the dropped versions."""
     fs, hroot, jvm = _fs(spark, root)
     done = _complete_versions(spark, root)
     cutoff = done[-keep] if len(done) >= keep else (done[0] if done else 0)
+    pointed = latest_snapshot_version(spark, root)
+    if pointed is not None:
+        cutoff = min(cutoff, pointed)
     dropped = []
     if not fs.exists(hroot):
         return dropped

@@ -455,7 +455,7 @@ def run_lsh_index_update(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
-) -> None:
+) -> list[dict[str, int]]:
     """Streaming maintenance of the LSH ANN bucket index
     (operators/similarity.py::lsh_bucket_relation): each micro-batch
     of NEW corpus vectors is bucketed (an in-row map — the hyperplanes
@@ -466,15 +466,30 @@ def run_lsh_index_update(
     over the delta — the LSH member of the index-maintenance family
     (ANN tombstones/append, dedup fp/band update). Serving probes the
     maintained relation via ``lsh_bucket_topk(corpus_buckets=...)``.
-    Blocks until AvailableNow drains."""
+
+    CONTRACT: the corpus is APPEND-ONLY with immutable vectors — the
+    index is keyed on ``neighbor_id`` alone, so a vector redelivered
+    with a CHANGED embedding is treated as a duplicate and SKIPPED
+    (the stale bucket keeps serving). For mutable corpora route
+    updates through a delete/tombstone path like the IVFPQ index
+    (operators/ann_index.py::delete_from_ivfpq). To make violations
+    observable, per-batch insert/skip counts are returned (and a
+    nonzero skip on a batch the caller believes is all-new is the
+    drift signal to alert on).
+
+    Blocks until AvailableNow drains; returns one
+    ``{"batch_id", "inserted", "skipped"}`` dict per micro-batch."""
     from ..operators.similarity import lsh_bucket_relation
     from ..sources.sinks import idempotent_append
+
+    stats: list[dict[str, int]] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         buckets = lsh_bucket_relation(
             batch_df, dim, id_col, vec_col, n_planes, seed
         )
-        idempotent_append(buckets, bucket_path, ["neighbor_id"])
+        counts = idempotent_append(buckets, bucket_path, ["neighbor_id"])
+        stats.append({"batch_id": int(batch_id), **counts})
 
     (
         stream_df.writeStream.foreachBatch(sink)
@@ -483,3 +498,4 @@ def run_lsh_index_update(
         .start()
         .awaitTermination()
     )
+    return stats

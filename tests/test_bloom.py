@@ -132,3 +132,64 @@ def test_auto_semi_join_all_branches_agree(spark):
     assert sorted((r["k"], r["v"]) for r in salted.collect()) == want
     p = plan_of(salted)
     assert "xxhash64" in p and "__salt" in p
+
+
+def test_auto_semi_join_salted_handles_maps_and_duplicate_rows(spark):
+    """ADVICE r5: the salt must not hash every fact column — MAP
+    columns fail xxhash64 analysis, and exact duplicate rows would
+    collapse a hot key onto one salt. Fact with a MAP column + one
+    key duplicated 400x must analyze, return exact rows, and spread
+    the duplicates over >1 salt."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.bloom import auto_semi_join
+
+    fact = (
+        spark.range(400)
+        .select(
+            F.lit(7).alias("k"),
+            F.lit(1).alias("v"),
+            F.create_map(F.lit("a"), F.lit(1)).alias("m"),  # unhashable
+        )
+        .unionByName(
+            spark.range(50).select(
+                (F.col("id") % 5).alias("k"),
+                F.col("id").cast("int").alias("v"),
+                F.create_map(F.lit("b"), F.lit(2)).alias("m"),
+            )
+        )
+    )
+    dim = spark.createDataFrame([(7,), (2,), (4,)], "dk long")
+    out = auto_semi_join(
+        fact, dim, "k", "dk", broadcast_threshold=-1, skew_ratio=100.0,
+        n_salts=8,
+    )
+    rows = out.collect()  # analyzes and executes despite the MAP column
+    assert len(rows) == 400 + 20  # k=7 dups + k in {2,4} from the range
+    # the duplicated hot key must fan out over several salts: re-derive
+    # the salt distribution by running the pre-settle stage shape
+    from scotustician_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_num_bits,
+    )
+
+    nb = bloom_num_bits(3, 0.01)
+    bloom = bloom_build(dim, "dk", nb, num_hashes=3)
+    pre = fact.join(F.broadcast(bloom)).filter(
+        bloom_might_contain(F.col("__bloom"), F.col("k"), nb, 3)
+    ).drop("__bloom")
+    salts = (
+        pre.filter(F.col("k") == 7)
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col("k"), F.monotonically_increasing_id()),
+                F.lit(8),
+            ).cast("int"),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 1

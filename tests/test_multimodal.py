@@ -438,3 +438,27 @@ def test_resize_image_gray_real_and_fake(spark):
     # 4x4 block means of the column-major-ish gradient: strictly
     # structured, not constant
     assert len(set(got[1]["pixels"])) > 1
+
+
+def test_block_mean_resize_small_images_cover_every_cell():
+    """Images narrower/shorter than the output grid: every output
+    cell must average >=1 real source pixel (nearest replication),
+    never default to 0.0 — a 2x2 all-white image resized to the 9x8
+    dHash grid stays all-white (ADVICE r5)."""
+    from scotustician_spark.operators.multimodal import (
+        _block_mean_resize,
+        _dhash60_from_gray,
+    )
+
+    means = _block_mean_resize([255, 255, 255, 255], 2, 2, 9, 8)
+    assert means == [255.0] * 72
+    # dHash of a constant tiny image: all difference bits are 0 (no
+    # left<right anywhere) — not the degenerate mixed bits zero-fill
+    # produced.
+    assert _dhash60_from_gray([255, 255, 255, 255], 2, 2) == 0
+    # 1xN and Nx1 degenerate shapes still cover the grid
+    assert _block_mean_resize([7], 1, 1, 9, 8) == [7.0] * 72
+    grad = _block_mean_resize([0, 100, 200], 3, 1, 9, 8)
+    assert len(grad) == 72 and min(grad) == 0.0 and max(grad) == 200.0
+    # downscale still tiles exactly: 4x4 ones -> 2x2 of means 1.0
+    assert _block_mean_resize([1] * 16, 4, 4, 2, 2) == [1.0] * 4

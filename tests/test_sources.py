@@ -355,3 +355,44 @@ def test_snapshot_publication_lifecycle(spark, tmp_path):
     assert dropped == [1]
     assert read_snapshot(spark, root, version=2)["orders"].count() == 20
     assert read_snapshot(spark, root)["orders"].count() == 7
+
+
+def test_snapshot_torn_publish_never_overwritten_or_pruned(spark, tmp_path):
+    """Crash BETWEEN the _MANIFEST write and the pointer flip leaves a
+    COMPLETE version the pointer doesn't see. The next publish must
+    allocate PAST it (immutability: v<N> is complete and time-travel
+    readable, never overwritten in place), and prune must never drop
+    the version LATEST points to even while it is not the newest
+    complete one."""
+    import json
+
+    from scotustician_spark.sources.snapshot import (
+        latest_snapshot_version,
+        prune_snapshots,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark, {"orders": spark.range(10)}, root)  # v1
+    publish_snapshot(spark, {"orders": spark.range(20)}, root)  # v2
+
+    # Simulate the torn state: v3 fully published, then the pointer
+    # flip "crashed" — rewind LATEST to v2.
+    publish_snapshot(spark, {"orders": spark.range(30)}, root)  # v3
+    from scotustician_spark.sources.snapshot import _write_text
+
+    _write_text(spark, f"{root}/LATEST", json.dumps({"version": 2}))
+    assert latest_snapshot_version(spark, root) == 2
+
+    # Pruning in the torn state must keep v2 (the pointer's target)
+    # alive even though keep=1 would otherwise cut at v3.
+    dropped = prune_snapshots(spark, root, keep=1)
+    assert 2 not in dropped and dropped == [1]
+    assert read_snapshot(spark, root)["orders"].count() == 20
+
+    # The next publish allocates v4 — it must NOT overwrite v3.
+    v = publish_snapshot(spark, {"orders": spark.range(40)}, root)
+    assert v == 4
+    assert read_snapshot(spark, root, version=3)["orders"].count() == 30
+    assert read_snapshot(spark, root)["orders"].count() == 40

@@ -666,13 +666,23 @@ def test_run_lsh_index_update_two_batches(spark, tmp_path):
 
     def run():
         stream = spark.readStream.schema(schema).json(str(src) + "/*")
-        run_lsh_index_update(stream, bucket_path, ckpt, dim)
+        return run_lsh_index_update(stream, bucket_path, ckpt, dim)
 
     feed(range(0, 30))
-    run()
+    s1 = run()
     feed(range(30, 50))
-    run()
-    run()  # nothing new: no-op
+    feed(range(25, 35))  # overlap redelivery: 25-29 must be SKIPPED
+    s2 = run()
+    s3 = run()  # nothing new: no-op, zero batches
+
+    # per-batch insert/skip counts surface the append-only contract:
+    # a redelivered id is counted skipped, never silently dropped
+    assert [sum(s[k] for s in s1) for k in ("inserted", "skipped")] == [30, 0]
+    assert sum(s["inserted"] for s in s2) == 20
+    # ids 25-29 redelivered -> skipped (>=5: micro-batch split may
+    # also count 30-34 as skips if they arrive in a later batch)
+    assert sum(s["skipped"] for s in s2) >= 5
+    assert s3 == []
 
     both = spark.createDataFrame([(i, vec(i)) for i in range(50)], schema)
     want = sorted(
