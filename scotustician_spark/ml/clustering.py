@@ -81,6 +81,140 @@ def pca_project_2d(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def power_pca_2d(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_iters: int = 8,
+    r: int = 6,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DETERMINISTIC 2-D PCA by fixed-step power iteration — the
+    value-oracle-gated twin of ``pca_project_2d`` (whose MLlib
+    eigendecomposition has engine-specific sign/rotation, SURVEY §7
+    hard #2). Defined as a recurrence any SQL engine replays exactly:
+
+    1. z-score each dimension (mean / sample-std per ``pos``);
+    2. Gramian correlation matrix ``G[i][j] = round(Σ z_i·z_j/(n-1))``
+       — the one corpus-scale pass: a self-join on the vector id that
+       partial-aggregates map-side to d² cells regardless of corpus
+       rows (MLlib's computeGramianMatrix shape);
+    3. ``n_iters`` power-iteration steps on the d×d relation for the
+       dominant eigenvector (exact matvec → normalize → round),
+       starting from the all-ones direction so the sign is determined
+       by the recurrence itself, no convention needed;
+    4. rank-1 deflation (``G₂ = round(G − λ v vᵀ)``), power-iterate
+       again for the second component;
+    5. project: ``x = round(Σ z·v1)``, ``y = round(Σ z·v2)``.
+
+    Rounding discipline (the IVFPQ recurrence discipline, plus one
+    rule this operator surfaced): round only CONTINUOUS values —
+    quantities divided by an irrational norm or aggregated from
+    unrounded doubles — never a sum of grid-aligned terms. A matvec
+    over 6-dp-rounded inputs lands EXACTLY on rounding midpoints
+    (the terms live on a 1e-6/2^k decimal grid), where each engine's
+    last-ulp summation noise decides the direction — so the matvec
+    stays exact and only the normalized eigenvector (÷ sqrt:
+    continuous) and the final projections (z is unrounded) round.
+    Output is the fixed-step recurrence's value, an approximation of
+    the top-2 principal components that sharpens with ``n_iters``.
+
+    Scale shape: the corpus is touched exactly three times (stats,
+    Gramian, projection), each a map-side-combined aggregation keyed
+    on ``pos``/(i, j); the iteration itself runs on the d²-row
+    Gramian relation (localCheckpointed per step — 2·n_iters tiny
+    jobs, corpus-size-independent).
+    """
+    first = df.select(F.max(F.size(vec_col))).first()
+    n = df.count()
+    if n < 2 or first is None or first[0] is None:
+        # no variance to decompose: degenerate all-zero projection
+        # (keeps 0/1-row partitions and empty deltas crash-free)
+        return (
+            df.select(id_col, *keep_cols)
+            .withColumn("x", F.lit(0.0))
+            .withColumn("y", F.lit(0.0))
+        )
+    d = int(first[0])
+
+    ex = df.select(
+        id_col, *keep_cols, F.posexplode(vec_col).alias("pos", "vraw")
+    ).withColumn("v", F.col("vraw").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    z = (
+        ex.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "z",
+            F.coalesce(
+                (F.col("v") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+        )
+        .select(id_col, *keep_cols, "pos", "z")
+        .localCheckpoint(eager=True)  # feeds Gramian AND projection
+    )
+
+    za = z.select(F.col(id_col).alias("__id"), F.col("pos").alias("i"), F.col("z").alias("zi"))
+    zb = z.select(F.col(id_col).alias("__id"), F.col("pos").alias("j"), F.col("z").alias("zj"))
+    g = (
+        za.join(zb, "__id")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("zi") * F.col("zj")) / F.lit(float(n - 1)), r).alias("c"))
+        .localCheckpoint(eager=True)  # d² rows, feeds 2·n_iters matvecs
+    )
+
+    def _power(gdf: DataFrame) -> DataFrame:
+        v = gdf.select("i").distinct().withColumn(
+            "vv", F.round(F.lit(1.0) / F.sqrt(F.lit(float(d))), r)
+        )
+        for _ in range(n_iters):
+            w = (
+                gdf.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
+            )
+            nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+            v = (
+                w.crossJoin(F.broadcast(nrm))
+                .select("i", F.round(F.col("w") / F.col("nrm"), r).alias("vv"))
+                .localCheckpoint(eager=True)  # d rows
+            )
+        return v
+
+    v1 = _power(g)
+    lam = (
+        g.join(F.broadcast(v1), "i")
+        .join(F.broadcast(v1.select(F.col("i").alias("j"), F.col("vv").alias("vj"))), "j")
+        .agg(F.round(F.sum(F.col("vv") * F.col("c") * F.col("vj")), r).alias("l"))
+    )
+    g2 = (
+        g.join(F.broadcast(v1), "i")
+        .join(F.broadcast(v1.select(F.col("i").alias("j"), F.col("vv").alias("vj"))), "j")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("c") - F.col("l") * F.col("vv") * F.col("vj"), r).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v2 = _power(g2)
+
+    basis = v1.select(F.col("i").alias("pos"), F.col("vv").alias("w1")).join(
+        v2.select(F.col("i").alias("pos"), F.col("vv").alias("w2")), "pos"
+    )
+    return (
+        z.join(F.broadcast(basis), "pos")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.round(F.sum(F.col("z") * F.col("w1")), r).alias("x"),
+            F.round(F.sum(F.col("z") * F.col("w2")), r).alias("y"),
+        )
+    )
+
+
 def tsne_hdbscan_driver(
     df: DataFrame,
     vec_col: str,

@@ -187,16 +187,28 @@ def _sq_l2(v: str, ccol: str) -> F.Column:
     )
 
 
-def onestep_cell_assignments(
-    c: DataFrame, n_cells: int, d2_round: int = 6
+def lloyd_assignments(
+    c: DataFrame, n_cells: int, n_iters: int = 1, d2_round: int = 6
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic one-step-Lloyd quantizer: seed cells from the
-    ``n_cells`` lowest-id vectors, assign to nearest seed, re-center as
-    the element-wise cell mean, re-assign. ``c`` must have columns
-    (cid, c_vec). Returns (assignments (cid, c_vec, cell), centroids
-    (cell, centroid)) — shared by IVF search and semantic dedup, and
-    SQL-reproducible on any engine (distances round before the argmin;
-    ties break by cell asc)."""
+    """Deterministic ``n_iters``-step Lloyd (k-means) quantizer: seed
+    cells from the ``n_cells`` lowest-id vectors, then ``n_iters``
+    rounds of (assign to nearest centroid, re-center as the element-
+    wise cell mean), then a final assignment against the last
+    centroids. ``c`` must have columns (cid, c_vec). Returns
+    (assignments (cid, c_vec, cell), centroids (cell, centroid)).
+
+    The whole recurrence is SQL-reproducible on any engine (distances
+    round to ``d2_round`` BEFORE every argmin; ties break by cell
+    asc; centroid means are per-(cell, pos) avgs) — the same rounding
+    discipline proven for the IVFPQ build, extended from the one-step
+    refinement to a converged k-means. ``n_iters=1`` is exactly the
+    historical ``onestep_cell_assignments``.
+
+    Scale shape: each round is one broadcast of the |n_cells| centroid
+    table + one map-side-combined partial aggregation over the corpus
+    — no corpus shuffle, rounds cost O(corpus × n_cells) compute and
+    the centroid relation is localCheckpointed per round so the plan
+    stays ``n_iters``-flat instead of exponentially nested."""
 
     seeds = (
         c.orderBy("cid")
@@ -222,18 +234,30 @@ def onestep_cell_assignments(
             .select("cid", F.col("__m.c_vec").alias("c_vec"), F.col("__m.cell").alias("cell"))
         )
 
-    # one Lloyd step: element-wise mean per cell (long-form avg keeps
+    # each Lloyd step: element-wise mean per cell (long-form avg keeps
     # the arithmetic SQL-reproducible: avg per (cell, pos))
-    a0 = _assign(c, seeds)
-    cents1 = (
-        a0.select("cell", F.posexplode("c_vec").alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.col("pm.m").alias("centroid"))
-    )
-    return _assign(c, cents1), cents1
+    cents = seeds
+    for _ in range(n_iters):
+        a = _assign(c, cents)
+        cents = (
+            a.select("cell", F.posexplode("c_vec").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("centroid"))
+        )
+        if n_iters > 1:  # keep multi-round plans flat; tiny relation
+            cents = cents.localCheckpoint(eager=True)
+    return _assign(c, cents), cents
+
+
+def onestep_cell_assignments(
+    c: DataFrame, n_cells: int, d2_round: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """Historical name for ``lloyd_assignments(..., n_iters=1)`` —
+    the one-step refinement shared by IVF search and semantic dedup."""
+    return lloyd_assignments(c, n_cells, 1, d2_round)
 
 
 def semantic_dedup_cells(
@@ -302,6 +326,7 @@ def ivf_topk_onestep(
     n_probe: int = 2,
     d2_round: int = 6,
     sim_round: int = 6,
+    n_iters: int = 1,
 ) -> DataFrame:
     """IVF top-k with a DETERMINISTIC one-step-Lloyd coarse quantizer
     (cell assignment shared with ``semantic_dedup_cells`` via
@@ -320,9 +345,13 @@ def ivf_topk_onestep(
     broadcast everywhere; corpus passes are map-side (assignment) plus
     one equi-join on cell id for the probe — candidates scale with
     inverted-list sizes, never corpus².
+
+    ``n_iters`` > 1 runs the quantizer to a deeper Lloyd convergence
+    (``lloyd_assignments``) — the deterministic, oracle-replayable
+    equivalent of a learned k-means quantizer.
     """
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    assigned, cents1 = onestep_cell_assignments(c, n_cells, d2_round)
+    assigned, cents1 = lloyd_assignments(c, n_cells, n_iters, d2_round)
     inverted = assigned.select(
         F.col("cid").alias("neighbor_id"), "c_vec", "cell"
     )

@@ -2,9 +2,17 @@
 the driver's ``embeddings`` table, using its ``label`` column as the
 (deterministic) cluster assignment so every step of the reference's
 analysis — centroid, representative, neighbor top-k, cluster report —
-is oracle-checkable. The seed-pinned KMeans/PCA distributed paths are
-registered as weak (rows-only) checks: their outputs are
-label-permutation-unstable by nature (SURVEY §7 hard #2).
+is oracle-checkable.
+
+Round 6 converted the formerly rows-only ML rows to value oracles via
+deterministic twins: ``kmeans_cluster_sizes`` (3-step Lloyd,
+``lloyd_ctes``), ``pca_projection`` (fixed-step power iteration),
+``cluster_report`` (JSON parse-back to engine-neutral values). The
+seed-pinned MLlib KMeans/PCA arms stay covered by
+tests/test_ml_clustering.py — their label ids / eigen signs are
+engine-specific by nature (SURVEY §7 hard #2) — and
+``als_recommendations`` remains the one declared rows-only row
+(platform-BLAS factor values).
 """
 
 from __future__ import annotations
@@ -123,49 +131,247 @@ def cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lloyd_ctes(n_cells: int, n_iters: int, r: int = 6) -> str:
+    """CTE chain replaying ``operators.similarity.lloyd_assignments``
+    on any SQL engine: lowest-id seeds, ``n_iters`` rounds of
+    (rounded-distance argmin, per-(cell,pos) mean re-center), final
+    assignment ``afin(vec_id, cell)`` against ``c{n_iters}`` with its
+    distances in ``dfin``. The multi-step extension of the proven
+    one-step recurrence in ``_ivf_oracle``/``_semantic_dedup_oracle``."""
+    parts = [
+        """ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)""",
+        f"""seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, vec_id
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells}))""",
+        """c0 AS (
+        SELECT s.cell, e.pos, e.v AS m
+        FROM seeds s JOIN ex e ON e.vec_id = s.vec_id)""",
+    ]
+    for t in range(1, n_iters + 1):
+        parts += [
+            f"""d{t} AS (
+        SELECT e.vec_id, c.cell, round(sum((e.v - c.m) * (e.v - c.m)), {r}) AS d2r
+        FROM ex e JOIN c{t - 1} c ON c.pos = e.pos
+        GROUP BY e.vec_id, c.cell)""",
+            f"""a{t} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
+            FROM d{t}) WHERE rr = 1)""",
+            f"""c{t} AS (
+        SELECT a.cell, e.pos, avg(e.v) AS m
+        FROM ex e JOIN a{t} a USING (vec_id) GROUP BY a.cell, e.pos)""",
+        ]
+    parts += [
+        f"""dfin AS (
+        SELECT e.vec_id, c.cell, round(sum((e.v - c.m) * (e.v - c.m)), {r}) AS d2r
+        FROM ex e JOIN c{n_iters} c ON c.pos = e.pos
+        GROUP BY e.vec_id, c.cell)""",
+        """afin AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rr
+            FROM dfin) WHERE rr = 1)""",
+    ]
+    return ",\n    ".join(parts)
+
+
 @register(
     "kmeans_cluster_sizes",
-    None,  # label ids are init/partitioning-dependent → rows-only check
-    doc="M2 distributed clustering path: seed-pinned MLlib KMeans over "
-    "the embedding column; output is the size distribution (cluster "
-    "labels are arbitrary, sizes are the stable invariant).",
+    f"""
+    WITH {lloyd_ctes(8, 3)}
+    SELECT CAST(cell AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM afin GROUP BY cell
+    """,
+    doc="M2 distributed clustering path, VALUE-ORACLE-GATED (round 6; "
+    "was rows-only): a deterministic 3-step Lloyd k-means "
+    "(operators/similarity.py::lloyd_assignments — lowest-id seeds, "
+    "rounded-distance argmin, per-dim mean re-center, every round "
+    "replayable in SQL) over the embedding column; output is cluster "
+    "sizes. Each round broadcasts the k-row centroid table and "
+    "partial-aggregates map-side — no corpus shuffle, so rounds cost "
+    "one corpus scan each at any scale. The seed-pinned MLlib KMeans "
+    "arm (ml/clustering.py::kmeans_assign) stays covered by "
+    "tests/test_ml_clustering.py (labels are init-dependent, so it "
+    "cannot carry a cross-engine value oracle).",
 )
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lloyd_assignments
+
     e = _emb(spark, sf_dir)
-    assigned = ML.kmeans_assign(e, "embedding", k=8, seed=42)
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"))
+    assigned, _ = lloyd_assignments(c, n_cells=8, n_iters=3)
     return (
-        assigned.groupBy("cluster")
-        .count()
-        .select("cluster", F.col("count").cast("bigint").alias("n_members"))
+        assigned.groupBy(F.col("cell").cast("int").alias("cluster"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
     )
+
+
+def _power_pca_oracle(n_iters: int = 8, r: int = 6) -> str:
+    """Replays ``ml.clustering.power_pca_2d`` CTE-for-stage: z-score →
+    rounded Gramian → two unrolled ``n_iters``-step power iterations
+    (exact matvec, round only the normalized vector — a matvec over
+    rounded inputs is grid-aligned and lands exactly on rounding
+    midpoints, see power_pca_2d's rounding-discipline note) with
+    rank-1 deflation between them → rounded 2-D projection."""
+
+    def _iter(t: int, vp: str, gsrc: str, pre: str) -> list[str]:
+        return [
+            f"""{pre}w{t} AS MATERIALIZED (
+        SELECT g.i, sum(g.c * v.vv) AS w
+        FROM {gsrc} g JOIN {vp} v ON g.j = v.i GROUP BY g.i)""",
+            f"""{pre}n{t} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM {pre}w{t})""",
+            f"""{pre}v{t} AS MATERIALIZED (
+        SELECT i, round(w / (SELECT nrm FROM {pre}n{t}), {r}) AS vv
+        FROM {pre}w{t})""",
+        ]
+
+    parts = [
+        """ex AS MATERIALIZED (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)""",
+        """nd AS MATERIALIZED (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n,
+                 CAST(count(DISTINCT pos) AS DOUBLE) AS d FROM ex)""",
+        """st AS MATERIALIZED (SELECT pos, avg(v) AS mu, stddev_samp(v) AS sd
+              FROM ex GROUP BY pos)""",
+        """z AS MATERIALIZED (SELECT e.vec_id, e.label, e.pos,
+                coalesce((e.v - st.mu) / nullif(st.sd, 0), 0.0) AS z
+         FROM ex e JOIN st USING (pos))""",
+        f"""g AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+                round(sum(a.z * b.z) / ((SELECT n FROM nd) - 1), {r}) AS c
+         FROM z a JOIN z b ON a.vec_id = b.vec_id GROUP BY 1, 2)""",
+        f"""v0 AS MATERIALIZED (SELECT i, round(1.0 / sqrt((SELECT d FROM nd)), {r}) AS vv
+          FROM (SELECT DISTINCT i FROM g))""",
+    ]
+    for t in range(1, n_iters + 1):
+        parts += _iter(t, f"v{t - 1}", "g", "")
+    vt = f"v{n_iters}"
+    parts += [
+        f"""lam AS MATERIALIZED (
+        SELECT round(sum(va.vv * g.c * vb.vv), {r}) AS l
+        FROM g JOIN {vt} va ON va.i = g.i JOIN {vt} vb ON vb.i = g.j)""",
+        f"""g2 AS MATERIALIZED (
+        SELECT g.i, g.j,
+               round(g.c - (SELECT l FROM lam) * va.vv * vb.vv, {r}) AS c
+        FROM g JOIN {vt} va ON va.i = g.i JOIN {vt} vb ON vb.i = g.j)""",
+        f"""uv0 AS MATERIALIZED (SELECT i, round(1.0 / sqrt((SELECT d FROM nd)), {r}) AS vv
+           FROM (SELECT DISTINCT i FROM g2))""",
+    ]
+    for t in range(1, n_iters + 1):
+        parts += _iter(t, f"uv{t - 1}", "g2", "u")
+    ut = f"uv{n_iters}"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT z.vec_id, z.label,
+           round(sum(z.z * p1.vv), {r}) AS x,
+           round(sum(z.z * p2.vv), {r}) AS y
+    FROM z JOIN {vt} p1 ON p1.i = z.pos JOIN {ut} p2 ON p2.i = z.pos
+    GROUP BY z.vec_id, z.label
+    """
 
 
 @register(
     "pca_projection",
-    None,  # eigenvector sign/rotation is implementation-defined → rows-only
-    doc="M1 distributed 2-D projection path (t-SNE stand-in): MLlib PCA "
-    "to (x, y) per vector; scaled first (StandardScaler) as the "
-    "reference does (clustering/helpers.py:103-104).",
+    _power_pca_oracle(),
+    doc="M1 distributed 2-D projection path (t-SNE stand-in), VALUE-"
+    "ORACLE-GATED (round 6; was rows-only): deterministic fixed-step "
+    "power-iteration PCA (ml/clustering.py::power_pca_2d) — z-score, "
+    "rounded Gramian (the one corpus pass, map-side combined to d² "
+    "cells), 8 matvec/normalize rounds per component with rank-1 "
+    "deflation, rounded projection. Every sum rounds before reuse so "
+    "both engines replay the identical recurrence; the all-ones init "
+    "fixes the sign. The MLlib PCA arm (pca_project_2d, sign/rotation "
+    "engine-specific) stays covered by tests/test_ml_clustering.py.",
 )
 def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    scaled = ML.standard_scale(e, "embedding")
-    return ML.pca_project_2d(scaled, "scaled").select(
-        "vec_id", "label", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    return ML.power_pca_2d(e, "vec_id", "embedding", keep_cols=("label",)).select(
+        "vec_id", "label", "x", "y"
     )
+
+
+_REPORT_SCHEMA = (
+    "struct<cluster:int,representative_id:bigint,"
+    "neighbors:array<struct<rnk:bigint,neighbor_id:bigint,sim:double>>,"
+    "n_members:bigint,avg_norm:double>"
+)
 
 
 @register(
     "cluster_report",
-    None,  # JSON string layout is engine-specific → rows-only check
-    doc="M3 per-cluster analysis report: representative + ordered "
-    "neighbor list + stats as one JSON document per cluster "
-    "(clustering/helpers.py:261-315 export shape).",
+    f"""
+    WITH {_CENTROID_DIST},
+    reps AS (
+        SELECT label, vec_id AS rep_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY d, vec_id) AS rn
+              FROM dist)
+        WHERE rn = 1),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT m.label, r.rep_id, m.vec_id, sum(m.v * x.v) AS dot
+        FROM ex m
+        JOIN reps r ON m.label = r.label
+        JOIN ex x ON x.vec_id = r.rep_id AND x.pos = m.pos
+        WHERE m.vec_id <> r.rep_id
+        GROUP BY m.label, r.rep_id, m.vec_id),
+    ranked AS (
+        SELECT label, rep_id, vec_id, sim,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM (SELECT d.label, d.rep_id, d.vec_id,
+                     round(d.dot / (nm.nrm * nr.nrm), 6) AS sim
+              FROM dots d
+              JOIN norms nm ON d.vec_id = nm.vec_id
+              JOIN norms nr ON d.rep_id = nr.vec_id)),
+    nb AS (
+        SELECT label, rep_id,
+               string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rnk) AS neighbor_ids,
+               min(sim) AS sim_min, max(sim) AS sim_max
+        FROM ranked WHERE rnk <= 5 GROUP BY label, rep_id),
+    st AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+               round(avg(nrm), 6) AS avg_norm
+        FROM (SELECT e.vec_id, e.label, sqrt(sum(v * v)) AS nrm
+              FROM ex e GROUP BY e.vec_id, e.label) nn
+        GROUP BY label)
+    SELECT nb.label AS cluster, nb.rep_id AS representative_id,
+           st.n_members, st.avg_norm, nb.neighbor_ids,
+           nb.sim_min, nb.sim_max
+    FROM nb JOIN st ON nb.label = st.label
+    """,
+    doc="M3 per-cluster analysis report, VALUE-ORACLE-GATED (round 6; "
+    "was rows-only): the JSON document per cluster "
+    "(clustering/helpers.py:261-315 export shape) is still built by "
+    "ml/clustering.py::analysis_report, then PARSED BACK (from_json) "
+    "and flattened to engine-neutral values — representative, sizes, "
+    "avg norm, the ordered neighbor-id list, min/max neighbor sim — "
+    "so the oracle checks the report's CONTENT (layout-independent) "
+    "while the query still exercises the JSON export+parse roundtrip. "
+    "Neighbor sims surface as min/max (exact 6-dp grid values), never "
+    "re-averaged: an average of rounded values is grid-aligned and "
+    "lands on rounding midpoints (see power_pca_2d's discipline note).",
 )
 def cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    return ML.analysis_report(e, "vec_id", "embedding", k=5, cluster_col="label").select(
-        F.col("label").alias("cluster"), "report_json"
+    rep = ML.analysis_report(e, "vec_id", "embedding", k=5, cluster_col="label")
+    r = F.from_json("report_json", _REPORT_SCHEMA)
+    return rep.select(F.col("label").alias("cluster"), r.alias("r")).select(
+        "cluster",
+        F.col("r.representative_id").alias("representative_id"),
+        F.col("r.n_members").alias("n_members"),
+        F.col("r.avg_norm").alias("avg_norm"),
+        F.array_join(
+            F.transform(F.col("r.neighbors"), lambda x: x["neighbor_id"].cast("string")),
+            ",",
+        ).alias("neighbor_ids"),
+        F.array_min(F.col("r.neighbors.sim")).alias("sim_min"),
+        F.array_max(F.col("r.neighbors.sim")).alias("sim_max"),
     )
 
 

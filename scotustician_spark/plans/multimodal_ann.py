@@ -793,19 +793,61 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 
+def _ivf_lloyd_oracle(
+    n_cells: int = 8, n_iters: int = 3, n_probe: int = 2, k: int = 5
+) -> str:
+    from .ml_analysis import lloyd_ctes
+
+    return f"""
+    WITH {lloyd_ctes(n_cells, n_iters)},
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS r
+            FROM dfin WHERE vec_id < 10) WHERE r <= {n_probe}),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cand AS (
+        SELECT p.query_id, afin.vec_id AS neighbor_id
+        FROM probes p JOIN afin ON afin.cell = p.cell AND afin.vec_id <> p.query_id),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.query_id
+        JOIN ex b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               round(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
 @register(
     "ivf_kmeans_topk",
-    None,  # KMeans quantizer is not SQL-expressible -> rows-only gate;
-    # tests/test_ml_clustering.py pins exactness at n_probe == n_cells
-    doc="IVF with a learned MLlib KMeans coarse quantizer (the "
-    "production quantizer; ivf_ann_topk is the oracle-checkable "
-    "one-step-Lloyd sibling): cells adapt to the data distribution, "
-    "queries probe their 2 nearest cells and re-rank exactly; probe is "
-    "an equi-join on cell id.",
+    _ivf_lloyd_oracle(),
+    doc="IVF with a LEARNED k-means coarse quantizer, VALUE-ORACLE-"
+    "GATED (round 6; was rows-only): a deterministic 3-step Lloyd "
+    "(operators/similarity.py::lloyd_assignments) adapts the cells to "
+    "the data distribution — the converged-quantizer production shape "
+    "(ivf_ann_topk is the one-step sibling); queries probe their 2 "
+    "nearest cells and re-rank exactly via an equi-join on cell id. "
+    "Every Lloyd round is a broadcast + map-side partial agg, SQL-"
+    "replayable by the rounded-distance recurrence. The MLlib KMeans "
+    "quantizer arm (similarity.ivf_topk) stays covered by "
+    "tests/test_ml_clustering.py, which pins exactness at "
+    "n_probe == n_cells (its labels are init-dependent, so it cannot "
+    "carry a cross-engine value oracle).",
 )
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
-    return SIM.ivf_topk(
+    out = SIM.ivf_topk_onestep(
         e,
         e.filter(F.col("vec_id") < 10),
         id_col="vec_id",
@@ -813,7 +855,9 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_cells=8,
         n_probe=2,
+        n_iters=3,
     )
+    return out.select("query_id", "neighbor_id", "sim", "rnk")
 
 
 def _semantic_dedup_oracle(n_cells: int = 8, thr: float = 0.4, r: int = 6) -> str:

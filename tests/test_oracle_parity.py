@@ -21,10 +21,9 @@ ALL = sorted(QUERY_REGISTRY)
 # here WITH a reason in the query's doc, or the coverage test fails.
 ROWS_ONLY = {
     "als_recommendations",   # BLAS nondeterminism across platforms
-    "cluster_report",        # KMeans quantizer not SQL-expressible
-    "ivf_kmeans_topk",       # KMeans quantizer not SQL-expressible
-    "kmeans_cluster_sizes",  # KMeans quantizer not SQL-expressible
-    "pca_projection",        # iterative SVD not SQL-expressible
+    # round 6 converted the other four ML rows to value oracles via
+    # deterministic twins (lloyd_ctes / power-iteration PCA / JSON
+    # parse-back) — see plans/ml_analysis.py's module docstring.
 }
 
 

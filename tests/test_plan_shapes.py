@@ -363,16 +363,14 @@ def test_registry_survives_empty_tables(spark, tmp_path, n_rows):
     inference on zero-file partitioned writes, n−1 divisions
     (variance/correlation/dof), zero-MAD and single-source statistics,
     and null-propagation edge cases a fresh partition or a tiny
-    incremental delta hits in production. MLlib `.fit` calls
-    (ALS/KMeans/PCA — all declared rows-only) legitimately refuse to
-    fit on ≤1 row and are whitelisted."""
+    incremental delta hits in production. The one MLlib `.fit` query
+    (ALS, declared rows-only) legitimately refuses to fit on ≤1 row
+    and is whitelisted; the deterministic Lloyd/power-iteration ML
+    queries must survive like everything else."""
     from scotustician_spark.plans import QUERY_REGISTRY
 
     fit_whitelist = {
-        "als_recommendations",
-        "ivf_kmeans_topk",
-        "kmeans_cluster_sizes",
-        "pca_projection",
+        "als_recommendations",  # the one remaining MLlib .fit query
     }
     for t in (
         "region nation customer supplier part orders lineitem "
@@ -424,10 +422,7 @@ def test_registry_survives_adversarial_text(spark, tmp_path):
             1
         ).write.parquet(f"{tmp_path}/{t}.parquet")
     fit_whitelist = {
-        "als_recommendations",
-        "ivf_kmeans_topk",
-        "kmeans_cluster_sizes",
-        "pca_projection",
+        "als_recommendations",  # the one remaining MLlib .fit query
     }
     fails = {}
     for name, q in sorted(QUERY_REGISTRY.items()):
