@@ -155,6 +155,147 @@ def _time(q, spark, sf_dir: str, n: int = 3) -> float:
     return round(best, 3)
 
 
+def duckdb_x10(registry, names: list[str], tier_dir: str) -> dict[str, float]:
+    """The x10 tier's DuckDB anchor: each query's ORACLE SQL over the
+    SAME tier parquet, min-of-2 — converts 'the Spark scheduler floor
+    amortizes at scale' from inference to measurement (VERDICT r5 #5).
+    Tier tables are directories, hence the /*.parquet glob."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tier_dir}/{t}.parquet/*.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in names:
+        oracle = registry[name].oracle
+        if not oracle:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(oracle).fetchall()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+        print(f"{name} x10-duckdb: {out[name]:.3f}s", flush=True)
+    con.close()
+    return out
+
+
+def ann_scale_audit(spark, tier_dir: str, repo: str) -> list[str]:
+    """Measured ANN at PRODUCTION-SHAPED index parameters (VERDICT r5
+    #4): one IVFPQ build over the x10 tier's 20k vectors at
+    n_cells=256 / m=8 / n_codes=16 (vs the bench default 8/4/8),
+    persisted + cached, then served-probe latency and recall@10 as
+    n_probe sweeps — the evidence that the partition-pruned probe
+    stays flat and recall climbs with probed lists when the list
+    count is no longer toy-sized."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators import similarity as SIM
+    from scotustician_spark.operators.ann_index import (
+        build_ivfpq_index,
+        read_ivfpq_index,
+        rerank_from_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{tier_dir}/embeddings.parquet")
+    idx_path = os.path.join(repo, "spark-warehouse", "ann_x10_idx_c256m8")
+    build_s = None
+    if not os.path.exists(f"{idx_path}/meta/_SUCCESS"):
+        t0 = time.time()
+        write_ivfpq_index(
+            build_ivfpq_index(
+                emb, dim=64, n_cells=256, m=8, n_codes=16
+            ),
+            idx_path,
+        )
+        build_s = round(time.time() - t0, 3)
+    idx = read_ivfpq_index(spark, idx_path)
+
+    queries = emb.filter(F.col("vec_id") < 100).localCheckpoint(eager=True)
+    k = 10
+    truth = (
+        SIM.brute_force_topk(emb, queries, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+
+    def _measure(n_probe: int, n_candidates: int) -> tuple[float, float]:
+        def _run():
+            return rerank_from_index(
+                idx, queries, k=k, n_candidates=n_candidates, n_probe=n_probe
+            )
+
+        _run().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _run().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        got = _run().select("query_id", "neighbor_id")
+        hit = got.join(truth, ["query_id", "neighbor_id"]).count()
+        recall = hit / n_truth if n_truth else float("nan")
+        print(
+            f"ann x10 n_probe={n_probe} n_cand={n_candidates}: "
+            f"{best:.3f}s recall@10={recall:.3f}",
+            flush=True,
+        )
+        return best, recall
+
+    lines = [
+        "",
+        "## ANN at production-shaped index parameters (x10 tier)",
+        "",
+        "One persisted IVFPQ build over the tier's 20k vectors at",
+        "n_cells=256 / m=8 / n_codes=16 (the bench rows use the demo",
+        "8/4/8), cached under spark-warehouse/. Probes are SERVED from",
+        "the persisted index (partition-pruned codes scan + exact",
+        "re-rank of the ADC-nominated candidates); recall@10 is against",
+        "exact brute-force cosine for 100 queries.",
+        "",
+        f"Build (one-time): "
+        + (f"{build_s:.3f}s" if build_s is not None else "cached (prior run)"),
+        "",
+        "Probe sweep (n_candidates=50): wall should grow with |probed",
+        "lists|, NOT corpus size. Note the tier's construction (each",
+        "vector has ~9 near-duplicate variants) puts most true top-10",
+        "sets inside ONE cell, so recall here is probe-INsensitive and",
+        "the latency curve is the scale evidence: 64x more probed lists",
+        "costs well under 2x wall.",
+        "",
+        "| n_probe | probed lists | probe+rerank s | recall@10 |",
+        "|---|---|---|---|",
+    ]
+    for n_probe in (1, 4, 16, 64):
+        best, recall = _measure(n_probe, 5 * k)
+        lines.append(
+            f"| {n_probe} | {n_probe}/256 | {best:.3f}s | {recall:.3f} |"
+        )
+    lines += [
+        "",
+        "Candidate sweep (n_probe=4): at this config the residual",
+        "misses are ADC-NOMINATION-bound, not probe-bound (the same",
+        "PQ-bound shape ann_recall_curve showed at sf0.1) — widening",
+        "the re-rank candidate pool buys the recall back at a cost",
+        "proportional to the candidate sliver, not the corpus:",
+        "",
+        "| n_candidates | probe+rerank s | recall@10 |",
+        "|---|---|---|",
+    ]
+    for n_cand in (50, 200, 500):
+        best, recall = _measure(4, n_cand)
+        lines.append(f"| {n_cand} | {best:.3f}s | {recall:.3f} |")
+    return lines
+
+
 def main() -> None:
     from scotustician_spark.plans import QUERY_REGISTRY
     from scotustician_spark.session import get_spark
@@ -184,6 +325,9 @@ def main() -> None:
         big = _time(q, spark, x1000_dir, n=2)
         x1000[name] = (base, big)
         print(f"{name} x10-tier: {big:.3f}s (sf0.1 {base:.3f}s)", flush=True)
+
+    ddb = duckdb_x10(QUERY_REGISTRY, X1000_QUERIES, x1000_dir)
+    ann_lines = ann_scale_audit(spark, x1000_dir, repo)
 
     lines = [
         "# SCALING — measured wall-clock across 1x / 10x / 100x data",
@@ -222,14 +366,34 @@ def main() -> None:
         "probe itself is the measured number and should stay nearly flat —",
         "its cost is |probed lists|, not corpus size.",
         "",
-        "| query | sf0.1 | x10 tier | ratio |",
-        "|---|---|---|---|",
+        "The duckdb column pairs the SAME oracle SQL over the tier",
+        "parquet (min-of-2): the x10/ddb ratio is the scale-anchored",
+        "Spark/DuckDB comparison that sf0.1's sub-second queries (all",
+        "scheduler floor) cannot give.",
+        "",
+        "| query | sf0.1 | x10 tier | ratio | duckdb | x10/ddb |",
+        "|---|---|---|---|---|---|",
     ]
+    sp_tot = dd_tot = 0.0
     for name in X1000_QUERIES:
         base, big = x1000[name]
+        d = ddb.get(name)
+        if d is not None:
+            sp_tot += big
+            dd_tot += d
+        dcol = f"{d:.3f}s" if d is not None else "—"
+        rcol = f"{big / d:.1f}x" if d else "—"
         lines.append(
-            f"| {name} | {base:.3f}s | {big:.3f}s | {big / base:.1f}x |"
+            f"| {name} | {base:.3f}s | {big:.3f}s | {big / base:.1f}x "
+            f"| {dcol} | {rcol} |"
         )
+    if dd_tot > 0:
+        lines += [
+            "",
+            f"x10-tier paired totals: spark {sp_tot:.1f}s / duckdb "
+            f"{dd_tot:.1f}s = **{sp_tot / dd_tot:.2f}x**.",
+        ]
+    lines += ann_lines
     out = os.path.join(repo, "SCALING.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
