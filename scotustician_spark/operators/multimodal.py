@@ -379,6 +379,177 @@ def probe_media_metadata(
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
+    """Pure-stdlib GIF-variant LZW decode (LSB-first bit packing,
+    CLEAR/END codes, 12-bit code-width cap). Returns ``n_expected``
+    palette indices."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < n_expected:
+        code = 0
+        for i in range(code_size):
+            p = bitpos + i
+            code |= ((data[p >> 3] >> (p & 7)) & 1) << i
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError(
+            f"GIF LZW underrun: {len(out)} of {n_expected} pixels"
+        )
+    return list(out[:n_expected])
+
+
+def gif_frame_grays(
+    content: bytes, max_frames: int | None = None
+) -> list[tuple[int, int, list[int]]]:
+    """REAL pure-stdlib multi-frame GIF decode: block walk (extensions
+    skipped, image descriptors decoded) → LZW inflate → palette →
+    8-bit grayscale, per frame. Frames decode INDEPENDENTLY — no
+    disposal-method compositing — which is exactly what keyframe
+    hashing wants (each stored frame is a keyframe candidate).
+    Interlaced frames are the one declared gate (rare in animation
+    and a deterministic row-shuffle away if ever needed).
+
+    Returns ``[(width, height, gray_pixels), ...]`` in stream order,
+    capped at ``max_frames``."""
+    if sniff_media(content) != "gif" or len(content) < 13:
+        raise ValueError("not a GIF")
+    flags = content[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = content[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[tuple[int, int, list[int]]] = []
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += content[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        fw, fh = struct.unpack("<HH", content[pos + 5 : pos + 9])
+        lflags = content[pos + 9]
+        pos += 10
+        lct = b""
+        if lflags & 0x80:
+            n = 2 << (lflags & 0x07)
+            lct = content[pos : pos + 3 * n]
+            pos += 3 * n
+        if lflags & 0x40:
+            raise NotImplementedError("interlaced GIF frame")
+        lzw_min = content[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(content) and content[pos] != 0:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idxs = _gif_lzw_decode(bytes(data), lzw_min, fw * fh)
+        pal = lct or gct
+        gray = [
+            (pal[3 * i] * 299 + pal[3 * i + 1] * 587 + pal[3 * i + 2] * 114)
+            // 1000
+            for i in idxs
+        ]
+        frames.append((int(fw), int(fh), gray))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames
+
+
+def gif_keyframes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL keyframe extraction for animated GIFs (the declared video
+    gap closed for the one container stdlib can decode): each GIF
+    binary explodes into one row per stored frame — dimensions, an
+    md5 of the frame's grayscale pixels, and the frame's 60-bit dHash
+    through the SAME block-mean kernel the still-image path uses
+    (``_dhash60_from_gray``), so frame-level near-dup joins compose
+    with ``phash_near_pairs`` unchanged. Non-GIF rows are skipped
+    (true video codecs remain the declared ``sample_frames``
+    NotImplementedError). Arrow-batched mapInPandas, 1 row in →
+    n_frames rows out."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame_md5", T.StringType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content)
+                if sniff_media(b) != "gif":
+                    continue
+                for k, (fw, fh, gray) in enumerate(
+                    gif_frame_grays(b, max_frames)
+                ):
+                    out["id"].append(int(rid))
+                    out["frame_idx"].append(k)
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["frame_md5"].append(
+                        hashlib.md5(bytes(gray)).hexdigest()
+                    )
+                    out["dhash"].append(_dhash60_from_gray(gray, fw, fh))
+            yield pd.DataFrame(out)
+
+    from ..session import repartition_for_compute
+
+    return (
+        repartition_for_compute(df.select(id_col, content_col))
+        .mapInPandas(run, schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def sample_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -394,9 +565,10 @@ def sample_frames(
     """
     if mode == "real":
         raise NotImplementedError(
-            "real VIDEO keyframe decode needs ffmpeg bindings (no stdlib "
-            "path exists); mode='fake' runs the identical slicing/fan-out "
-            "plumbing over raw byte ranges"
+            "real keyframe decode for VIDEO CODECS needs ffmpeg bindings "
+            "(no stdlib path exists); animated GIFs have a REAL stdlib "
+            "decode path in gif_keyframes(); mode='fake' runs the "
+            "identical slicing/fan-out plumbing over raw byte ranges"
         )
 
     schema = T.StructType(

@@ -411,6 +411,166 @@ def test_audio_dhash_real_wav_arm(spark):
     assert (1, 3) not in pairs
 
 
+def _lzw_encode_simple(idxs, min_code: int) -> bytes:
+    """Minimal valid GIF LZW stream: CLEAR before every pixel code so
+    the code table never grows and the code width stays min_code+1 —
+    bulky but spec-conformant, ideal for a test encoder."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    bits: list[int] = []
+
+    def emit(c):
+        for i in range(code_size):
+            bits.append((c >> i) & 1)
+
+    emit(clear)
+    for v in idxs:
+        emit(v)
+        emit(clear)
+    emit(end)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        by.append(b)
+    return bytes(by)
+
+
+def _make_gif(frames, w: int, h: int) -> bytes:
+    """Animated GIF with a 4-entry global palette (black, white,
+    mid-gray, light-gray); ``frames`` are lists of palette indices."""
+    palette = bytes(
+        [0, 0, 0, 255, 255, 255, 128, 128, 128, 192, 192, 192]
+    )
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x81, 0, 0])  # GCT present, 4 entries
+    out += palette
+    for idxs in frames:
+        assert len(idxs) == w * h
+        out += b"\x2c" + bytes(4)  # image descriptor, left=top=0
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0])  # no LCT, not interlaced
+        out += bytes([2])  # lzw min code size
+        data = _lzw_encode_simple(idxs, 2)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_keyframes_real_multiframe_decode(spark):
+    """The declared video-keyframe gap, closed for the one container
+    stdlib can decode: a hand-built 3-frame animated GIF decodes to 3
+    keyframe rows with correct grayscale content and dHash through
+    the shared block-mean kernel; non-GIF rows are skipped; an
+    interlaced frame raises the declared gate."""
+    from scotustician_spark.operators.multimodal import (
+        _dhash60_from_gray,
+        gif_frame_grays,
+        gif_keyframes,
+    )
+
+    w = h = 10
+    f_black = [0] * (w * h)
+    f_white = [1] * (w * h)
+    f_grad = [(x // 3) % 4 for y in range(h) for x in range(w)]
+    gif = _make_gif([f_black, f_white, f_grad], w, h)
+
+    # pure decode first: frame count, dims, exact grayscale values
+    grays = gif_frame_grays(gif)
+    assert [g[:2] for g in grays] == [(10, 10)] * 3
+    assert grays[0][2] == [0] * 100
+    assert grays[1][2] == [255] * 100
+    pal_gray = {0: 0, 1: 255, 2: 128, 3: 192}
+    assert grays[2][2] == [pal_gray[i] for i in f_grad]
+
+    df = spark.createDataFrame(
+        [(1, gif), (2, b"not a gif"), (3, None)],
+        "doc_id long, content binary",
+    )
+    rows = sorted(
+        gif_keyframes(df.filter(F.col("content").isNotNull())).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1, 1]  # non-GIF skipped
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["frame_md5"] == hashlib.md5(bytes([0] * 100)).hexdigest()
+    # constant frames have all-zero difference bits; the gradient
+    # frame has structure -> a distinct nonzero hash
+    assert rows[0]["dhash"] == 0 and rows[1]["dhash"] == 0
+    want_grad = _dhash60_from_gray([pal_gray[i] for i in f_grad], w, h)
+    assert rows[2]["dhash"] == want_grad != 0
+
+    # interlaced gate: flip the interlace flag on frame 1's descriptor
+    bad = bytearray(gif)
+    desc = bad.index(b"\x2c")
+    bad[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        gif_frame_grays(bytes(bad))
+
+    # max_frames cap
+    assert len(gif_frame_grays(gif, max_frames=2)) == 2
+
+
+def test_gif_lzw_decoder_growing_codes():
+    """Exercise the REAL LZW path (dictionary growth + code-width
+    bump), not just the clear-heavy test encoder: a conformant
+    growing-dictionary encoder round-trips through the decoder."""
+    from scotustician_spark.operators.multimodal import _gif_lzw_decode
+
+    def lzw_encode_full(idxs, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        bits = []
+
+        def emit(c, size):
+            for i in range(size):
+                bits.append((c >> i) & 1)
+
+        emit(clear, code_size)
+        prev = b""
+        for v in idxs:
+            cur = prev + bytes([v])
+            if cur in table:
+                prev = cur
+                continue
+            emit(table[prev], code_size)
+            table[cur] = next_code
+            next_code += 1
+            # encoder bumps ONE ENTRY LATER than the decoder: the
+            # decoder's table add lags the encoder's by one code (its
+            # first post-clear read adds nothing), so the decoder
+            # bumps at next_code == 2^w while the encoder must bump
+            # at next_code == 2^w + 1 to keep widths aligned.
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            prev = bytes([v])
+        if prev:
+            emit(table[prev], code_size)
+        emit(end, code_size)
+        by = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << j
+            by.append(b)
+        return bytes(by)
+
+    import random
+
+    rng = random.Random(7)
+    idxs = [rng.randrange(4) for _ in range(4000)]
+    enc = lzw_encode_full(idxs, 2)
+    assert _gif_lzw_decode(enc, 2, len(idxs)) == idxs
+    assert len(enc) < len(idxs)  # the dictionary actually compressed
+
+
 def test_resize_image_gray_real_and_fake(spark):
     """REAL resize arm: block-mean thumbnail of a ground-truth PNG
     equals the Python-side area averages; fake arm is deterministic
