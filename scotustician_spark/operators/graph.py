@@ -190,6 +190,8 @@ def kcore_peel(
     src: str = "item_a",
     dst: str = "item_b",
     checkpoint_dir: str | None = None,
+    until_stable: bool = False,
+    stats: dict | None = None,
 ):
     """Bounded k-core peeling: ``rounds`` iterations of "keep vertices
     with degree ≥ k in the current induced subgraph, drop edges
@@ -205,12 +207,21 @@ def kcore_peel(
     k-core is the standard community-skeleton filter next to triangle
     counting (`triangle_counts`): the 2-core strips pendant chains,
     higher k isolates dense commercial clusters.
+
+    ``until_stable=True`` turns ``rounds`` into a CAP and stops as
+    soon as a peel round removes nothing (the surviving edge count is
+    monotone non-increasing, so an unchanged count IS the fixpoint) —
+    the convergence arm for real graphs, one count() action per round
+    on top of the bounded oracle-friendly replay. ``stats`` (optional
+    dict) records ``rounds_run``.
     """
     from pyspark.sql import functions as F
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = cut_lineage(e, False, checkpoint_dir)
+    prev_n = e.count() if until_stable else None
+    rounds_run = 0
     for _ in range(rounds):
         keep = e.groupBy("u").count().filter(F.col("count") >= k).select("u")
         e = cut_lineage(
@@ -220,6 +231,14 @@ def kcore_peel(
             False,
             checkpoint_dir,
         )
+        rounds_run += 1
+        if until_stable:
+            cur_n = e.count()
+            if cur_n == prev_n:
+                break
+            prev_n = cur_n
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
     return e.groupBy("u").agg(F.count("*").cast("bigint").alias("core_degree")).select(
         F.col("u").alias("vertex"), "core_degree"
     )
@@ -231,6 +250,8 @@ def label_propagation(
     dst: str = "id_b",
     rounds: int = 4,
     checkpoint_dir: str | None = None,
+    until_stable: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), determinized: label_0(v) = v; each round every vertex
@@ -252,6 +273,18 @@ def label_propagation(
     keyed on vertex ids, so AQE splits hub-vertex skew, and lineage
     is cut per round like the pagerank/components loops.
     Returns (vertex, community).
+
+    ``until_stable=True`` keeps the fixed-round determinism guarantees
+    (``rounds`` becomes a CAP — synchronous LPA can oscillate with
+    period 2 on bipartite structure, so an unconditional loop could
+    never terminate) but stops early once an iteration changes no
+    vertex's label, detected by an ASSIGNMENT-sensitive checksum:
+    ``sum(xxhash64(vertex, label))``. The components loop's
+    label-only checksum is not enough here — LPA labels are not
+    monotone, and two different assignments can share a label
+    multiset (a swap), so the vertex must hash in. One tiny agg
+    action per round; type-agnostic (string ids hash fine).
+    ``stats`` (optional dict) records ``rounds_run``.
     """
     sym = cut_lineage(symmetrize(pairs, src, dst), True, checkpoint_dir)
     # round 1 collapses: with identity initial labels every neighbor
@@ -261,6 +294,14 @@ def label_propagation(
     labels = sym.groupBy("u").agg(F.min("v").alias("lbl")).select(
         F.col("u").alias("v"), "lbl"
     )
+
+    def _assign_checksum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.xxhash64("v", "lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _assign_checksum(labels) if until_stable else None
+    rounds_run = 1
     for _ in range(rounds - 1):
         nbr = sym.join(
             labels.select(F.col("v").alias("__nv"), "lbl"),
@@ -278,6 +319,14 @@ def label_propagation(
             False,
             checkpoint_dir,
         )
+        rounds_run += 1
+        if until_stable:
+            cur_sum = _assign_checksum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
     # label rides in its NATIVE type — vertex ids may be strings
     # (docket numbers); numeric casts here would crash under ANSI,
     # the same footgun the components checksum fix removed

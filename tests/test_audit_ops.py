@@ -481,6 +481,80 @@ def test_label_propagation_round1_is_min_neighbor(spark):
     assert out == {"hub": "l1", "l1": "hub", "l2": "hub", "l3": "hub"}
 
 
+def test_graph_convergence_mode_matches_and_stops_early(spark):
+    """until_stable (VERDICT r5 #7): the convergence arm reaches the
+    fixed-round result under a generous cap, and spends fewer rounds
+    than the cap on a graph that converges early — while the fixed
+    cap still bounds oscillating structure."""
+    from scotustician_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+    )
+
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),   # triangle A
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),   # triangle B
+        ("a3", "b1"),                               # bridge
+    ]
+    e_df = spark.createDataFrame(edges, "item_a string, item_b string")
+
+    fixed = {
+        r["vertex"]: r["community"]
+        for r in label_propagation(
+            e_df, src="item_a", dst="item_b", rounds=4
+        ).collect()
+    }
+    stats: dict = {}
+    conv = {
+        r["vertex"]: r["community"]
+        for r in label_propagation(
+            e_df, src="item_a", dst="item_b", rounds=10,
+            until_stable=True, stats=stats,
+        ).collect()
+    }
+    assert conv == fixed
+    assert stats["rounds_run"] < 10  # stopped on the checksum, not the cap
+
+    # fast-converging LPA input: a single triangle. Round 1 gives
+    # x->y, y->x, z->x (min neighbor); round 2 collapses everything
+    # to "x"; round 3 changes nothing and the checksum fires — so
+    # exactly 3 rounds, far under the cap.
+    tri = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("x", "z")], "item_a string, item_b string"
+    )
+    s2: dict = {}
+    label_propagation(
+        tri, src="item_a", dst="item_b", rounds=10, until_stable=True, stats=s2
+    ).collect()
+    assert s2["rounds_run"] == 3
+
+    # k-core: chain + triangle graph needs 3 peels to dissolve the
+    # pendant chain; convergence mode stops right after the fixpoint
+    edges_kc = [
+        ("a", "b"), ("b", "c"), ("c", "x"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+    ]
+    kdf = spark.createDataFrame(edges_kc, "item_a string, item_b string")
+    want = sorted(
+        (r["vertex"], r["core_degree"])
+        for r in kcore_peel(kdf, k=2, rounds=8).collect()
+    )
+    s3: dict = {}
+    got = sorted(
+        (r["vertex"], r["core_degree"])
+        for r in kcore_peel(
+            kdf, k=2, rounds=8, until_stable=True, stats=s3
+        ).collect()
+    )
+    assert got == want == [("x", 2), ("y", 2), ("z", 2)]
+    assert s3["rounds_run"] < 8
+
+    # already-2-core input (pure triangle): first peel removes nothing
+    s4: dict = {}
+    kcore_peel(tri, k=2, rounds=8, until_stable=True, stats=s4).collect()
+    assert s4["rounds_run"] == 1
+
+
 def test_label_propagation_reliable_checkpoint_identical(spark, tmp_path):
     """The reliable-checkpoint cut (checkpoint_dir set — survives
     executor loss at cluster scale) produces results identical to the
