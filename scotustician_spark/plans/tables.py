@@ -34,12 +34,59 @@ from pyspark.sql import functions as F
 _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
-def _path_stamp(path: str) -> tuple:
+import hashlib as _hashlib
+
+#: test seam: simulating an object-store path swaps this for a stat
+#: that raises OSError, forcing the catalog-stamp fallback below.
+_LOCAL_STAT = os.stat
+
+
+def _catalog_stamp(spark: SparkSession | None, path: str) -> tuple | None:
+    """Manifest-based dataset stamp for paths ``os.stat`` cannot see
+    (hdfs://, s3a://...): the content hash of the dataset's manifest
+    file — ``_ingest_manifest.json`` (written by the ingest sink,
+    sources/oa_datasource.py) or ``_MANIFEST`` (the snapshot
+    discipline, sources/snapshot.py) — read through the Hadoop
+    FileSystem, which reaches any store the session can. A manifest
+    rewrites whenever the dataset republishes, so its hash re-keys
+    caches exactly when the data changes — the catalog-backed
+    equivalent of the local ``(mtime, size)`` stamp (VERDICT r5 #8).
+    Returns None when no manifest exists (caller falls back to
+    path-only keying, matching plain ``spark.read`` semantics)."""
+    if spark is None:
+        return None
     try:
-        st = os.stat(path)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for mf in ("_ingest_manifest.json", "_MANIFEST"):
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{mf}")
+            fs = p.getFileSystem(hconf)
+            if fs.exists(p):
+                stream = fs.open(p)
+                try:
+                    # commons-io drains JVM-side; py4j passes byte[]
+                    # BY VALUE so a Python read(buf) loop sees nothing
+                    data = jvm.org.apache.commons.io.IOUtils.toByteArray(
+                        stream
+                    )
+                finally:
+                    stream.close()
+                return ("manifest", mf, _hashlib.md5(bytes(data)).hexdigest())
+    except Exception:  # noqa: BLE001 — stamp probe must never fail a read
+        return None
+    return None
+
+
+def _path_stamp(path: str, spark: SparkSession | None = None) -> tuple:
+    try:
+        st = _LOCAL_STAT(path)
     except OSError:
-        # Non-local path (hdfs://, s3a://...) or vanished file: no stamp —
-        # cache purely on path, matching spark.read semantics.
+        # Non-local path (hdfs://, s3a://...) or vanished file: key on
+        # the dataset's manifest content hash when one exists, else
+        # purely on path (matching spark.read semantics).
+        cat = _catalog_stamp(spark, path)
+        if cat is not None:
+            return (path,) + cat
         return (path, None, None)
     return (path, st.st_mtime_ns, st.st_size)
 
@@ -50,7 +97,7 @@ def load_table(
     """Memoized ``spark.read.parquet(f"{sf_dir}/{name}.parquet")``."""
     path = f"{sf_dir}/{name}.parquet"
     per_session = _CACHE.setdefault(spark, {})
-    key = _path_stamp(path) + (normalize_ntz,)
+    key = _path_stamp(path, spark) + (normalize_ntz,)
     df = per_session.get(key)
     if df is None:
         df = spark.read.parquet(path)
@@ -71,10 +118,9 @@ def load_table(
 # warehouse. The same discipline as the persisted ANN index
 # (plans/multimodal_ann.py): a serving query pays the probe, never the
 # index build; a regenerated dataset or changed parameters re-key and
-# rebuild. (Local-FS stamps — swap for a catalog/manifest on an
-# object store.)
-
-import hashlib as _hashlib
+# rebuild. (Stamps: local-FS (mtime, size) where os.stat works, the
+# dataset's manifest content hash on object-store paths — see
+# _catalog_stamp.)
 
 _REL_CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -100,7 +146,7 @@ def persisted_relation(
     # so e.g. the sf0.01 correctness gate and the sf0.1 bench keep
     # independent live builds instead of evicting each other.
     ident = _hashlib.md5(repr((sorted(source_paths), params)).encode()).hexdigest()[:8]
-    stamp = [_path_stamp(p) for p in sorted(source_paths)] + [params]
+    stamp = [_path_stamp(p, spark) for p in sorted(source_paths)] + [params]
     key = _hashlib.md5(repr(stamp).encode()).hexdigest()[:8]
     path = os.path.join(_REL_CACHE_ROOT, f"{name}_{ident}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
