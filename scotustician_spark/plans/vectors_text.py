@@ -1183,6 +1183,108 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_DEEP_K = 96  # above ARROW_APPLY_THRESHOLD: serves via the kernel
+
+
+@register(
+    "bpe_apply_deep",
+    f"""
+    WITH RECURSIVE base AS (SELECT doc_id, {_TOKS_G} AS l FROM documents),
+    prs AS (SELECT unnest(list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i+1])) AS pair
+            FROM base WHERE len(l) >= 2),
+    pc AS (SELECT pair, count(*) AS c FROM prs
+           WHERE NOT contains(pair, '~') GROUP BY pair),
+    top AS (SELECT pair, c FROM pc ORDER BY c DESC, pair LIMIT {_BPE_DEEP_K}),
+    merges AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY c DESC, pair) AS INTEGER)
+                 AS merge_rank,
+             ' ' || string_split(pair, ' ')[1] || '  ' ||
+                 string_split(pair, ' ')[2] || ' ' AS pat,
+             ' ' || string_split(pair, ' ')[1] || '~' ||
+                 string_split(pair, ' ')[2] || ' ' AS rep
+      FROM top),
+    prep AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CASE WHEN len(l) = 0 THEN ''
+                  ELSE ' ' || array_to_string(l, '  ') || ' ' END AS seq
+             FROM base),
+    app AS (SELECT doc_id, n_tokens, seq, 0 AS i FROM prep
+            UNION ALL
+            SELECT a.doc_id, a.n_tokens, replace(a.seq, m.pat, m.rep),
+                   a.i + 1
+            FROM app a JOIN merges m ON m.merge_rank = a.i + 1
+            WHERE a.i < {_BPE_DEEP_K}),
+    fin AS (SELECT doc_id, n_tokens, seq,
+            row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+            FROM app)
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+                END AS n_bpe_tokens,
+           n_tokens - CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+                END AS n_merges_applied
+    FROM fin WHERE rn = 1
+    """,
+    doc=f"Production-depth merge application through the ARROW KERNEL "
+    f"(round 6): {_BPE_DEEP_K} mined merges — above apply_merges' "
+    f"64-merge literal-chain cap, so this row serves via the constant-"
+    f"plan-depth Arrow arm (operators/tokenizer.py) and the oracle's "
+    f"rank-parameterized recursive CTE pins the kernel's semantics on "
+    f"real corpus data, complementing the property test that pins the "
+    f"two arms bit-identical. The merge table is a bounded collect "
+    f"(top-{_BPE_DEEP_K} pairs — TakeOrdered, corpus-size-independent) "
+    f"broadcast into one Arrow pass over the documents; pairs touching "
+    f"'~'-bearing tokens are excluded in both engines (a merged symbol "
+    f"must never collide with an original token — the arm-equivalence "
+    f"precondition). Zero-token docs no-op through the kernel's exact-"
+    f"literal fallback.",
+)
+def bpe_apply_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import apply_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
+    )
+    base = docs.select("doc_id", toks.alias("l"))
+    pairs = F.when(
+        F.size("l") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("l") - 2),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("l"), i + 1),
+                                  F.element_at(F.col("l"), i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        base.select(F.explode(pairs).alias("pair"))
+        .filter(~F.col("pair").contains("~"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(_BPE_DEEP_K)
+        .collect()  # bounded: ≤ K rows regardless of corpus size
+    )
+    merges = [tuple(r["pair"].split(" ", 1)) for r in top]
+    cur = base.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        F.when(F.size("l") == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" "), F.array_join("l", "  "), F.lit(" "))
+        ).alias("seq"),
+    )
+    ap = apply_merges(cur, merges)
+    n_after = F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long")
+    )
+    return ap.select(
+        "doc_id",
+        "n_tokens",
+        n_after.alias("n_bpe_tokens"),
+        (F.col("n_tokens") - n_after).alias("n_merges_applied"),
+    )
+
+
 _BPE_TRAIN_K = 8  # merges learned; bounds the oracle's unrolled rounds
 _BPE_TRAIN_V = 400  # vocab cap (freq desc, word asc) — the trainer's bound
 
