@@ -209,6 +209,23 @@ def test_arrow_arm_smoke_at_1k_merges(spark):
     assert got["a" * 64].strip().count("  ") == 0
 
 
+def test_arrow_arm_plan_depth_is_constant(spark):
+    """The point of the kernel: 96 merges must NOT build a 96-deep
+    replace expression tree. The Arrow plan carries exactly one
+    ArrowEvalPython node and zero JVM replace calls; the literal arm
+    at 8 merges keeps its codegen'd replace chain and no Python."""
+    from scotustician_spark.operators.tokenizer import apply_merges
+
+    df = spark.createDataFrame([(" a  b ",)], "seq string")
+    many = [(f"x{i}", f"y{i}") for i in range(96)]
+    arrow_plan = apply_merges(df, many)._jdf.queryExecution().executedPlan().toString()
+    assert arrow_plan.count("ArrowEvalPython") == 1
+    assert "replace(" not in arrow_plan
+    lit_plan = apply_merges(df, many[:8])._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in lit_plan
+    assert lit_plan.count("replace(") == 8
+
+
 def test_arrow_arm_nulls_and_malformed(spark):
     """NULL seqs stay NULL; strings outside the double-space encoding
     take the exact-literal fallback inside the kernel."""
