@@ -428,16 +428,31 @@ def _gif_lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
     return list(out[:n_expected])
 
 
+def _deinterlace_rows(idxs: list[int], w: int, h: int) -> list[int]:
+    """Undo GIF 4-pass interlacing: decoded rows arrive in pass order
+    (rows 0,8,16.. then 4,12.. then 2,6,10.. then 1,3,5..) and are
+    scattered back to their true positions."""
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = [0] * (w * h)
+    for src, dst in enumerate(order):
+        out[dst * w : (dst + 1) * w] = idxs[src * w : (src + 1) * w]
+    return out
+
+
 def gif_frame_grays(
     content: bytes, max_frames: int | None = None
 ) -> list[tuple[int, int, list[int]]]:
     """REAL pure-stdlib multi-frame GIF decode: block walk (extensions
-    skipped, image descriptors decoded) → LZW inflate → palette →
-    8-bit grayscale, per frame. Frames decode INDEPENDENTLY — no
-    disposal-method compositing — which is exactly what keyframe
-    hashing wants (each stored frame is a keyframe candidate).
-    Interlaced frames are the one declared gate (rare in animation
-    and a deterministic row-shuffle away if ever needed).
+    skipped, image descriptors decoded) → LZW inflate → deinterlace
+    where flagged → palette → 8-bit grayscale, per frame. Frames
+    decode INDEPENDENTLY — no disposal-method compositing — which is
+    exactly what keyframe hashing wants (each stored frame is a
+    keyframe candidate).
 
     Returns ``[(width, height, gray_pixels), ...]`` in stream order,
     capped at ``max_frames``."""
@@ -471,8 +486,6 @@ def gif_frame_grays(
             n = 2 << (lflags & 0x07)
             lct = content[pos : pos + 3 * n]
             pos += 3 * n
-        if lflags & 0x40:
-            raise NotImplementedError("interlaced GIF frame")
         lzw_min = content[pos]
         pos += 1
         data = bytearray()
@@ -482,6 +495,8 @@ def gif_frame_grays(
             pos += ln + 1
         pos += 1
         idxs = _gif_lzw_decode(bytes(data), lzw_min, fw * fh)
+        if lflags & 0x40:
+            idxs = _deinterlace_rows(idxs, fw, fh)
         pal = lct or gct
         gray = [
             (pal[3 * i] * 299 + pal[3 * i + 1] * 587 + pal[3 * i + 2] * 114)

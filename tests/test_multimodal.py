@@ -467,7 +467,7 @@ def test_gif_keyframes_real_multiframe_decode(spark):
     stdlib can decode: a hand-built 3-frame animated GIF decodes to 3
     keyframe rows with correct grayscale content and dHash through
     the shared block-mean kernel; non-GIF rows are skipped; an
-    interlaced frame raises the declared gate."""
+    interlaced frame deinterlaces to the identical pixels."""
     from scotustician_spark.operators.multimodal import (
         _dhash60_from_gray,
         gif_frame_grays,
@@ -505,12 +505,20 @@ def test_gif_keyframes_real_multiframe_decode(spark):
     want_grad = _dhash60_from_gray([pal_gray[i] for i in f_grad], w, h)
     assert rows[2]["dhash"] == want_grad != 0
 
-    # interlaced gate: flip the interlace flag on frame 1's descriptor
-    bad = bytearray(gif)
-    desc = bad.index(b"\x2c")
-    bad[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        gif_frame_grays(bytes(bad))
+    # interlaced round-trip: encode the gradient frame with its rows
+    # in GIF 4-pass interlace order + the flag set; the decoder must
+    # scatter them back to the identical pixel array
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    rows = [f_grad[rr * w : (rr + 1) * w] for rr in order]
+    il_idxs = [v for row in rows for v in row]
+    il = bytearray(_make_gif([il_idxs], w, h))
+    desc = il.index(b"\x2c")
+    il[desc + 9] |= 0x40
+    (iw, ih, igray) = gif_frame_grays(bytes(il))[0]
+    assert (iw, ih) == (w, h) and igray == grays[2][2]
 
     # max_frames cap
     assert len(gif_frame_grays(gif, max_frames=2)) == 2
