@@ -1,6 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE compact JSON line (see the output contract below — no per-query
+map on stdout; that is exactly the field whose size made BENCH_r04
+and BENCH_r05 unparseable).
 
 Each query is materialized via the noop sink (full execution, no
 collect/serialization cost), timed individually after the session is

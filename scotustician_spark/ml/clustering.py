@@ -119,15 +119,24 @@ def power_pca_2d(
     Output is the fixed-step recurrence's value, an approximation of
     the top-2 principal components that sharpens with ``n_iters``.
 
-    Scale shape: the corpus is touched exactly three times (stats,
-    Gramian, projection), each a map-side-combined aggregation keyed
-    on ``pos``/(i, j); the iteration itself runs on the d²-row
-    Gramian relation (localCheckpointed per step — 2·n_iters tiny
-    jobs, corpus-size-independent).
+    Scale shape: the corpus is touched four times (the n/d metadata
+    count, z-score stats, Gramian, projection), each a map-side-
+    combined aggregation keyed on ``pos``/(i, j); the iteration
+    itself is d²-row compute over the localCheckpointed Gramian —
+    one lazy chain per component, corpus-size-independent.
     """
-    first = df.select(F.max(F.size(vec_col))).first()
-    n = df.count()
-    if n < 2 or first is None or first[0] is None:
+    ex = df.select(
+        id_col, *keep_cols, F.posexplode(vec_col).alias("pos", "vraw")
+    ).withColumn("v", F.col("vraw").cast("double"))
+    # n and d in ONE pass, counted POST-explode so NULL-embedding rows
+    # are excluded exactly as the oracle's count(DISTINCT vec_id) FROM
+    # the long form excludes them (df.count() would include them and
+    # shift every Gramian cell by (n-1)/(n-2) before rounding)
+    meta = ex.agg(
+        F.countDistinct(id_col).alias("n"), F.countDistinct("pos").alias("d")
+    ).first()
+    n, d = int(meta["n"] or 0), int(meta["d"] or 0)
+    if n < 2 or d == 0:
         # no variance to decompose: degenerate all-zero projection
         # (keeps 0/1-row partitions and empty deltas crash-free)
         return (
@@ -135,11 +144,6 @@ def power_pca_2d(
             .withColumn("x", F.lit(0.0))
             .withColumn("y", F.lit(0.0))
         )
-    d = int(first[0])
-
-    ex = df.select(
-        id_col, *keep_cols, F.posexplode(vec_col).alias("pos", "vraw")
-    ).withColumn("v", F.col("vraw").cast("double"))
     stats = ex.groupBy("pos").agg(
         F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
     )
@@ -165,48 +169,51 @@ def power_pca_2d(
         .localCheckpoint(eager=True)  # d² rows, feeds 2·n_iters matvecs
     )
 
-    def _power(gdf: DataFrame) -> DataFrame:
-        # The whole n_iters chain stays LAZY — gdf is already
-        # materialized (localCheckpoint), so the nested plan is pure
-        # d-row compute and executes as ONE job when the caller
-        # checkpoints the result; per-iteration eager checkpoints
-        # cost a scheduler round-trip each (measured ~3x the wall).
-        v = gdf.select("i").distinct().withColumn(
-            "vv", F.round(F.lit(1.0) / F.sqrt(F.lit(float(d))), r)
-        )
+    # The power iteration runs ON THE DRIVER over the collected
+    # Gramian — a BOUNDED table (d² rows, corpus-size-independent),
+    # the train_bpe bounded-collect discipline. A DataFrame loop was
+    # tried both ways and loses badly: per-iteration eager
+    # localCheckpoints cost a scheduler round-trip each (~18 s), and
+    # a lazy nested chain re-computes every broadcast subtree
+    # (nrm_t's subtree contains v_{t-1}'s, 2^n_iters blowup — ~60 s).
+    # Cross-engine parity holds by the same argument as the SQL twin:
+    # every rounded quantity is CONTINUOUS (÷ sqrt norm), where the
+    # sub-ulp summation-order differences between Python and either
+    # engine are absorbed by round(·, r) except on measure-zero
+    # midpoints (see the grid-midpoint note above).
+    gm: dict[tuple[int, int], float] = {
+        (row["i"], row["j"]): row["c"] for row in g.collect()
+    }
+
+    def _power_py(mat: dict[tuple[int, int], float]) -> list[float]:
+        v = [round(1.0 / d ** 0.5, r)] * d
         for _ in range(n_iters):
-            w = (
-                gdf.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
-                .groupBy("i")
-                .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
-            )
-            nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-            v = w.crossJoin(F.broadcast(nrm)).select(
-                "i", F.round(F.col("w") / F.col("nrm"), r).alias("vv")
-            )
+            w = [
+                sum(mat.get((i, j), 0.0) * v[j] for j in range(d))
+                for i in range(d)
+            ]
+            nrm = sum(x * x for x in w) ** 0.5
+            v = [round(x / nrm, r) for x in w]
         return v
 
-    v1 = _power(g).localCheckpoint(eager=True)  # d rows, 3 consumers
-    lam = (
-        g.join(F.broadcast(v1), "i")
-        .join(F.broadcast(v1.select(F.col("i").alias("j"), F.col("vv").alias("vj"))), "j")
-        .agg(F.round(F.sum(F.col("vv") * F.col("c") * F.col("vj")), r).alias("l"))
+    v1 = _power_py(gm)
+    lam = round(
+        sum(
+            v1[i] * gm.get((i, j), 0.0) * v1[j]
+            for i in range(d)
+            for j in range(d)
+        ),
+        r,
     )
-    g2 = (
-        g.join(F.broadcast(v1), "i")
-        .join(F.broadcast(v1.select(F.col("i").alias("j"), F.col("vv").alias("vj"))), "j")
-        .crossJoin(F.broadcast(lam))
-        .select(
-            "i",
-            "j",
-            F.round(F.col("c") - F.col("l") * F.col("vv") * F.col("vj"), r).alias("c"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    v2 = _power(g2).localCheckpoint(eager=True)
+    g2 = {
+        (i, j): round(gm.get((i, j), 0.0) - lam * v1[i] * v1[j], r)
+        for i in range(d)
+        for j in range(d)
+    }
+    v2 = _power_py(g2)
 
-    basis = v1.select(F.col("i").alias("pos"), F.col("vv").alias("w1")).join(
-        v2.select(F.col("i").alias("pos"), F.col("vv").alias("w2")), "pos"
+    basis = df.sparkSession.createDataFrame(
+        [(i, v1[i], v2[i]) for i in range(d)], "pos int, w1 double, w2 double"
     )
     return (
         z.join(F.broadcast(basis), "pos")

@@ -292,18 +292,22 @@ def auto_semi_join(
             )
             .drop("__bloom")
         )
-        # Salt from (key, per-row id), NOT a hash of every column:
-        # xxhash64 rejects MAP-typed columns outright, and exact
-        # duplicate rows would all hash to one salt, keeping a hot key
-        # made of duplicates on a single reducer. The monotonic id is
-        # only a spreading term — correctness never depends on its
-        # value, any per-row distinct-ish value works.
+        # Salt must be DETERMINISTIC per row — it feeds the shuffle
+        # key, and a nondeterministic expression (rand,
+        # monotonically_increasing_id) re-evaluates differently when a
+        # lost map task recomputes after a fetch failure, silently
+        # dropping/duplicating rows across the exchange (the
+        # SPARK-23207 class of bug). So: hash every HASHABLE column
+        # (xxhash64 rejects MAP-bearing types, which also cannot be
+        # shuffle keys themselves). Exact full-row duplicates
+        # therefore share a salt — a residual skew (not correctness)
+        # caveat; rows of a hot key almost always differ somewhere.
+        hashable = [
+            c for c, t in pre.dtypes if "map<" not in t
+        ] or [fact_key]
         salted_fact = pre.withColumn(
             "__salt",
-            F.pmod(
-                F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()),
-                F.lit(n_salts),
-            ).cast("int"),
+            F.pmod(F.xxhash64(*hashable), F.lit(n_salts)).cast("int"),
         )
         salted_keys = keys.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -498,6 +498,15 @@ def gif_frame_grays(
         if lflags & 0x40:
             idxs = _deinterlace_rows(idxs, fw, fh)
         pal = lct or gct
+        if not pal:
+            # GCT and LCT are both optional per spec; without either
+            # there is no defined color for any index — corrupt for
+            # our purposes (raise ValueError, the skippable class,
+            # never IndexError out of a task)
+            raise ValueError("GIF frame has no color table")
+        n_pal = len(pal) // 3
+        if any(i >= n_pal for i in idxs):
+            raise ValueError("GIF pixel index beyond the color table")
         gray = [
             (pal[3 * i] * 299 + pal[3 * i + 1] * 587 + pal[3 * i + 2] * 114)
             // 1000
@@ -521,9 +530,14 @@ def gif_keyframes(
     md5 of the frame's grayscale pixels, and the frame's 60-bit dHash
     through the SAME block-mean kernel the still-image path uses
     (``_dhash60_from_gray``), so frame-level near-dup joins compose
-    with ``phash_near_pairs`` unchanged. Non-GIF rows are skipped
-    (true video codecs remain the declared ``sample_frames``
-    NotImplementedError). Arrow-batched mapInPandas, 1 row in →
+    with ``phash_near_pairs`` unchanged. NULL-content and non-GIF
+    rows are skipped, and a corrupt GIF (truncated LZW, missing color
+    table, out-of-palette indices) skips THAT ROW rather than failing
+    the task — the DLQ discipline: one bad blob in a 100 TB corpus
+    must never abort the job (route the skips through
+    ``split_quarantine`` upstream if they need accounting). True
+    video codecs remain the declared ``sample_frames``
+    NotImplementedError. Arrow-batched mapInPandas, 1 row in →
     n_frames rows out."""
     schema = T.StructType(
         [
@@ -543,9 +557,11 @@ def gif_keyframes(
                 b = bytes(content)
                 if sniff_media(b) != "gif":
                     continue
-                for k, (fw, fh, gray) in enumerate(
-                    gif_frame_grays(b, max_frames)
-                ):
+                try:
+                    frames = gif_frame_grays(b, max_frames)
+                except ValueError:
+                    continue  # corrupt blob: skip the row, not the job
+                for k, (fw, fh, gray) in enumerate(frames):
                     out["id"].append(int(rid))
                     out["frame_idx"].append(k)
                     out["width"].append(fw)
@@ -559,7 +575,11 @@ def gif_keyframes(
     from ..session import repartition_for_compute
 
     return (
-        repartition_for_compute(df.select(id_col, content_col))
+        repartition_for_compute(
+            df.filter(F.col(content_col).isNotNull()).select(
+                id_col, content_col
+            )
+        )
         .mapInPandas(run, schema)
         .withColumnRenamed("id", id_col)
     )
@@ -650,7 +670,13 @@ def _block_mean_resize(
     EVERY cell covers at least one pixel, so upscales (w < out_w or
     h < out_h) replicate nearest source pixels instead of silently
     averaging zero pixels to 0.0 (which gave degenerate dHash bits on
-    tiny images). Downscales tile the image exactly — O(pixels)."""
+    tiny images). A ZERO-dimension source (a spec-parsable 0xN GIF/PNG
+    descriptor) has no pixels to replicate — defined as the all-zero
+    grid, the pre-round-6 behavior. Downscales tile exactly —
+    O(pixels)."""
+    if w <= 0 or h <= 0:
+        return [0.0] * (out_w * out_h)
+
     def _bounds(n_src: int, n_out: int, g: int) -> tuple[int, int]:
         lo = g * n_src // n_out
         return lo, max(lo + 1, (g + 1) * n_src // n_out)

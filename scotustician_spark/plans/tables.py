@@ -48,11 +48,17 @@ def _catalog_stamp(spark: SparkSession | None, path: str) -> tuple | None:
     sources/oa_datasource.py) or ``_MANIFEST`` (the snapshot
     discipline, sources/snapshot.py) — read through the Hadoop
     FileSystem, which reaches any store the session can. A manifest
-    rewrites whenever the dataset republishes, so its hash re-keys
-    caches exactly when the data changes — the catalog-backed
-    equivalent of the local ``(mtime, size)`` stamp (VERDICT r5 #8).
-    Returns None when no manifest exists (caller falls back to
-    path-only keying, matching plain ``spark.read`` semantics)."""
+    rewrites whenever the dataset republishes; the stamp combines its
+    content hash WITH its FS modification time + length, because
+    manifest CONTENT alone can collide across republishes (the ingest
+    manifest records per-term counts — a one-document correction can
+    leave counts identical) while the rewrite always refreshes the
+    file's mtime (object stores version it per PUT). The worst case
+    of the mtime term is a harmless extra rebuild, never a stale
+    serve — the catalog-backed equivalent of the local
+    ``(mtime, size)`` stamp (VERDICT r5 #8). Returns None when no
+    manifest exists (caller falls back to path-only keying, matching
+    plain ``spark.read`` semantics)."""
     if spark is None:
         return None
     try:
@@ -62,6 +68,7 @@ def _catalog_stamp(spark: SparkSession | None, path: str) -> tuple | None:
             p = jvm.org.apache.hadoop.fs.Path(f"{path}/{mf}")
             fs = p.getFileSystem(hconf)
             if fs.exists(p):
+                st = fs.getFileStatus(p)
                 stream = fs.open(p)
                 try:
                     # commons-io drains JVM-side; py4j passes byte[]
@@ -71,7 +78,13 @@ def _catalog_stamp(spark: SparkSession | None, path: str) -> tuple | None:
                     )
                 finally:
                     stream.close()
-                return ("manifest", mf, _hashlib.md5(bytes(data)).hexdigest())
+                return (
+                    "manifest",
+                    mf,
+                    _hashlib.md5(bytes(data)).hexdigest(),
+                    int(st.getModificationTime()),
+                    int(st.getLen()),
+                )
     except Exception:  # noqa: BLE001 — stamp probe must never fail a read
         return None
     return None

@@ -135,11 +135,14 @@ def test_auto_semi_join_all_branches_agree(spark):
 
 
 def test_auto_semi_join_salted_handles_maps_and_duplicate_rows(spark):
-    """ADVICE r5: the salt must not hash every fact column — MAP
-    columns fail xxhash64 analysis, and exact duplicate rows would
-    collapse a hot key onto one salt. Fact with a MAP column + one
-    key duplicated 400x must analyze, return exact rows, and spread
-    the duplicates over >1 salt."""
+    """ADVICE r5 + round-6 review: the salt must (a) not fail
+    analysis on MAP-typed fact columns, (b) spread a hot key whose
+    rows differ in any column across salts, and (c) stay
+    DETERMINISTIC per row — it feeds the shuffle key, so
+    monotonically_increasing_id-style expressions would drop or
+    duplicate rows under partial stage recompute (SPARK-23207).
+    Exact full-row duplicates sharing one salt is the documented
+    residual caveat."""
     from pyspark.sql import functions as F
 
     from scotustician_spark.operators.bloom import auto_semi_join
@@ -148,7 +151,7 @@ def test_auto_semi_join_salted_handles_maps_and_duplicate_rows(spark):
         spark.range(400)
         .select(
             F.lit(7).alias("k"),
-            F.lit(1).alias("v"),
+            F.col("id").cast("int").alias("v"),  # hot key, distinct rows
             F.create_map(F.lit("a"), F.lit(1)).alias("m"),  # unhashable
         )
         .unionByName(
@@ -165,31 +168,14 @@ def test_auto_semi_join_salted_handles_maps_and_duplicate_rows(spark):
         n_salts=8,
     )
     rows = out.collect()  # analyzes and executes despite the MAP column
-    assert len(rows) == 400 + 20  # k=7 dups + k in {2,4} from the range
-    # the duplicated hot key must fan out over several salts: re-derive
-    # the salt distribution by running the pre-settle stage shape
-    from scotustician_spark.operators.bloom import (
-        bloom_build,
-        bloom_might_contain,
-        bloom_num_bits,
+    assert len(rows) == 400 + 20  # hot k=7 rows + k in {2,4} from the range
+    # determinism + spread: the salt expression (hashable columns only)
+    # is a pure function of row values — same rows, same salts, every
+    # evaluation — and the hot key's distinct rows fan out over salts
+    hashable = [c for c, t in fact.dtypes if "map<" not in t]
+    salt = F.pmod(F.xxhash64(*hashable), F.lit(8)).cast("int")
+    s1 = fact.filter(F.col("k") == 7).select(salt.alias("s"))
+    assert s1.distinct().count() > 1
+    assert sorted(r["s"] for r in s1.collect()) == sorted(
+        r["s"] for r in s1.collect()
     )
-
-    nb = bloom_num_bits(3, 0.01)
-    bloom = bloom_build(dim, "dk", nb, num_hashes=3)
-    pre = fact.join(F.broadcast(bloom)).filter(
-        bloom_might_contain(F.col("__bloom"), F.col("k"), nb, 3)
-    ).drop("__bloom")
-    salts = (
-        pre.filter(F.col("k") == 7)
-        .withColumn(
-            "__salt",
-            F.pmod(
-                F.xxhash64(F.col("k"), F.monotonically_increasing_id()),
-                F.lit(8),
-            ).cast("int"),
-        )
-        .select("__salt")
-        .distinct()
-        .count()
-    )
-    assert salts > 1

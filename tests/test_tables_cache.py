@@ -64,6 +64,29 @@ def test_catalog_stamp_rekeys_without_local_stat(spark, tmp_path, no_local_stat)
     assert b.count() == 9
 
 
+def test_catalog_stamp_rekeys_on_content_identical_rewrite(
+    spark, tmp_path, no_local_stat
+):
+    """Round-6 review: manifest CONTENT can collide across republishes
+    (per-term counts unchanged by a one-doc correction) — the stamp
+    must also carry the manifest file's mtime/length so a rewrite
+    with identical bytes still re-keys (worst case: one harmless
+    rebuild, never a stale serve)."""
+    import os as _os
+
+    d = tmp_path / "ds2.parquet"
+    d.mkdir()
+    mf = d / "_ingest_manifest.json"
+    mf.write_text('{"terms": {"a": 3}, "total": 3}')
+    _os.utime(mf, (1_000_000_000, 1_000_000_000))
+    s1 = TB._path_stamp(str(d), spark)
+    mf.write_text('{"terms": {"a": 3}, "total": 3}')  # same bytes
+    _os.utime(mf, (1_000_000_999, 1_000_000_999))
+    s2 = TB._path_stamp(str(d), spark)
+    assert s1 != s2
+    assert s1[3] == s2[3]  # content hash identical — mtime re-keyed
+
+
 def test_snapshot_manifest_also_stamps(spark, tmp_path, no_local_stat):
     """The snapshot discipline's _MANIFEST works as the stamp too."""
     d = tmp_path / "v1"
