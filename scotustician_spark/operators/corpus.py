@@ -36,8 +36,12 @@ def hash_bucket(id_col: Column | str, n: int, hex_off: int = 1) -> Column:
 
     ``hex_off`` selects independent hash bits — use different offsets
     for independent bucketings (split vs shard), so e.g. the test
-    split is not correlated with the pack shard.
+    split is not correlated with the pack shard. Offsets are 1-based
+    and need a full 8-hex window: anything past 25 would silently
+    truncate to fewer bits (and overlap the 25..32 window) — rejected.
     """
+    if not 1 <= hex_off <= 25:
+        raise ValueError(f"hex_off must be in [1, 25], got {hex_off}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.conv(F.substring(F.md5(c.cast("string")), hex_off, 8), 16, 10).cast("long")
     return h % F.lit(n)
@@ -224,7 +228,7 @@ def dataset_mix(
     pool = df.filter(F.col(source_col).isin(srcs))
     counts = pool.groupBy(source_col).agg(F.count("*").alias("__cnt"))
     cap = counts.select(
-        F.min(F.col("__cnt") / w_expr.alias("w")).alias("__cap")
+        F.min(F.col("__cnt") / w_expr).alias("__cap")
     )
     rates = (
         counts.crossJoin(F.broadcast(cap))
@@ -425,8 +429,11 @@ def stride_chunks(
 
     Chunk i covers tokens [i·stride, i·stride + size); the chunk count
     is 1 for docs that fit in one window, else
-    ceil((n − size)/stride) + 1 — the last chunk may be short but
-    always starts within the text. Zero-token docs emit nothing.
+    ceil((n − size)/stride) + 1 CAPPED at floor((n − 1)/stride) + 1 —
+    the last chunk may be short but always starts within the text
+    (the cap matters only when stride > size, where the uncapped
+    count emitted phantom zero-token chunks starting past the end).
+    Zero-token docs emit nothing.
 
     Entirely in-row (sequence → transform → posexplode-style explode):
     a pure map stage, no shuffle at any scale — chunking 100 TB costs
@@ -437,10 +444,16 @@ def stride_chunks(
 
     toks = tokens(F.col(text_col))
     n = F.size(toks)
+    in_text = (F.floor((n - 1) / F.lit(float(stride)))).cast("int") + 1
     n_chunks = (
         F.when(n <= 0, F.lit(0))
         .when(n <= size, F.lit(1))
-        .otherwise((F.ceil((n - size) / F.lit(float(stride)))).cast("int") + 1)
+        .otherwise(
+            F.least(
+                (F.ceil((n - size) / F.lit(float(stride)))).cast("int") + 1,
+                in_text,
+            )
+        )
     )
     chunk_struct = F.transform(
         F.sequence(F.lit(0), F.col("__nc") - 1),
@@ -468,7 +481,6 @@ def temperature_mix(
     source_col: str,
     alpha: float = 0.5,
     id_col: str = "doc_id",
-    hex_off: int = 27,
 ) -> DataFrame:
     """Temperature-weighted source mixing: sampling rates derived from
     the source sizes themselves, p_s ∝ count_s^(α−1), normalized so the
@@ -501,7 +513,14 @@ def temperature_mix(
             .alias("__rate"),
         )
     )
-    b = hash_bucket(id_col, 1000, hex_off=hex_off)
+    # Independence from the OTHER samplers via domain separation
+    # (salted hash input), not a hex window: the md5 hex has only four
+    # disjoint 8-char windows and all four are allocated (splits 1,
+    # shard/cap 9, stratified 17, dataset_mix 25) — the former
+    # hex_off=27 default silently truncated to 24 bits INSIDE
+    # dataset_mix's window, correlating the two samplers.
+    salted = F.concat(F.lit("tmix:"), F.col(id_col).cast("string"))
+    b = hash_bucket(salted, 1000)
     return (
         df.join(F.broadcast(rates), source_col)
         .filter(b < F.col("__rate"))
@@ -540,7 +559,6 @@ def per_source_cap(
     both implement rank-by-(bucket, id) ≤ cap under a strict total
     order.
     """
-    from pyspark.sql.window import Window as W
 
     b = hash_bucket(id_col, n_buckets, hex_off=hex_off)
     with_b = df.withColumn("__b", b)

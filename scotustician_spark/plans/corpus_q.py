@@ -352,7 +352,10 @@ _RAW_TOKS = (
     nc AS (SELECT doc_id, l,
                   CASE WHEN len(l) = 0 THEN 0
                        WHEN len(l) <= 64 THEN 1
-                       ELSE CAST(ceil((len(l) - 64) / 32.0) AS INT) + 1 END AS n
+                       ELSE LEAST(
+                           CAST(ceil((len(l) - 64) / 32.0) AS INT) + 1,
+                           CAST(floor((len(l) - 1) / 32.0) AS INT) + 1)
+                       END AS n
            FROM base),
     ch AS (SELECT doc_id,
                   CAST(unnest(range(0, n)) AS INT) AS chunk_idx,
@@ -548,7 +551,7 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM counts CROSS JOIN mn)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN rates r USING (lang)
-    WHERE {_bucket_sql(1000, hex_off=27, id_expr="d.doc_id")} < r.rate
+    WHERE {_bucket_sql(1000, id_expr="'tmix:' || d.doc_id")} < r.rate
     """,
     doc="Temperature-weighted source mixing "
     "(operators/corpus.py::temperature_mix, α = 0.5): sampling rates "

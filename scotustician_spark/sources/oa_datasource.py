@@ -81,7 +81,10 @@ def _fetch_rows(
     last_call = 0.0
     for key in keys:
         payload, err = None, None
-        for attempt in range(max_retries):
+        # at least ONE attempt always runs: max_retries=0 ("no
+        # retries") must not silently yield payload=None error=None
+        # for every row — data loss indistinguishable from success
+        for attempt in range(max(1, max_retries)):
             wait = min_interval - (time.monotonic() - last_call)
             if wait > 0:
                 time.sleep(wait)
@@ -117,24 +120,43 @@ class OaDocsReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Sequence[Filter]:
         """Accept term equality/membership filters — they prune entire
         partitions before any listing happens. Everything else stays
-        with Spark."""
+        with Spark.
+
+        Accepted filters are conjunctive and Spark will NOT re-apply
+        them, so multiple accepted term predicates INTERSECT (a
+        last-wins overwrite would silently return rows violating the
+        earlier filter — e.g. isin('2023') then isin('2024','2025')
+        must yield nothing). ``In`` carries its tuple in ``.value``
+        (same field name as EqualTo), not ``.values``."""
         remaining: list[Filter] = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("term",):
-                self._term_filter = {str(f.value)}
+                accepted = {str(f.value)}
             elif isinstance(f, In) and f.attribute == ("term",):
-                self._term_filter = {str(v) for v in f.values}
+                accepted = {str(v) for v in f.value}
             else:
                 remaining.append(f)
+                continue
+            self._term_filter = (
+                accepted
+                if self._term_filter is None
+                else self._term_filter & accepted
+            )
         return remaining
 
     def partitions(self) -> Sequence[InputPartition]:
         terms = _term_dirs(self.root)
         if self._term_filter is not None:
             terms = [t for t in terms if t in self._term_filter]
-        return [TermPartition(t) for t in terms]
+        # an EMPTY partition list is not a valid plan for the Python
+        # data source (Spark still schedules one read(None) task) —
+        # a fully-pruned scan (e.g. two pushed term filters with an
+        # empty intersection) ships one sentinel empty partition
+        return [TermPartition(t) for t in terms] or [TermPartition("")]
 
     def read(self, partition: TermPartition) -> Iterator:
+        if not getattr(partition, "term", None):
+            return  # sentinel empty partition: fully pruned scan
         keys = _list_keys(self.root, partition.term)
         rows = _fetch_rows(self.root, partition.term, keys, self.rate, self.retries)
         if not self.arrow:
@@ -164,12 +186,32 @@ class OaDocsStreamReader(SimpleDataSourceStreamReader):
     """New-file discovery as a checkpointed offset: the offset is a
     per-term lexicographic high-watermark over file names; each batch
     reads only keys above it. Replaces the reference's ever-growing
-    processed-keys probe (processors.py:97-101) with O(#terms) state."""
+    processed-keys probe (processors.py:97-101) with O(#terms) state.
+
+    Replay semantics: within a run, each batch's EXACT planned file
+    list is stashed in memory keyed by its end offset, so an
+    intra-run replay re-reads precisely the files the original batch
+    planned — never whatever a fresh directory listing happens to
+    contain. After a driver restart the stash is gone and replay
+    falls back to re-listing the (lo, hi] watermark window; a LATE
+    file that landed below the watermark in the meantime is then
+    included — the right call for this source, since such a file is
+    otherwise below every future batch's low watermark and would be
+    skipped forever, and the documented downstream contract
+    (idempotent keyed sinks) absorbs any rows the original batch
+    already delivered."""
 
     def __init__(self, options):
         self.root = options["path"]
         self.rate = float(options.get("rate_per_sec", "0"))
         self.retries = int(options.get("max_retries", "3"))
+        self._planned: dict[str, dict[str, list[str]]] = {}
+
+    @staticmethod
+    def _offset_key(end: dict) -> str:
+        import json
+
+        return json.dumps(end.get("watermarks", {}), sort_keys=True)
 
     def initialOffset(self) -> dict:
         return {"watermarks": {}}
@@ -177,20 +219,30 @@ class OaDocsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         marks = dict(start.get("watermarks", {}))
         rows: list[tuple] = []
+        planned: dict[str, list[str]] = {}
         for term in _term_dirs(self.root):
             new = [k for k in _list_keys(self.root, term) if k > marks.get(term, "")]
             if new:
                 rows.extend(_fetch_rows(self.root, term, new, self.rate, self.retries))
                 marks[term] = new[-1]
-        return iter(rows), {"watermarks": marks}
+                planned[term] = new
+        end = {"watermarks": marks}
+        self._planned[self._offset_key(end)] = planned
+        while len(self._planned) > 16:  # only recent uncommitted
+            self._planned.pop(next(iter(self._planned)))  # batches replay
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        stashed = self._planned.get(self._offset_key(end))
         s = start.get("watermarks", {})
         e = end.get("watermarks", {})
         rows: list[tuple] = []
         for term, hi in e.items():
-            lo = s.get(term, "")
-            keys = [k for k in _list_keys(self.root, term) if lo < k <= hi]
+            if stashed is not None:
+                keys = stashed.get(term, [])
+            else:  # post-restart fallback: re-list the offset window
+                lo = s.get(term, "")
+                keys = [k for k in _list_keys(self.root, term) if lo < k <= hi]
             rows.extend(_fetch_rows(self.root, term, keys, self.rate, self.retries))
         return iter(rows)
 
@@ -217,11 +269,20 @@ def _stage_rows(root: str, iterator: Iterator) -> OaStagedFiles:
 
     stage_dir = os.path.join(root, "_staging", uuid.uuid4().hex)
     os.makedirs(stage_dir, exist_ok=True)
+    import hashlib
+
     staged_by_name: dict[tuple[str, str], str] = {}
     for row in iterator:
         term, key = str(row["term"]), str(row["source_key"])
         name = key if key.endswith(".json") else f"{key}.json"
-        staged = os.path.join(stage_dir, f"{term}__{name}")
+        # staged name = hash of the (term, name) PAIR: a separator
+        # scheme like f"{term}__{name}" collides for distinct pairs
+        # when the term itself contains the separator ('a__b','c' vs
+        # 'a','b__c'), clobbering one payload and crashing the second
+        # os.replace mid-publish. Staged names are temporary — the
+        # real layout is rebuilt from the manifest ENTRIES at commit.
+        digest = hashlib.md5(f"{len(term)}:{term}/{name}".encode()).hexdigest()
+        staged = os.path.join(stage_dir, f"{digest}.json")
         with open(staged, "w", encoding="utf-8") as fh:
             fh.write(row["payload"] or "")
         staged_by_name[(term, name)] = staged

@@ -59,7 +59,12 @@ class RunningTotalsProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        n, s, mx = self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+        # ONE state-server round-trip: get() already returns None when
+        # absent, so the exists()+get() pair both doubled the per-key
+        # RPCs on the hot path and could race TTL eviction between the
+        # two calls (exists()==True then get()==None → unpack crash)
+        prev = self._totals.get()
+        n, s, mx = prev if prev is not None else (0, 0.0, 0)
         for pdf in rows:
             n += len(pdf)
             s += float(pdf["value"].sum())

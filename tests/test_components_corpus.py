@@ -467,6 +467,46 @@ def test_stride_chunks_short_tail(spark):
     ]
 
 
+def test_stride_chunks_stride_gt_size_no_phantom_chunks(spark):
+    """Round-6 review: stride > size (gap sampling) overcounted —
+    ceil((n-size)/stride)+1 includes starts PAST the text end,
+    emitting zero-token chunks with empty text. Every emitted chunk
+    must start within the text and be non-empty."""
+    from scotustician_spark.operators.corpus import stride_chunks
+
+    # 13 tokens, size=4, stride=8: starts 0 and 8 only (start 16 > 13)
+    text = " ".join(f"t{i}" for i in range(13))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        stride_chunks(docs, "doc_id", "text", size=4, stride=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in out] == [
+        (0, 4),
+        (1, 4),
+    ]
+    assert all(r["n_chunk_tokens"] > 0 and r["chunk_text"] for r in out)
+    # boundary: n exactly on a stride multiple (n=16, stride=8) keeps
+    # the start-16 chunk OUT (it would begin past the last token)
+    t2 = " ".join(f"t{i}" for i in range(16))
+    d2 = spark.createDataFrame([(1, t2)], "doc_id long, text string")
+    out2 = stride_chunks(d2, "doc_id", "text", size=4, stride=8).collect()
+    assert sorted(r["chunk_idx"] for r in out2) == [0, 1]
+
+
+def test_hash_bucket_rejects_truncating_offsets(spark):
+    """hex_off past 25 silently truncated the 8-hex window to fewer
+    bits inside dataset_mix's window — now rejected outright."""
+    import pytest
+
+    from scotustician_spark.operators.corpus import hash_bucket
+
+    with pytest.raises(ValueError, match="hex_off"):
+        hash_bucket("doc_id", 1000, hex_off=27)
+    with pytest.raises(ValueError, match="hex_off"):
+        hash_bucket("doc_id", 1000, hex_off=0)
+
+
 def test_source_overlap_exact_jaccard(spark):
     from scotustician_spark.operators.corpus import source_overlap
 

@@ -62,6 +62,54 @@ def test_term_filter_prunes_partitions(spark, tmp_path):
     assert [r["source_key"] for r in df.collect()] == ["b.json"]
 
 
+def test_in_filter_pushdown_and_intersection(spark, tmp_path):
+    """Round-6 review: (a) pushed isin() filters crashed — pyspark's
+    In dataclass carries its tuple in `.value`, not `.values`; (b)
+    accepted filters are conjunctive and Spark does NOT re-apply
+    them, so two term predicates must INTERSECT, never last-wins."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(
+        root,
+        {
+            "2023": {"a": {"id": 1}},
+            "2024": {"b": {"id": 2}},
+            "2025": {"c": {"id": 3}},
+        },
+    )
+    base = _registered(spark).read.format("oa_docs").option("path", root).load()
+    got = base.filter(F.col("term").isin("2023", "2025")).collect()
+    assert sorted(r["term"] for r in got) == ["2023", "2025"]
+    # conjunction with empty intersection must return NOTHING
+    empty = base.filter(F.col("term").isin("2023")).filter(
+        F.col("term").isin("2024", "2025")
+    )
+    assert empty.collect() == []
+    # overlapping conjunction keeps only the common term
+    both = base.filter(F.col("term").isin("2023", "2024")).filter(
+        F.col("term").isin("2024", "2025")
+    )
+    assert [r["term"] for r in both.collect()] == ["2024"]
+
+
+def test_max_retries_zero_still_reads(spark, tmp_path):
+    """Round-6 review: max_retries=0 ('no retries') skipped the
+    attempt loop entirely, yielding payload=None error=None for every
+    row — silent data loss indistinguishable from success. At least
+    one attempt always runs."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(root, {"2023": {"a": {"id": 1}}})
+    rows = (
+        _registered(spark)
+        .read.format("oa_docs")
+        .option("path", root)
+        .option("max_retries", "0")
+        .load()
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["payload"] is not None and rows[0]["error"] is None
+
+
 def test_unreadable_file_quarantines(spark, tmp_path):
     root = str(tmp_path / "corpus")
     _write_corpus(root, {"2023": {"ok": {"id": 1}}})
@@ -79,6 +127,27 @@ def test_unreadable_file_quarantines(spark, tmp_path):
     assert rows["ok.json"]["error"] is None
     assert rows["bad.json"]["payload"] is None
     assert "Error" in rows["bad.json"]["error"]
+
+
+def test_stage_rows_separator_collision(tmp_path):
+    """Round-6 review: f'{term}__{name}' staged names collide for
+    distinct (term, key) pairs when the term contains '__' — one
+    payload clobbered the other and the second publish os.replace
+    crashed mid-commit. Hashed staged names keep the pairs apart."""
+    from scotustician_spark.sources.oa_datasource import _stage_rows
+
+    rows = [
+        {"term": "a__b", "source_key": "c", "payload": "P1"},
+        {"term": "a", "source_key": "b__c", "payload": "P2"},
+    ]
+    msg = _stage_rows(str(tmp_path), iter(rows))
+    assert len(msg.entries) == 2
+    assert len({p for _, _, p in msg.entries}) == 2  # distinct files
+    contents = {
+        (t, n): open(p, encoding="utf-8").read() for t, n, p in msg.entries
+    }
+    assert contents[("a__b", "c.json")] == "P1"
+    assert contents[("a", "b__c.json")] == "P2"
 
 
 def test_stream_discovers_only_new_files(spark, tmp_path):
