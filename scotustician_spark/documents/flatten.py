@@ -47,15 +47,26 @@ def flatten_utterances(docs: DataFrame, min_words: int = 4) -> DataFrame:
     (helpers.py:149: keep blocks with > 3 whitespace words).
     """
     # sections[] -> turns[] -> text_blocks[] fused into one array of
-    # utterance structs, order-preserving, all inside codegen
+    # utterance structs, order-preserving, all inside codegen.
+    # turns/text_blocks normalize NULL -> EMPTY array first: F.flatten
+    # returns NULL when ANY element array is NULL, so one section with
+    # turns=null (nullable in OA JSON under PERMISSIVE reads) would
+    # otherwise null the whole document's utterance array and silently
+    # drop its VALID sections. _or_empty is the type-safe
+    # COALESCE(arr, []): wrap in a 1-element array, drop the NULL
+    # element, flatten — no hand-written type literal to drift from
+    # the schema.
+    def _or_empty(arr):
+        return F.flatten(F.filter(F.array(arr), lambda x: x.isNotNull()))
+
     utt_arr = F.flatten(
         F.transform(
             "transcript.sections",
             lambda s, si: F.flatten(
                 F.transform(
-                    s["turns"],
+                    _or_empty(s["turns"]),
                     lambda t, ti: F.transform(
-                        t["text_blocks"],
+                        _or_empty(t["text_blocks"]),
                         lambda b, bi: F.struct(
                             si.alias("section_id"),
                             ti.alias("turn_pos"),
@@ -89,9 +100,13 @@ def flatten_utterances(docs: DataFrame, min_words: int = 4) -> DataFrame:
         "utterance_index",
         "u.*",
     )
-    kept = exploded.filter(
-        F.size(F.split(F.trim("text"), r"\s+")) >= F.lit(min_words)
-    )
+    # token_count (regex edge-strip), NOT trim+split: SQL trim removes
+    # only ASCII spaces, so tab/newline-edged text would gain a phantom
+    # empty token and both this gate and word_count would run one high
+    # vs the reference's len(text.split()) (helpers.py:149,153)
+    from ..functions.text import token_count
+
+    kept = exploded.filter(token_count("text") >= F.lit(min_words))
     # The reference resets idx/offset per *document* (its triple loop
     # runs once per OA JSON), and posexplode's utterance_index likewise
     # restarts per oa_id — so the windows MUST partition by
@@ -118,9 +133,7 @@ def flatten_utterances(docs: DataFrame, min_words: int = 4) -> DataFrame:
             F.coalesce(F.sum(F.length("text") + 1).over(w), F.lit(0)).cast("long"),
         )
         .withColumn("char_end", (F.col("char_start") + F.length("text")).cast("long"))
-        .withColumn(
-            "word_count", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-        )
+        .withColumn("word_count", token_count("text").cast("long"))
     )
 
 

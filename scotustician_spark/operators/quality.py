@@ -52,7 +52,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shuffle by orders of magnitude.
     """
     toks = _lower_tokens(text_col)
-    bigrams = word_shingles(F.lower(F.col(text_col)), 2)
+    bigrams = word_shingles(F.col(text_col), 2)
 
     def _stats(t: Column, bg: Column) -> Column:
         n_tok = F.size(t)
@@ -162,11 +162,15 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the broadcast-or-bucket side while the corpus streams through.
     """
     toks = _lower_tokens(text_col)
-    bigrams = F.when(F.size(toks) >= 2, word_shingles(F.lower(F.col(text_col)), 2))
+    bigrams = F.when(F.size(toks) >= 2, word_shingles(F.col(text_col), 2))
     doc_bg = (
         repartition_for_compute(df)
         .select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
         .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        # THREE consumers (c_bg, c_w1, the scoring join): cut lineage
+        # so the tokenize+shingle+explode map runs once, not three
+        # times — same discipline as chunk_boilerplate_removal
+        .localCheckpoint(eager=False)
     )
     c_bg = doc_bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
     c_w1 = doc_bg.groupBy("w1").agg(F.count("*").alias("c_w1"))

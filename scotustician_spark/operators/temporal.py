@@ -156,9 +156,15 @@ def funnel_stages(
 
     ``max_step_gap`` (an INTERVAL literal body, e.g. ``"7 days"``)
     additionally requires each stage within that gap of the previous
-    one — the "conversion deadline" variant every product funnel
-    actually uses. The deadline is one extra predicate on the same
-    filtered min-agg; the plan shape does not change.
+    one — a "conversion deadline" per step. PRECISE SEMANTICS: the
+    deadline is measured from the user's EARLIEST in-order stage-(k−1)
+    time (the same greedy chain the gapless variant walks) — a user
+    whose only qualifying pair involves a LATER re-occurrence of the
+    previous stage (view@0:00 … view@1:35 → click@1:40 with a 10 s
+    gap) counts as dropped here, where an any-chain funnel would count
+    them. The greedy-chain rule is what keeps the plan k filtered
+    min-aggregations (any-chain needs a per-user ordered scan); both
+    the SQL oracle and the tests pin the greedy semantics.
 
     Plan: one filtered min-aggregation per stage, each keyed on the
     user — k small hash aggregates + k−1 equi-joins on ``user_col``,
@@ -257,6 +263,14 @@ def range_join_binned(
     bin their window overlaps (``sequence`` + ``explode`` — a few
     rows, not a cross product), right rows land in exactly one bin.
     """
+    if lower_us >= upper_us:
+        # an inverted/empty window would make F.sequence DESCEND over
+        # up to |upper-lower| bins per left row (default bin_us clamps
+        # to 1) — an executor-memory blow-up in place of the correct
+        # answer, which is simply "no pairs"; reject loudly instead
+        raise ValueError(
+            f"empty range window: lower_us={lower_us} >= upper_us={upper_us}"
+        )
     if bin_us is None:
         bin_us = max(upper_us - lower_us, 1)
     lo = F.col(left_ts) + F.lit(lower_us)

@@ -55,8 +55,15 @@ def write_quarantine(junk: DataFrame, path: str) -> int:
         .drop("_corrupt_record")
         .withColumn("quarantined_at", F.current_timestamp())
     )
-    out.write.mode("append").json(path)
-    return out.count()
+    # count DURING the write via Observation — a post-write count()
+    # re-executes the whole junk plan (a second PERMISSIVE parse of
+    # the corpus) and can disagree with what was written if the
+    # source changed in between
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").json(path)
+    return int(obs.get["n"])
 
 
 def idempotent_append(
@@ -80,7 +87,15 @@ def idempotent_append(
     n_in = incoming.count()
     if _has_data(spark, path):
         existing = spark.read.parquet(path).select(*key_cols)
-        fresh = incoming.join(existing, key_cols, "left_anti")
+        # NULL-SAFE anti-join: a plain key equi-join never matches a
+        # NULL key, so a NULL-keyed row would be re-inserted on every
+        # rerun (dropDuplicates treats NULLs as equal; the cross-run
+        # check must agree or the idempotency contract breaks)
+        cond = None
+        for k in key_cols:
+            c = incoming[k].eqNullSafe(existing[k])
+            cond = c if cond is None else (cond & c)
+        fresh = incoming.join(existing, cond, "left_anti")
     else:
         fresh = incoming
     n_new = fresh.count()
@@ -178,8 +193,14 @@ def merge_apply_cdc(
         )
     else:
         latest = changes.dropDuplicates(key_cols)
-    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, *( [seq_col] if seq_col else [] ))
-    deletes = latest.filter(F.col(op_col) == "D").select(*key_cols)
+    # NULL-safe op split: `op != 'D'` is NULL for a NULL op, so a
+    # malformed change row would fall out of BOTH branches while its
+    # key still retires from `touched` — the row would be silently
+    # DELETED. Contract: only an explicit 'D' deletes; every other op
+    # value (I/U/unknown/NULL) upserts.
+    is_delete = F.col(op_col).eqNullSafe("D")
+    upserts = latest.filter(~is_delete).drop(op_col, *( [seq_col] if seq_col else [] ))
+    deletes = latest.filter(is_delete).select(*key_cols)
     n_up = upserts.count()
     n_del = deletes.count()
     if _has_data(spark, path):

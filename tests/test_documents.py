@@ -88,6 +88,66 @@ def test_flatten_multiple_oa_per_case(spark, tmp_path):
     assert all(r["case_id"] == d1["case_id"] for r in xml_rows)
 
 
+def test_flatten_null_turns_keeps_valid_sections(spark, tmp_path):
+    """Round-6 review: F.flatten returns NULL when ANY element array
+    is NULL, so one section with turns=null used to null the WHOLE
+    document's utterance array — every valid section silently lost.
+    Null turns/text_blocks must behave as empty (nothing to iterate),
+    and tab/newline-edged text must not gain a phantom token in the
+    min_words gate or word_count."""
+    from tests.fixtures_oa import make_doc
+    import random
+
+    doc = make_doc(60, 2, random.Random(3))
+
+    def blk(text, t0=0.0):
+        return {"start": t0, "stop": t0 + 1, "byte_start": 0,
+                "byte_stop": len(text), "text": text}
+
+    spk = {"ID": 1, "name": "Justice Roe", "roles": ["scotus_justice"]}
+    good_turn = {
+        "start": 0.0, "stop": 2.0, "speaker": spk,
+        "text_blocks": [blk("the question presented is hard"),
+                        blk("short one", 1.0)],  # < 4 words: filtered
+    }
+    none_blocks_turn = {
+        "start": 2.0, "stop": 3.0, "speaker": spk, "text_blocks": None
+    }
+    doc["transcript"]["sections"] = [
+        {"start": 0.0, "stop": 3.0, "byte_start": 0, "byte_stop": 1,
+         "turns": [good_turn, none_blocks_turn]},
+        {"start": 3.0, "stop": 4.0, "byte_start": 0, "byte_stop": 1,
+         "turns": None},  # whole section's turns missing
+    ]
+    n_valid = 1  # only the >=4-word block in the good turn survives
+    path = str(tmp_path / "nullsec")
+    write_corpus_json([doc], path)
+    valid, junk = split_quarantine(read_oa_json(spark, path))
+    assert valid.count() == 1 and junk.count() == 0
+    rows = flatten_utterances(valid).collect()
+    assert len(rows) == n_valid and n_valid > 0  # valid sections kept
+    # dense re-numbering still holds after the null sections vanish
+    assert sorted(r["utterance_index"] for r in rows) == list(range(n_valid))
+
+
+def test_flatten_word_count_ignores_edge_whitespace(spark, tmp_path):
+    from tests.fixtures_oa import make_doc
+    import random
+
+    doc = make_doc(61, 1, random.Random(5))
+    blocks = doc["transcript"]["sections"][0]["turns"][0]["text_blocks"]
+    blocks[0]["text"] = "\tone two three"  # 3 words, tab-edged
+    path = str(tmp_path / "tabedge")
+    write_corpus_json([doc], path)
+    valid, _ = split_quarantine(read_oa_json(spark, path))
+    out = {r["text"]: r for r in flatten_utterances(valid, min_words=4).collect()}
+    # 3 real words: the min_words=4 gate must DROP it (trim+split
+    # counted the phantom empty token as a 4th word and kept it)
+    assert "\tone two three" not in out
+    kept = {r["text"]: r for r in flatten_utterances(valid, min_words=3).collect()}
+    assert kept["\tone two three"]["word_count"] == 3
+
+
 def test_flatten_plan_has_single_shuffle(spark, corpus_dir):
     # the fused HOF flatten must not shuffle; only the offset/index
     # windows exchange by case_id (shared partitioning → one Exchange)

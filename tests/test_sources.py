@@ -35,6 +35,37 @@ def test_idempotent_append(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_idempotent_append_null_keys(spark, tmp_path):
+    """Round-6 review: a plain key equi-anti-join never matches NULL,
+    so a NULL-keyed row was re-inserted on EVERY rerun. The null-safe
+    join must skip it on replay like any other key."""
+    path = str(tmp_path / "nullkeyed")
+    df = spark.createDataFrame([(None, "x"), (1, "a")], "k int, v string")
+    r1 = idempotent_append(df, path, ["k"])
+    assert r1 == {"inserted": 2, "skipped": 0}
+    r2 = idempotent_append(df, path, ["k"])
+    assert r2 == {"inserted": 0, "skipped": 2}
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_merge_apply_cdc_null_and_unknown_ops_upsert(spark, tmp_path):
+    """Round-6 review: `op != 'D'` is NULL for a NULL op, so a
+    malformed change row fell out of BOTH branches while its key still
+    retired from the table — a silent DELETE. Contract: only an
+    explicit 'D' deletes; NULL/unknown ops upsert."""
+    from scotustician_spark.sources.sinks import merge_apply_cdc
+
+    p = str(tmp_path / "cdc_nullop")
+    spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int").write.parquet(p)
+    changes = spark.createDataFrame(
+        [(1, 11, None), (2, 22, "u"), (3, None, "D")], "k int, v int, op string"
+    )
+    counts = merge_apply_cdc(spark, p, changes, ["k"])
+    assert counts == {"upserted": 2, "deleted": 1}
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {1: 11, 2: 22}  # nothing silently vanished
+
+
 def test_count_gate(spark):
     df = spark.range(5)
     assert count_gate(df, 1) == 5

@@ -117,6 +117,20 @@ def test_range_join_binned_matches_naive(spark):
         assert {(r["lid"], r["rid"]) for r in got.collect()} == expected, bin_us
 
 
+def test_range_join_rejects_empty_window(spark):
+    """Round-6 review: an inverted window made F.sequence descend over
+    up to |upper-lower| bins per row (executor-memory blow-up) instead
+    of 'no pairs' — reject loudly."""
+    import pytest
+
+    from scotustician_spark.operators.temporal import range_join_binned
+
+    l = spark.createDataFrame([(1, 0)], "on int, lt long")
+    r = spark.createDataFrame([(1, 0)], "on int, rt long")
+    with pytest.raises(ValueError, match="empty range window"):
+        range_join_binned(l, r, "on", "lt", "rt", lower_us=3_600_000_000, upper_us=0)
+
+
 def test_range_join_is_equi_join(spark):
     left = spark.createDataFrame([(1, 100, 1)], "k int, ts long, lid int")
     right = spark.createDataFrame([(1, 120, 2)], "k int, rts long, rid int")
