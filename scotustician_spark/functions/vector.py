@@ -38,15 +38,28 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cosine(a,b) = dot/(|a||b|) — the reference's similarity metric
-    (clustering/helpers.py:191-192)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    (clustering/helpers.py:191-192). The denominator is nullif-guarded:
+    a zero vector has no direction, so its similarity is NULL (which
+    desc-ranking orders last) — under Spark 4's default ANSI mode an
+    unguarded 0/0 would instead abort the whole job on the first
+    all-zeros embedding (empty chunk, padding row)."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    # widen BEFORE subtracting/squaring (the module's float64
+    # discipline, same as dot/l2_norm): float32 storage would round
+    # each squared difference to float32 before the double accumulator
+    # sees it, drifting from the oracle's all-double arithmetic
     return F.sqrt(
         F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -68,7 +81,7 @@ def normalize(a: Column | str) -> Column:
     """Unit-normalize; pre-normalizing lets cosine top-k degrade to a
     plain dot product (one HOF instead of three per pair)."""
     a = F.col(a) if isinstance(a, str) else a
-    n = l2_norm(a)
+    n = F.nullif(l2_norm(a), F.lit(0.0))  # zero vector -> NULL, not ANSI 0/0
     return F.transform(a, lambda x: x / n)
 
 
@@ -107,7 +120,10 @@ def weighted_mean_vectors(
         F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
     )
     per_dim = exploded.groupBy(*group_cols, "__pos").agg(
-        (F.sum(F.col("__v").cast("double") * F.col("__w")) / F.sum("__w")).alias("__m")
+        (
+            F.sum(F.col("__v").cast("double") * F.col("__w"))
+            / F.nullif(F.sum("__w"), F.lit(0.0))  # zero total weight -> NULL
+        ).alias("__m")
     )
     return (
         per_dim.groupBy(*group_cols)

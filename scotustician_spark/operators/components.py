@@ -59,8 +59,17 @@ def connected_components(
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = cut_lineage(sym.distinct(), True, checkpoint_dir)  # reused every round
 
+    verts = vertices.select(F.col(id_col).alias("u")).distinct()
+    # seed labels from vertices ∪ EDGE ENDPOINTS: an endpoint missing
+    # from `vertices` would otherwise enter labels only via neighbor
+    # messages — its own id never participates in the min, so e.g.
+    # edges=[(1,5)], vertices=[5] would label 5 as component 5 instead
+    # of the true minimum 1. Phantom endpoints propagate their ids but
+    # are filtered from the OUTPUT, preserving the one-row-per-vertex
+    # contract.
+    seed = verts.unionByName(sym.select("u")).distinct()
     labels = cut_lineage(
-        vertices.select(F.col(id_col).alias("u"), F.col(id_col).alias("comp")),
+        seed.select("u", F.col("u").alias("comp")),
         True,
         checkpoint_dir,
     )
@@ -89,7 +98,9 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("u").alias(id_col), F.col("comp").alias("component_id"))
+    return labels.join(verts, "u", "left_semi").select(
+        F.col("u").alias(id_col), F.col("comp").alias("component_id")
+    )
 
 
 def dedup_resolution(

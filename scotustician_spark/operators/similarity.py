@@ -967,6 +967,13 @@ def incremental_topk(
     merged = state.select("query_id", "neighbor_id", "sim").unionByName(
         delta_scores
     )
+    # collapse duplicate (query, neighbor) rows BEFORE ranking: a
+    # re-sent vector (batch overlap, replay) would otherwise occupy
+    # two ranks and permanently evict a real neighbor from the k;
+    # max(sim) is deterministic and a no-op for identical resends
+    merged = merged.groupBy("query_id", "neighbor_id").agg(
+        F.max("sim").alias("sim")
+    )
     return rank_topk(merged, k)
 
 

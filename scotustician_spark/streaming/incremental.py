@@ -301,27 +301,41 @@ def run_topk_state_update(
     (MV/quantile/CDC above). State is |queries| × k rows forever,
     independent of how many vectors have streamed past; the base
     corpus is never rescanned. Exact by the selection property — the
-    batch boundary cannot change the result. Copy-on-write like the
-    other sinks; checkpoint dedupes redelivered files. Blocks until
-    AvailableNow drains."""
-    from ..operators.similarity import incremental_topk, rank_topk, score_queries
+    batch boundary cannot change the result: top-k(A ∪ B) =
+    top-k(top-k(A) ∪ top-k(B)), so merging two top-k STATES is a
+    union + re-rank.
+
+    Routed through ``exactly_once_merge_sink`` (round 6): a plain
+    in-place state overwrite had two replay hazards — a crash
+    mid-overwrite left no/torn state and the replayed batch silently
+    RESET to first-batch semantics, and an already-applied batch
+    re-merged its scores (duplicate (query, neighbor) rows evicting
+    real neighbors). Versioned batch-id state makes both no-ops."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import rank_topk, score_queries
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # missing state == first batch; any OTHER read error fails the
-        # batch (a silent reset would discard every streamed vector)
-        if _state_exists(spark, state_path):
-            merged = incremental_topk(
-                spark.read.parquet(state_path), queries_df, batch_df,
-                k, id_col, vec_col,
-            )
-        else:
-            merged = rank_topk(
-                score_queries(queries_df, batch_df, id_col, vec_col), k
-            )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        partial = rank_topk(
+            score_queries(queries_df, batch_df, id_col, vec_col)
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("sim")),
+            k,
         )
+
+        def merge(base: DataFrame, part: DataFrame) -> DataFrame:
+            u = base.select("query_id", "neighbor_id", "sim").unionByName(
+                part.select("query_id", "neighbor_id", "sim")
+            )
+            return rank_topk(
+                u.groupBy("query_id", "neighbor_id").agg(
+                    F.max("sim").alias("sim")
+                ),
+                k,
+            )
+
+        exactly_once_merge_sink(spark, state_path, batch_id, partial, merge)
 
     (
         stream_df.writeStream.foreachBatch(sink)
@@ -346,9 +360,16 @@ def run_components_state_update(
     without ever re-materializing the historical pair relation: state
     is one row per vertex, and each batch's propagation runs over
     |state| + |batch| edges only. Exact — the contraction argument
-    makes the batch boundary invisible to the result. Copy-on-write;
-    the checkpoint dedupes redelivered files. Blocks until
-    AvailableNow drains."""
+    makes the batch boundary invisible to the result, and it also
+    makes two LABELINGS mergeable: a labeling re-read as
+    (vertex → label) edges preserves connectivity, so
+    merge(state_a, state_b) = incremental_components(state_a,
+    edges(state_b)).
+
+    Routed through ``exactly_once_merge_sink`` (round 6) — the plain
+    in-place overwrite could silently reset to first-batch semantics
+    when a crash landed between the state delete and write (replay
+    saw no state), discarding every previously streamed edge."""
     from pyspark.sql import functions as F
 
     from ..operators.components import (
@@ -358,20 +379,23 @@ def run_components_state_update(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _state_exists(spark, state_path):
-            merged = incremental_components(
-                spark.read.parquet(state_path), batch_df
-            )
-        else:
-            verts = (
-                batch_df.select(F.col("id_a").alias("doc_id"))
-                .unionByName(batch_df.select(F.col("id_b").alias("doc_id")))
-                .distinct()
-            )
-            merged = connected_components(batch_df, verts)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        verts = (
+            batch_df.select(F.col("id_a").alias("doc_id"))
+            .unionByName(batch_df.select(F.col("id_b").alias("doc_id")))
+            .distinct()
         )
+        partial = connected_components(batch_df, verts)
+
+        def merge(base: DataFrame, part: DataFrame) -> DataFrame:
+            return incremental_components(
+                base,
+                part.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("component_id").alias("id_b"),
+                ),
+            )
+
+        exactly_once_merge_sink(spark, state_path, batch_id, partial, merge)
 
     (
         stream_df.writeStream.foreachBatch(sink)
