@@ -193,7 +193,14 @@ def power_pca_2d(
                 for i in range(d)
             ]
             nrm = sum(x * x for x in w) ** 0.5
-            v = [round(x / nrm, r) for x in w]
+            if nrm == 0.0:
+                # Constant embeddings (all-zero z → all-zero Gramian) or
+                # exact rank-1 deflation leave w ≡ 0; the projection onto
+                # that direction is the all-zero vector (mirrored in the
+                # SQL twin via coalesce(w / nullif(nrm, 0), 0.0)).
+                v = [0.0] * d
+            else:
+                v = [round(x / nrm, r) for x in w]
         return v
 
     v1 = _power_py(gm)

@@ -466,6 +466,22 @@ def gif_frame_grays(
         gct = content[pos : pos + 3 * n]
         pos += 3 * n
     frames: list[tuple[int, int, list[int]]] = []
+    try:
+        frames = _gif_walk_frames(content, pos, gct, max_frames)
+    except (IndexError, KeyError, struct.error) as exc:
+        # Truncated descriptors (struct.error), truncation before the
+        # LZW min-code byte (IndexError) and corrupt first-code LZW
+        # streams (KeyError) must all surface as ValueError — the one
+        # exception class callers treat as "skip this blob, keep the
+        # job alive".
+        raise ValueError(f"corrupt GIF ({type(exc).__name__}): {exc}") from exc
+    return frames
+
+
+def _gif_walk_frames(
+    content: bytes, pos: int, gct: bytes, max_frames: int | None
+) -> list[tuple[int, int, list[int]]]:
+    frames: list[tuple[int, int, list[int]]] = []
     while pos < len(content):
         b = content[pos]
         if b == 0x3B:  # trailer

@@ -217,7 +217,16 @@ def apply_merges(
     one NEW symbol, so adjacency between pre-existing symbols is never
     created by a later merge — each learned pair needs exactly one
     left-to-right pass, in any rank-respecting order.
+
+    That equivalence requires a RANK-CONSISTENT table: every composite
+    (``~``-bearing) component of a merge must be the output of an
+    earlier merge. ``train_bpe`` tables satisfy this by construction;
+    arbitrary tables like ``[("x", "a~b"), ("a", "b")]`` do not (the
+    literal chain would stop at ``[x, a~b]`` while the min-rank kernel
+    revisits rank 0 after rank 1 fires), so they are rejected here
+    rather than silently changing output across ``arrow_threshold``.
     """
+    _validate_rank_consistency(merges)
     if len(merges) <= arrow_threshold:
         cur = df
         for left, right in merges:
@@ -229,6 +238,26 @@ def apply_merges(
             )
         return cur
     return df.withColumn(seq_col, _arrow_apply_udf(merges)(F.col(seq_col)))
+
+
+def _validate_rank_consistency(merges: list[tuple[str, str]]) -> None:
+    """Reject merge tables whose composite components are not produced
+    by an earlier merge — the precondition under which the literal
+    F.replace chain and the Arrow min-rank kernel are bit-identical
+    (see apply_merges docstring). ``~`` is the reserved join character
+    of this encoding, so a ``~``-bearing symbol that no earlier merge
+    emitted can only come from a malformed table."""
+    produced: set[str] = set()
+    for k, (left, right) in enumerate(merges):
+        for comp in (left, right):
+            if "~" in comp and comp not in produced:
+                raise ValueError(
+                    f"merge table not rank-consistent: merge {k} "
+                    f"({left!r}, {right!r}) uses composite symbol "
+                    f"{comp!r} that no earlier merge produced; the two "
+                    "apply arms would diverge on this table"
+                )
+        produced.add(f"{left}~{right}")
 
 
 def _arrow_apply_udf(merges: list[tuple[str, str]]):

@@ -226,7 +226,8 @@ def _power_pca_oracle(n_iters: int = 8, r: int = 6) -> str:
         FROM {gsrc} g JOIN {vp} v ON g.j = v.i GROUP BY g.i)""",
             f"""{pre}n{t} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM {pre}w{t})""",
             f"""{pre}v{t} AS MATERIALIZED (
-        SELECT i, round(w / (SELECT nrm FROM {pre}n{t}), {r}) AS vv
+        SELECT i, round(coalesce(
+            w / nullif((SELECT nrm FROM {pre}n{t}), 0), 0.0), {r}) AS vv
         FROM {pre}w{t})""",
         ]
 

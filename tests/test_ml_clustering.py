@@ -432,3 +432,19 @@ def test_ann_rerank_partial_probe_recall_not_worse_than_ivfpq(spark, sf_dir):
         for r in ann_rerank_topk(e, q, k=3, n_candidates=50, **kw).collect()
     }
     assert len(rr_top & exact) >= len(pq_top & exact)
+
+
+def test_power_pca_constant_embeddings_zero_projection(spark):
+    """ADVICE r6: constant embeddings give an all-zero Gramian, so the
+    power iteration's norm is 0.0 — must yield the all-zero projection
+    (mirroring the oracle's coalesce(w / nullif(nrm,0), 0)), not
+    ZeroDivisionError."""
+    from scotustician_spark.ml.clustering import power_pca_2d
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = power_pca_2d(df, "vec_id", "embedding", n_iters=3).collect()
+    assert len(rows) == 5
+    assert all(r["x"] == 0.0 and r["y"] == 0.0 for r in rows)

@@ -630,3 +630,33 @@ def test_block_mean_resize_small_images_cover_every_cell():
     assert len(grad) == 72 and min(grad) == 0.0 and max(grad) == 200.0
     # downscale still tiles exactly: 4x4 ones -> 2x2 of means 1.0
     assert _block_mean_resize([1] * 16, 4, 4, 2, 2) == [1.0] * 4
+
+
+def test_gif_parse_failures_always_valueerror():
+    """ADVICE r6: truncated descriptors (struct.error), truncation
+    before the LZW min-code byte (IndexError) and corrupt LZW streams
+    (KeyError) must all surface as ValueError — the one class the
+    keyframe operator skips — never escape and abort a task."""
+    import struct as _st
+
+    from scotustician_spark.operators.multimodal import gif_frame_grays
+
+    h = b"GIF89a" + _st.pack("<HH", 1, 1) + bytes([0x80, 0, 0])
+    gct = bytes([0, 0, 0, 255, 255, 255])
+    img = b"\x2c" + _st.pack("<HHHH", 0, 0, 1, 1) + bytes([0])
+    lzw = bytes([2, 2, 0x44, 0x01, 0])
+    g = h + gct + img + lzw + b"\x3b"
+    assert len(gif_frame_grays(g)) == 1
+    # every truncation point either parses (possibly to zero frames)
+    # or raises exactly ValueError
+    for cut in range(13, len(g)):
+        try:
+            gif_frame_grays(g[:cut])
+        except ValueError:
+            pass
+    # corrupt first LZW code (beyond the initial table) → ValueError
+    bad = h + gct + img + bytes([2, 2, 0xFF, 0x0F, 0]) + b"\x3b"
+    try:
+        gif_frame_grays(bad)
+    except ValueError:
+        pass

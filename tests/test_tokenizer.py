@@ -282,3 +282,27 @@ def test_streaming_word_freq_state_and_retrain_trigger(spark, tmp_path):
     assert got == want
     # 'efef' now dominates: merges from the maintained state diverge
     assert bpe_merges_stale(spark, state, merges0, n_merges=2)
+
+
+def test_apply_merges_rejects_rank_inconsistent_table(spark):
+    """ADVICE r6: a table whose composite component precedes the merge
+    that produces it would make the literal-chain and Arrow arms
+    diverge across arrow_threshold — apply_merges must reject it up
+    front instead of silently changing output."""
+    import pytest
+
+    from scotustician_spark.operators.tokenizer import apply_merges
+
+    df = spark.createDataFrame(
+        [("xab", _encode("xab"))], "word string, seq string"
+    )
+    bad = [("x", "a~b"), ("a", "b")]
+    with pytest.raises(ValueError, match="rank-consistent"):
+        apply_merges(df, bad)
+    with pytest.raises(ValueError, match="rank-consistent"):
+        apply_merges(df, bad, arrow_threshold=0)
+    # rank-consistent composite references are accepted by both arms
+    good = [("a", "b"), ("x", "a~b")]
+    lit = apply_merges(df, good, arrow_threshold=10**9).collect()
+    arw = apply_merges(df, good, arrow_threshold=0).collect()
+    assert lit == arw
