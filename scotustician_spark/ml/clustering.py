@@ -415,6 +415,48 @@ def analysis_report(
     )
 
 
+def als_factor_tables(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rank: int = 8,
+    seed: int = 42,
+    ds_tag: int = 0,
+) -> DataFrame:
+    """Fit ALS and return BOTH factor sides as one relation
+    ``(side, fid, features, ds)`` — the internal-consistency oracle
+    surface for ``als_recommend``: once the factor tables are
+    materialized, score = dot(user_factor, item_factor) and the top-k
+    are plain SQL over them, so the platform-BLAS factor VALUES become
+    inputs to the comparison instead of outputs. ``ds_tag`` is a
+    data-derived dataset identifier (e.g. the ratings-source row
+    count) written into every row so one glob-read parquet root can
+    hold factor builds for several dataset tiers side by side."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        maxIter=8,
+        seed=seed,
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        coldStartStrategy="drop",
+        implicitPrefs=True,
+    )
+    model = als.fit(ratings)
+    uf = model.userFactors.select(
+        F.lit("user").alias("side"), F.col("id").alias("fid"), "features"
+    )
+    itf = model.itemFactors.select(
+        F.lit("item").alias("side"), F.col("id").alias("fid"), "features"
+    )
+    return uf.unionByName(itf).withColumn(
+        "ds", F.lit(int(ds_tag)).cast("long")
+    )
+
+
 def als_recommend(
     ratings: DataFrame,
     user_col: str,

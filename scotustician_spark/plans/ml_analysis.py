@@ -10,19 +10,23 @@ deterministic twins: ``kmeans_cluster_sizes`` (3-step Lloyd,
 ``cluster_report`` (JSON parse-back to engine-neutral values). The
 seed-pinned MLlib KMeans/PCA arms stay covered by
 tests/test_ml_clustering.py — their label ids / eigen signs are
-engine-specific by nature (SURVEY §7 hard #2) — and
-``als_recommendations`` remains the one declared rows-only row
-(platform-BLAS factor values).
+engine-specific by nature (SURVEY §7 hard #2). Round 7 gave
+``als_recommendations`` — the last rows-only row — a full value
+oracle by persisting the fitted factor tables and recomputing
+score/top-k from them on both engines (factor values become
+comparison inputs, not outputs).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml import clustering as ML
 from .registry import register
-from .tables import load_table
+from .tables import _REL_CACHE_ROOT, load_table, persisted_relation
 from .relational import _t
 from .vectors_text import _EMB_LONG
 
@@ -376,15 +380,53 @@ def cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ALS internal-consistency oracle: the Spark query persists the fitted
+# factor tables (the one BLAS-nondeterministic artifact) and recomputes
+# score = dot(user_factor, item_factor) + per-user top-5 FROM them;
+# DuckDB replays the identical dot products and ranking over the same
+# parquet — factor values are inputs to the comparison, not outputs.
+# The ds column (lineitem row count, data-derived) selects the right
+# dataset tier out of the glob-shared factor root; scores are rounded
+# to 6 dp on both sides (continuous values — dot products of float
+# factors — so the grid-midpoint rule permits it) and ranked by the
+# ROUNDED score with item-asc tiebreak so ulp-level summation-order
+# differences can never reorder the top-k across engines.
+_ALS_GLOB = os.path.join(_REL_CACHE_ROOT, "als_factors_*", "*.parquet")
+
+_ALS_ORACLE = f"""
+    WITH fx AS (
+        SELECT side, fid, generate_subscripts(features, 1) AS pos,
+               CAST(unnest(features) AS DOUBLE) AS v
+        FROM read_parquet('{_ALS_GLOB}')
+        WHERE ds = (SELECT count(*) FROM lineitem)
+    ),
+    s AS (
+        SELECT u.fid AS "user", i.fid AS item,
+               round(sum(u.v * i.v), 6) AS score
+        FROM fx u JOIN fx i ON u.pos = i.pos
+        WHERE u.side = 'user' AND i.side = 'item' AND u.fid < 20
+        GROUP BY 1, 2
+    )
+    SELECT "user", item, score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY "user" ORDER BY score DESC, item) AS rn
+          FROM s)
+    WHERE rn <= 5
+"""
+
+
 @register(
     "als_recommendations",
-    None,  # factor values are BLAS/platform-dependent → rows-only check
+    _ALS_ORACLE,
     doc="Distributed collaborative filtering: MLlib ALS (implicit "
     "preferences, seed-pinned) over customer x part interaction "
     "strengths from lineitem quantities; top-5 parts per customer for "
     "a fixed probe set of 20 customers. Matrix factorization as "
-    "block-joined shuffle stages - no driver-side matrix; the "
-    "recommend step is a per-user top-k over the factor join.",
+    "block-joined shuffle stages - no driver-side matrix. The fitted "
+    "factor tables are persisted (persisted_relation) and the "
+    "recommend step is recomputed FROM them as a broadcast dot-product "
+    "top-k, giving the BLAS-nondeterministic model a full value oracle "
+    "(VERDICT r6 ask #2: factors become comparison inputs).",
 )
 def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -397,7 +439,40 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("float").alias("strength"))
     )
-    recs = ML.als_recommend(ratings, "user", "item", "strength", k=5)
-    return recs.filter(F.col("user") < 20).select(
-        "user", "item", F.col("score").cast("double").alias("score")
+    ds = li.count()  # data-derived tier tag, mirrored by the oracle
+    fx = persisted_relation(
+        spark,
+        "als_factors",
+        [f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"],
+        f"rank=8,seed=42,maxIter=8,implicit,ds={ds}",
+        lambda: ML.als_factor_tables(
+            ratings, "user", "item", "strength", rank=8, seed=42, ds_tag=ds
+        ),
+    )
+    u20 = fx.filter((F.col("side") == "user") & (F.col("fid") < 20)).select(
+        F.col("fid").alias("user"), F.col("features").alias("ufeat")
+    )
+    items = fx.filter(F.col("side") == "item").select(
+        F.col("fid").alias("item"), F.col("features").alias("ifeat")
+    )
+    # bounded cross join: ≤20 probe users broadcast against the item
+    # factors — each item-factor partition scores locally, then the
+    # per-user top-5 window shuffles only (20 × n_items) score rows.
+    dot = F.aggregate(
+        F.zip_with(
+            "ufeat", "ifeat", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = items.crossJoin(F.broadcast(u20)).select(
+        "user", "item", F.round(dot, 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user", "item", "score")
     )

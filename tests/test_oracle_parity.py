@@ -19,12 +19,13 @@ ALL = sorted(QUERY_REGISTRY)
 # The declared rows-only set: every other query MUST carry an oracle.
 # Growing this set is a deliberate decision, not drift — add the name
 # here WITH a reason in the query's doc, or the coverage test fails.
-ROWS_ONLY = {
-    "als_recommendations",   # BLAS nondeterminism across platforms
-    # round 6 converted the other four ML rows to value oracles via
-    # deterministic twins (lloyd_ctes / power-iteration PCA / JSON
-    # parse-back) — see plans/ml_analysis.py's module docstring.
-}
+ROWS_ONLY: set[str] = set()
+# Round 7 emptied the set: als_recommendations (the last rows-only row)
+# now persists its fitted factor tables and both engines recompute
+# score = dot(user, item) + top-k FROM them, so BLAS-nondeterministic
+# factor values are comparison inputs rather than outputs. Rounds 5-6
+# converted the other four ML rows via deterministic twins (lloyd_ctes
+# / power-iteration PCA / JSON parse-back) — see plans/ml_analysis.py.
 
 
 def test_registry_oracle_coverage_does_not_drift():
