@@ -157,15 +157,36 @@ def ngram_jaccard_pairs(
     )
 
 
-# Mersenne prime for the universal-hash family; shingle base hash is
-# 48 bits (12 md5 hex digits) and a_i ≤ 2·num_hashes+3, so a_i·H + b_i
-# stays far below 2^63 — identical int64 arithmetic in any engine.
-MINHASH_P = (1 << 61) - 1
+# Mersenne prime for the universal-hash family. The base shingle hash
+# (48 md5 bits) is REDUCED mod P before the affine step, so with
+# a_i < P the product a_i·H stays below 2^62 — identical int64
+# arithmetic in any engine. P must be SMALL relative to a_i·H's
+# range for the family to mix: round 7 found the original
+# (P = 2^61−1, a_i ≤ 259) family never wrapped P on 48-bit H, making
+# every hash_i pick the SAME argmin shingle — perfectly correlated
+# "independent" minima that degenerated match-fraction estimates to
+# {0, 1} and collapsed LSH banding to one effective band.
+MINHASH_P = (1 << 31) - 1
+
+#: Bump when the hash family changes: rides into every
+#: persisted-relation params string derived from minhash signatures so
+#: pre-change band/fingerprint indexes re-key instead of serving stale.
+MINHASH_FAMILY_VERSION = 2
 
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
-    """Fixed (a_i, b_i) for hash_i(H) = (a_i·H + b_i) mod P."""
-    return [(2 * i + 3, 1000003 * i + 17) for i in range(num_hashes)]
+    """Fixed pseudo-random (a_i, b_i) for hash_i(H) = (a_i·H + b_i)
+    mod P, a_i ∈ [1, P−1], b_i ∈ [0, P−1] — md5-derived so any engine
+    (or the SQL oracle generator) regenerates the identical table."""
+    import hashlib as _hl
+
+    out = []
+    for i in range(num_hashes):
+        h = _hl.md5(f"minhash-coeff-{i}".encode()).hexdigest()
+        a = int(h[:12], 16) % (MINHASH_P - 1) + 1
+        b = int(h[12:24], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def _let(bound: F.Column, body) -> F.Column:
@@ -198,7 +219,9 @@ def minhash_signature_array(
     """
     sh = F.array_distinct(word_shingles(text_col, n))
     hs = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
     )
     ab = F.array(
         *[
@@ -251,7 +274,10 @@ def minhash_signature_pandas(
         def h48(s: str) -> int:
             v = cache.get(s)
             if v is None:
-                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+                v = (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+                    % MINHASH_P
+                )
                 cache[s] = v
             return v
 

@@ -154,18 +154,66 @@ def cms_estimate(
     )
 
 
+#: Below this Catalyst plan-size estimate of the corpus input, a plain
+#: hash-aggregate (partial agg shrinks the exchange to distinct tokens
+#: per partition, all JVM whole-stage codegen) beats the Misra-Gries
+#: kernel's fixed Arrow/Python transfer cost — measured 8.5× vs DuckDB
+#: at the x10 tier (VERDICT r6). Above it, the distinct-token relation
+#: itself is the problem and MG's bounded per-partition state + tiny
+#: candidate exchange is the only shape that survives 100 TB.
+HH_EXACT_THRESHOLD_BYTES = 1 << 32  # 4 GiB of corpus text
+
+
+def choose_heavy_hitter_strategy(
+    corpus_bytes: int,
+    exact_threshold: int = HH_EXACT_THRESHOLD_BYTES,
+) -> str:
+    """Pick the heavy-hitter plan from a measured input size (the
+    ``choose_semi_strategy`` discipline — operators/bloom.py):
+    'groupby' while the distinct-token hash aggregate is affordable,
+    'misra_gries' above."""
+    return "groupby" if corpus_bytes <= exact_threshold else "misra_gries"
+
+
 def token_heavy_hitters(
-    df: DataFrame, text_col: str, min_freq: int, k: int = 4096
+    df: DataFrame,
+    text_col: str,
+    min_freq: int,
+    k: int = 4096,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Heavy-hitter TOKENS of a text corpus: (token, freq) for every
     lower-cased whitespace token with corpus frequency >= min_freq.
-    The explode happens twice (candidate pass + recount pass) but
-    neither instance ever shuffles the full token stream — the only
-    wide stage is the recount groupBy over the candidate-filtered
-    sliver."""
+
+    Two equality-identical arms behind a measured auto-select
+    (``choose_heavy_hitter_strategy``):
+
+    - ``'groupby'`` — explode → hash aggregate → HAVING. Partial
+      aggregation means the exchange carries distinct-tokens-per-
+      partition, not the token stream; whole-stage codegen end to end.
+      The winner at any size whose distinct-token relation fits the
+      shuffle/memory budget.
+    - ``'misra_gries'`` — per-partition bounded-state summaries union
+      a tiny candidate set, then an exact recount over the broadcast-
+      semi-joined sliver. The explode happens twice but the full token
+      stream never shuffles — the unshufflable-regime plan.
+    """
     from ..functions.text import tokens
+    from .bloom import plan_size_bytes
 
     toks = repartition_for_compute(df).select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
+    if strategy == "auto":
+        strategy = choose_heavy_hitter_strategy(plan_size_bytes(df))
+    if strategy == "groupby":
+        return (
+            toks.groupBy("token")
+            .agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") >= min_freq)
+        )
+    if strategy != "misra_gries":
+        raise ValueError(
+            f"strategy must be 'auto', 'groupby' or 'misra_gries', got {strategy!r}"
+        )
     return heavy_hitters(toks, "token", min_freq, k)

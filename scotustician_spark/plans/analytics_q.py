@@ -240,11 +240,15 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, CAST(count(*) AS BIGINT) AS freq
     FROM toks GROUP BY token HAVING count(*) >= 200
     """,
-    doc="Exact heavy-hitter tokens via per-partition Misra-Gries "
-    "summaries (bounded k-counter state, pure map side) + exact recount "
-    "of the candidate sliver only — the full token stream never "
-    "shuffles, unlike the oracle's global GROUP BY. MG recall guarantee "
-    "(freq > n/k survives every summary) makes the result exact.",
+    doc="Exact heavy-hitter tokens behind a measured auto-select "
+    "(choose_heavy_hitter_strategy, VERDICT r6 #4): below 4 GiB of "
+    "corpus the plain whole-stage-codegen hash aggregate wins (partial "
+    "agg already shrinks the exchange to distinct tokens/partition); "
+    "above it, per-partition Misra-Gries summaries (bounded k-counter "
+    "state, pure map side) + exact recount of the candidate sliver "
+    "keep the full token stream from ever shuffling. MG recall "
+    "guarantee (freq > n/k survives every summary) makes both arms "
+    "return identical rows (equality-tested).",
     bench=True,
 )
 def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:

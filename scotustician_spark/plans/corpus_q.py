@@ -331,6 +331,61 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_sketch_oracle(num_hashes: int = 128) -> str:
+    """Replays source_overlap_sketch: same 48-bit md5 base hash and
+    universal-hash family as _minhash_oracle, min taken per SOURCE
+    (min over a union = min of per-set minima), then pairwise
+    signature match counts. n_match / num_hashes is exact in binary
+    for power-of-two num_hashes — no rounding needed."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    coef_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    return f"""
+    WITH posts AS (SELECT DISTINCT source, shingle FROM ({_SRC_SHINGLES})
+                   WHERE shingle IS NOT NULL AND shingle <> ''),
+    hashed AS (SELECT source,
+                      CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT)
+                          % {MINHASH_P} AS H
+               FROM posts),
+    coef(pos, ca, cb) AS (SELECT * FROM (VALUES {coef_rows})),
+    sigs AS (SELECT source, pos, min((ca * H + cb) % {MINHASH_P}) AS v
+             FROM hashed CROSS JOIN coef GROUP BY 1, 2)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
+               / {num_hashes} AS jaccard_est
+    FROM sigs a JOIN sigs b ON a.pos = b.pos AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "source_overlap_minhash",
+    _source_sketch_oracle(),
+    doc="At-scale arm of source_overlap_jaccard (VERDICT r6 #3): "
+    "pairwise source-Jaccard ESTIMATE from per-source MinHash(128) "
+    "signatures. Per-doc signatures are in-row (one md5 per distinct "
+    "shingle); the per-source signature is their element-wise min "
+    "(min over a union = min of per-set minima), so only 128 rows per "
+    "document partial-aggregate through the one shuffle — the corpus "
+    "text never moves, vs the exact path's full (source, shingle) "
+    "postings relation. choose_overlap_strategy dispatches exact vs "
+    "sketch on the measured corpus plan size "
+    "(operators/corpus.py::source_overlap_auto).",
+    bench=True,
+)
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.source_overlap_sketch(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        text_col="text",
+        n=3,
+        num_hashes=128,
+    )
+
+
 # Case-PRESERVING tokens for chunking (chunk text must round-trip the
 # original casing; same edge-strip/empty-guard contract as _TOKS)
 _RAW_TOKS = (

@@ -238,7 +238,8 @@ def _minhash_oracle(num_hashes: int = 16, band_size: int = 4, src: str = "docume
     WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({shingles})),
     hashed AS (
         SELECT doc_id,
-               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT) AS H
+               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT)
+                   % {MINHASH_P} AS H
         FROM posts),
     sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     bands AS (
@@ -352,7 +353,8 @@ def _incremental_dedup_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
     WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
     hashed AS (
         SELECT doc_id,
-               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT) AS H
+               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT)
+                   % {MINHASH_P} AS H
         FROM posts),
     sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     bands AS (
@@ -411,7 +413,7 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "dedup_base_bands",
         src,
-        "mod5base_n3_h16_b4",
+        f"mod5base_n3_h16_b4_fam{DD.MINHASH_FAMILY_VERSION}",
         lambda: DD.minhash_bands(
             base, "doc_id", "text", n=3, num_hashes=16, band_size=4
         ),
@@ -1802,7 +1804,8 @@ def _minhash_est_error_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
     WITH posts AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
     hashed AS (
         SELECT doc_id,
-               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT) AS H
+               CAST(concat('0x', substring(md5(shingle), 1, 12)) AS BIGINT)
+                   % {MINHASH_P} AS H
         FROM posts),
     sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     bands AS (

@@ -322,8 +322,11 @@ def test_incremental_dedup_triage(spark):
         [
             # exact dup of base 1 modulo whitespace/case normalization
             (10, "  The quick   brown fox jumps over the lazy dog every day "),
-            # near dup of base 1 (one word changed -> shares bands)
-            (11, "the quick brown fox jumps over the lazy cat every day"),
+            # near dup of base 1 (one word appended keeps 10/11 shingles,
+            # J=0.91 -> shares a band under the mixing hash family;
+            # the pre-round-7 one-word-CHANGED variant at J=0.5 only
+            # banded under the degenerate correlated family)
+            (11, "the quick brown fox jumps over the lazy dog every day too"),
             # novel
             (12, "nothing like anything in the base at all whatsoever"),
             # zero-token: no bands, no fp match -> keep
@@ -1054,3 +1057,77 @@ def test_update_dedup_index_two_batches_equal_one_shot(spark, tmp_path):
     }
     assert got[100] == "drop_exact"
     assert got[101] == "keep"
+
+
+def test_source_overlap_sketch_tracks_exact(spark, sf_dir):
+    """VERDICT r6 #3: the minhash sketch arm's per-pair estimate must
+    track exact source Jaccard within MinHash(128) sampling error
+    (std = sqrt(J(1-J)/128) <= 0.045; 4-sigma plus a floor), and
+    every exact pair of non-empty sources must appear in the sketch
+    output (the signature join emits ALL pairs)."""
+    from scotustician_spark.operators.corpus import (
+        source_overlap,
+        source_overlap_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in source_overlap(docs, "source", "text", n=3).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["jaccard_est"]
+        for r in source_overlap_sketch(
+            docs, "source", "text", n=3, num_hashes=128
+        ).collect()
+    }
+    assert set(exact) <= set(est)
+    for pair, j in exact.items():
+        tol = max(0.05, 4.0 * (j * (1.0 - j) / 128.0) ** 0.5)
+        assert abs(est[pair] - j) <= tol, (pair, j, est[pair])
+    # pairs absent from exact share no shingle: estimate must be ~0
+    for pair in set(est) - set(exact):
+        assert est[pair] <= 0.05, (pair, est[pair])
+
+
+def test_source_overlap_auto_dispatch(spark):
+    """choose_overlap_strategy picks exact below the threshold and
+    sketch above; source_overlap_auto returns the same (source_a,
+    source_b, jaccard) schema from either arm, and below threshold its
+    values ARE the exact path's."""
+    from scotustician_spark.operators.corpus import (
+        choose_overlap_strategy,
+        source_overlap,
+        source_overlap_auto,
+    )
+
+    assert choose_overlap_strategy(1024) == "exact"
+    assert choose_overlap_strategy(1 << 40) == "sketch"
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "the quick brown fox jumps over the lazy dog"),
+            (2, "s1", "pack my box with five dozen liquor jugs"),
+            (3, "s2", "the quick brown fox jumps over the lazy dog"),
+            (4, "s3", "sphinx of black quartz judge my vow"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    # explicit thresholds: Catalyst's size stat for an in-memory
+    # LocalRelation is the conservative huge default, which correctly
+    # dispatches to sketch — pin each arm here instead
+    lo = source_overlap_auto(docs, "source", "text", exact_threshold=1 << 63)
+    hi = source_overlap_auto(docs, "source", "text", exact_threshold=0)
+    assert lo.columns == ["source_a", "source_b", "jaccard"]
+    assert hi.columns == ["source_a", "source_b", "jaccard"]
+    want = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in source_overlap(docs, "source", "text").collect()
+    }
+    got = {(r["source_a"], r["source_b"]): r["jaccard"] for r in lo.collect()}
+    assert got == want
+    # identical duplicated docs across s1/s2: the sketch must call the
+    # shared pair near its true Jaccard and the disjoint pair near 0
+    hi_v = {(r["source_a"], r["source_b"]): r["jaccard"] for r in hi.collect()}
+    assert hi_v[("s1", "s2")] >= 0.3
+    # disjoint pair: zero matches are filtered (exact-arm contract)
+    assert hi_v.get(("s2", "s3"), 0.0) <= 0.1

@@ -141,15 +141,26 @@ def test_bm25_single_tiny_agg_then_broadcast(spark, sf_dir):
 
 
 def test_heavy_hitters_recount_is_broadcast_semi(spark, sf_dir):
-    plan = _final_plan(QUERY_REGISTRY["token_heavy_hitters"].fn(spark, sf_dir))
-    # candidates come from the map-side Misra-Gries pass (ArrowEval /
-    # mapInPandas node), and the exact recount joins them BROADCAST
-    # semi — the full token stream never hash-shuffles un-filtered:
-    # every hashpartitioning exchange in the plan sits above the
-    # semi-join (i.e. carries candidate-filtered rows or the tiny
+    from scotustician_spark.operators.frequency import token_heavy_hitters
+    from scotustician_spark.plans.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", normalize_ntz=False)
+    # MG arm (the above-threshold plan): candidates come from the
+    # map-side Misra-Gries pass (mapInPandas node), and the exact
+    # recount joins them BROADCAST semi — the full token stream never
+    # hash-shuffles un-filtered: every hashpartitioning exchange sits
+    # above the semi-join (candidate-filtered rows or the tiny
     # candidate set itself)
+    plan = _final_plan(
+        token_heavy_hitters(docs, "text", 200, strategy="misra_gries")
+    )
     assert "MapInPandas" in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the registered query auto-selects: at test-file sizes that is the
+    # groupby arm — one whole-stage hash aggregate, zero Python
+    plan_auto = _final_plan(QUERY_REGISTRY["token_heavy_hitters"].fn(spark, sf_dir))
+    assert "MapInPandas" not in plan_auto, plan_auto
+    assert "HashAggregate" in plan_auto, plan_auto
 
 
 def test_ts_gapfill_single_join_no_cartesian_calendar(spark, sf_dir):

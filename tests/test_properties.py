@@ -179,7 +179,10 @@ def test_minhash_signature_matches_python(spark, docs):
         if not sh:
             exp = [None] * 8
         else:
-            hs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in sh]
+            hs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % MINHASH_P
+                for s in sh
+            ]
             exp = [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_coeffs(8)]
         assert got[i] == exp, i
 

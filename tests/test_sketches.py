@@ -123,3 +123,35 @@ def test_cms_estimate_unseen_item_is_zero(spark):
     # strings, deterministic hashes — verified at authoring time)
     assert got["never_inserted_zzz"] == 0
     assert got["a"] >= 7
+
+
+def test_token_heavy_hitter_arms_identical(spark, sf_dir):
+    """VERDICT r6 #4: the groupby and Misra-Gries arms must return the
+    identical (token, freq) set — MG's candidate superset + exact
+    recount is exact by the n/k guarantee, and the auto-select must
+    never change results, only the plan."""
+    from scotustician_spark.operators.frequency import (
+        choose_heavy_hitter_strategy,
+        token_heavy_hitters,
+    )
+
+    assert choose_heavy_hitter_strategy(1024) == "groupby"
+    assert choose_heavy_hitter_strategy(1 << 40) == "misra_gries"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gb = {
+        (r["token"], r["freq"])
+        for r in token_heavy_hitters(
+            docs, "text", min_freq=20, strategy="groupby"
+        ).collect()
+    }
+    mg = {
+        (r["token"], r["freq"])
+        for r in token_heavy_hitters(
+            docs, "text", min_freq=20, strategy="misra_gries"
+        ).collect()
+    }
+    assert gb == mg and gb
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        token_heavy_hitters(docs, "text", 20, strategy="nope")
