@@ -565,6 +565,12 @@ def ivfpq_build(
 
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
     assigned, cents1 = onestep_cell_assignments(c, n_cells, d2_round)
+    # n_cells rows; consumed by the residual join AND (in the one-shot
+    # build+probe composition) the query-side cell assignment — without
+    # the cut the whole corpus-scan→argmin→re-center chain replays per
+    # consumer (expression ids differ across the branches, so
+    # ReusedExchange never fires). Lazy: first consumer materializes.
+    cents1 = cents1.localCheckpoint(eager=False)
 
     # residual per corpus vector: v − centroid(cell), in float64.
     # Lineage cut HERE, not at `assigned`: resid is the relation with
@@ -620,6 +626,11 @@ def ivfpq_build(
         .agg(F.array_sort(F.collect_list(F.struct("spos", "mv"))).alias("pm"))
         .select("j", "code", F.col("pm.mv").alias("cw"))
     )
+    # m × n_codes rows; consumed by the corpus encoding here AND the
+    # probe's ADC lookup tables — same duplicated-subtree argument as
+    # cents1 (the codebook-training chain is 3 exchanges deep, the
+    # single most expensive replay in the round-6 ann_build plan).
+    cb1 = cb1.localCheckpoint(eager=False)
     codes = (
         _assign_codes(rsub, cb1)
         .select("cid", "j", "code")

@@ -90,9 +90,14 @@ def test_probe_plan_contains_no_build(spark, corpus, index_dir):
     # the persisted probe reads parquet index tables
     assert "parquet" in probe_plan.lower()
     assert probe_plan.count("Exchange") < oneshot_plan.count("Exchange")
-    # build signature: the codebook re-centering aggregates posexploded
-    # subvector elements — absent from the probe
-    assert "posexplode" in oneshot_plan
+    # build signature: since the round-7 plan pass, the trained
+    # centroid/codebook relations are lazily checkpointed inside
+    # ivfpq_build (the posexplode-avg re-centering runs in the
+    # checkpoint's own job), so the one-shot plan shows their
+    # materialized scans — present, where the persisted probe reads
+    # only parquet index tables
+    assert "Scan ExistingRDD" in oneshot_plan
+    assert "Scan ExistingRDD" not in probe_plan
     codes_scans = probe_plan.lower().count("partitionfilters")
     assert codes_scans >= 1  # cell-partitioned codes scan is prunable
 
