@@ -14,7 +14,13 @@ import pytest
 
 pytest.importorskip(
     "google.protobuf.descriptor",
-    reason="transformWithState needs the protobuf wheel (not in this container)",
+    reason="transformWithStateInPandas needs the `protobuf` wheel "
+    "(pyspark 4.x's pyspark/sql/streaming/proto uses protobuf>=4.25 "
+    "runtime messages for the state-server wire protocol). Round-7 "
+    "un-gate attempt: no protobuf wheel or sdist exists anywhere on "
+    "this container's disk and pip has no network, so vendoring is "
+    "impossible here — `pip install 'protobuf>=4.25,<6'` un-gates "
+    "this file unchanged.",
 )
 
 from scotustician_spark.streaming.stateful_v2 import (
