@@ -278,13 +278,18 @@ def label_propagation(
     (``rounds`` becomes a CAP — synchronous LPA can oscillate with
     period 2 on bipartite structure, so an unconditional loop could
     never terminate) but stops early once an iteration changes no
-    vertex's label, detected by an ASSIGNMENT-sensitive checksum:
-    ``sum(xxhash64(vertex, label))``. The components loop's
+    vertex's label OR enters a period-2 oscillation, detected by an
+    ASSIGNMENT-sensitive checksum (``sum(xxhash64(vertex, label))``)
+    compared against the last TWO rounds. The components loop's
     label-only checksum is not enough here — LPA labels are not
     monotone, and two different assignments can share a label
-    multiset (a swap), so the vertex must hash in. One tiny agg
-    action per round; type-agnostic (string ids hash fine).
-    ``stats`` (optional dict) records ``rounds_run``.
+    multiset (a swap), so the vertex must hash in; and a fixed-point
+    probe alone is not enough either — synchronous LPA's standard
+    failure mode on bipartite structure is a 2-cycle that never fixes
+    (the round-7 x10 audit measured exactly that: a 64-round cap
+    burned at ~0.45 s/round). One tiny agg action per round;
+    type-agnostic (string ids hash fine). ``stats`` (optional dict)
+    records ``rounds_run``.
     """
     sym = cut_lineage(symmetrize(pairs, src, dst), True, checkpoint_dir)
     # round 1 collapses: with identity initial labels every neighbor
@@ -300,7 +305,16 @@ def label_propagation(
             F.sum(F.xxhash64("v", "lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    # keep the last TWO checksums: synchronous LPA's failure mode is a
+    # PERIOD-2 oscillation (bipartite structure swaps two assignments
+    # forever), which a fixed-point probe alone never detects — the
+    # round-7 x10 audit caught until_stable burning a 64-round cap on
+    # exactly that. cur == prev is convergence; cur == prev2 is the
+    # 2-cycle, equally stable as a stopping state (the fixed-round
+    # determinism argument applies: we stop at the first detected
+    # recurrence, which is itself deterministic).
     prev_sum = _assign_checksum(labels) if until_stable else None
+    prev2_sum = None
     rounds_run = 1
     for _ in range(rounds - 1):
         nbr = sym.join(
@@ -322,9 +336,9 @@ def label_propagation(
         rounds_run += 1
         if until_stable:
             cur_sum = _assign_checksum(labels)
-            if cur_sum == prev_sum:
+            if cur_sum == prev_sum or cur_sum == prev2_sum:
                 break
-            prev_sum = cur_sum
+            prev2_sum, prev_sum = prev_sum, cur_sum
     if stats is not None:
         stats["rounds_run"] = rounds_run
     # label rides in its NATIVE type — vertex ids may be strings

@@ -604,3 +604,21 @@ def test_label_propagation_reliable_checkpoint_identical(spark, tmp_path):
         )
     )
     assert cc_rel == cc_local
+
+
+def test_lpa_until_stable_detects_period2_oscillation(spark):
+    """Round-7 x10 audit finding: synchronous LPA on bipartite
+    structure oscillates with period 2, so a fixed-point-only probe
+    never stops. A 4-cycle (the smallest bipartite oscillator) must
+    stop within a handful of rounds, not burn the cap."""
+    from scotustician_spark.operators.graph import label_propagation
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = label_propagation(
+        cyc, src="id_a", dst="id_b", rounds=50, until_stable=True, stats=stats
+    ).collect()
+    assert stats["rounds_run"] <= 6, stats
+    assert len(out) == 4

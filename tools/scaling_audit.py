@@ -77,6 +77,7 @@ X1000_QUERIES = [
     "copurchase_triangles",
     "bpe_compression_by_source",
     "vocab_growth",
+    "source_overlap_minhash",  # round-7 sketch arm: the ≤2x scale path
 ]
 
 
@@ -296,6 +297,212 @@ def ann_scale_audit(spark, tier_dir: str, repo: str) -> list[str]:
     return lines
 
 
+def lpa_convergence_audit(spark, tier_dir: str) -> list[str]:
+    """VERDICT r6 ask #6: bench the CONVERGENCE arm of label
+    propagation (``until_stable=True``, rounds as a cap) against the
+    fixed-4-round oracle arm on the x10 tier, separating the per-round
+    checksum action's cost from the rounds themselves."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from scotustician_spark.operators.baskets import frequent_pairs
+    from scotustician_spark.operators.graph import label_propagation
+    from scotustician_spark.plans.relational import _t
+
+    li = _t(spark, tier_dir, "lineitem")
+    pairs = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=10, pair_min_support=2
+    ).localCheckpoint(eager=True)  # exclude pair mining from the deltas
+
+    def _run(rounds: int, until_stable: bool) -> tuple[float, int]:
+        stats: dict = {}
+
+        def go():
+            return label_propagation(
+                pairs,
+                src="item_a",
+                dst="item_b",
+                rounds=rounds,
+                until_stable=until_stable,
+                stats=stats,
+            )
+
+        go().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            go().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3), stats.get("rounds_run", rounds)
+
+    fixed_w, fixed_r = _run(4, False)
+    conv_w, conv_r = _run(64, True)
+    # per-round checksum overhead in isolation: the SAME round count
+    # without the probes — the delta is what an accumulator-based stop
+    # could recover
+    plain_w, _ = _run(conv_r, False)
+    probe_cost = conv_w - plain_w
+    return [
+        "",
+        "## Label propagation: fixed rounds vs convergence (x10 tier)",
+        "",
+        "Same frequent-pair graph (checkpointed, excluded from the",
+        "timings); min-of-2 after warm-up. The convergence arm pays one",
+        "tiny checksum aggregation (sum of xxhash64(vertex,label)) per",
+        "round and stops on a fixed point OR a detected period-2",
+        "oscillation (synchronous LPA's failure mode — the round-7 audit",
+        "caught the fixed-point-only probe burning a 64-round cap on",
+        "exactly such a 2-cycle; the stop now compares the last two",
+        "checksums).",
+        "",
+        "| arm | rounds run | wall |",
+        "|---|---|---|",
+        f"| fixed 4 rounds (oracle arm) | {fixed_r} | {fixed_w:.3f}s |",
+        f"| until_stable (cap 64) | {conv_r} | {conv_w:.3f}s |",
+        f"| fixed {conv_r} rounds (no probes) | {conv_r} | {plain_w:.3f}s |",
+        "",
+        f"Checksum-probe overhead ≈ {probe_cost:.3f}s over {conv_r} probed "
+        f"rounds (~{probe_cost / max(conv_r, 1):.3f}s/round) — the margin an "
+        "accumulator-observed stop could recover; the rounds themselves "
+        "dominate the rest.",
+    ]
+
+
+X100_QUERIES = [
+    # the 10 heaviest board rows by x10 wall + the two round-7 arms
+    "dedup_exact_groups",
+    "minhash_lsh_pairs",
+    "token_heavy_hitters",
+    "star_join_revenue",
+    "case_summaries",
+    "cosine_topk",
+    "label_propagation_communities",
+    "copurchase_triangles",
+    "source_overlap_minhash",
+    "event_sessions",
+    "bpe_compression_by_source",
+    "quality_classifier_filter",
+]
+
+
+def build_x100_tier(spark, x10_dir: str, out: str) -> None:
+    """10 more FK-consistent copies of the x10 tier (~60M lineitem /
+    500k documents / 200k vectors) — the first tier where 128 GiB
+    forces real memory pressure on the heavy families. Variants are
+    already baked into the x10 tier; the x100 copies key-shift only
+    (another dropout pass would degenerate documents)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(f"{out}/embeddings.parquet/_SUCCESS"):
+        return
+    os.makedirs(out, exist_ok=True)
+    off2 = OFF * 100  # clear of every x10 key (< 10 * OFF + base)
+
+    def tenfold(t, shift_cols=()):
+        df = spark.read.parquet(f"{x10_dir}/{t}.parquet")
+        parts = []
+        for k in range(COPIES):
+            c = df
+            for col in shift_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(k * off2))
+            parts.append(c)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{x10_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+    tenfold("customer", ("c_custkey",))
+    tenfold("supplier", ("s_suppkey",))
+    tenfold("part", ("p_partkey",))
+    tenfold("orders", ("o_orderkey", "o_custkey"))
+    tenfold("lineitem", ("l_orderkey", "l_partkey", "l_suppkey"))
+    tenfold("events", ("event_id", "user_id"))
+    tenfold("documents", ("doc_id",))
+    tenfold("embeddings", ("vec_id",))
+
+
+def _spill_metrics(spark, fn, sf_dir: str) -> tuple[float, float]:
+    """One timed execution + the run's total 'spill size' across all
+    plan nodes (the shuffle_audit.py status-store recipe)."""
+    import re as _re
+
+    units = {"B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3, "TiB": 1024**4}
+
+    def parse(s: str) -> float:
+        first = s.strip().splitlines()[-1].strip()
+        m = _re.match(r"([0-9.,]+)\s*(B|KiB|MiB|GiB|TiB)?", first)
+        return (
+            float(m.group(1).replace(",", "")) * units.get(m.group(2) or "", 1)
+            if m
+            else 0.0
+        )
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsList().size()
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    wall = round(time.time() - t0, 3)
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(30_000)
+    lst = store.executionsList()
+    spill = 0.0
+    for idx in range(before, lst.size()):
+        ex = lst.apply(idx)
+        mets = store.executionMetrics(ex.executionId())
+        nodes = store.planGraph(ex.executionId()).allNodes()
+        for i in range(nodes.size()):
+            nm = nodes.apply(i).metrics()
+            for j in range(nm.size()):
+                m = nm.apply(j)
+                if "spill size" not in m.name():
+                    continue
+                v = mets.get(m.accumulatorId())
+                if v.nonEmpty():
+                    spill += parse(v.get())
+    return wall, spill
+
+
+def x100_audit(spark, registry, x10_dir: str, x100_dir: str) -> list[str]:
+    """VERDICT r6 ask #7: the heavy families at ~60M lineitem / 500k
+    docs, with measured spill — the memory-pressure tier."""
+    build_x100_tier(spark, x10_dir, x100_dir)
+    lines = [
+        "",
+        "## x100 stress tier (~sf10: 60M lineitem / 15M orders / 10M events",
+        "/ 500k documents / 200k vectors), with spill",
+        "",
+        "Ten key-shifted copies of the x10 tier; heavy queries only,",
+        "single timed pass after one warm-up, plus the run's total",
+        "'spill size' from the SQL status store. A query that spills",
+        "gets a plan note below the table.",
+        "",
+        "| query | x10 | x100 | x10→x100 | spill |",
+        "|---|---|---|---|---|",
+    ]
+    for name in X100_QUERIES:
+        q = registry[name]
+        q.fn(spark, x10_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        q.fn(spark, x10_dir).write.format("noop").mode("overwrite").save()
+        x10_w = round(time.time() - t0, 3)
+        q.fn(spark, x100_dir).write.format("noop").mode("overwrite").save()  # warm
+        wall, spill = _spill_metrics(spark, q.fn, x100_dir)
+        spill_s = (
+            f"{spill / 1024**2:.1f} MiB" if spill > 0 else "0"
+        )
+        print(
+            f"{name} x100: {wall:.3f}s (x10 {x10_w:.3f}s, spill {spill_s})",
+            flush=True,
+        )
+        lines.append(
+            f"| {name} | {x10_w:.3f}s | {wall:.3f}s "
+            f"| {wall / x10_w:.1f}x | {spill_s} |"
+        )
+    return lines
+
+
 def main() -> None:
     from scotustician_spark.plans import QUERY_REGISTRY
     from scotustician_spark.session import get_spark
@@ -328,6 +535,9 @@ def main() -> None:
 
     ddb = duckdb_x10(QUERY_REGISTRY, X1000_QUERIES, x1000_dir)
     ann_lines = ann_scale_audit(spark, x1000_dir, repo)
+    lpa_lines = lpa_convergence_audit(spark, x1000_dir)
+    x100_dir = os.path.join(repo, "spark-warehouse", "sfx100_synth")
+    x100_lines = x100_audit(spark, QUERY_REGISTRY, x1000_dir, x100_dir)
 
     lines = [
         "# SCALING — measured wall-clock across 1x / 10x / 100x data",
@@ -394,6 +604,14 @@ def main() -> None:
             f"{dd_tot:.1f}s = **{sp_tot / dd_tot:.2f}x**.",
         ]
     lines += ann_lines
+    lines += lpa_lines
+    lines += x100_lines
+    # fold in the streaming-sink section if tools/streaming_bench.py
+    # has produced one (cached separately: streaming drains are
+    # stateful and much slower to regenerate than this audit)
+    stream_sec = os.path.join(repo, "spark-warehouse", "streaming_section.md")
+    if os.path.exists(stream_sec):
+        lines += ["", open(stream_sec).read().rstrip()]
     out = os.path.join(repo, "SCALING.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
