@@ -98,7 +98,7 @@ def bench_topk(spark, work: str) -> list[tuple[int, float]]:
     queries = (
         spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        .select("vec_id", "embedding")  # sink's score stage aliases
         .localCheckpoint(eager=True)
     )
     batches = [
@@ -109,7 +109,7 @@ def bench_topk(spark, work: str) -> list[tuple[int, float]]:
 
     def run(src: str) -> None:
         stream = spark.readStream.schema(
-            "vec_id long, label string, embedding array<float>"
+            "vec_id long, embedding array<float>, label int"
         ).parquet(src)
         run_topk_state_update(stream, queries, state, ckpt, k=5)
 
