@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lineage import cut_lineage
+from .lineage import cut_lineage, cut_lineage_observed
 
 
 def connected_components(
@@ -68,33 +68,28 @@ def connected_components(
     # are filtered from the OUTPUT, preserving the one-row-per-vertex
     # contract.
     seed = verts.unionByName(sym.select("u")).distinct()
-    labels = cut_lineage(
-        seed.select("u", F.col("u").alias("comp")),
-        True,
-        checkpoint_dir,
+    # hash-min labels only ever decrease, so the label multiset is
+    # stable iff its hash-sum is; xxhash64 works on any id type
+    # (string doc ids included) and the decimal accumulator cannot
+    # overflow or go NULL, so checksum equality ⇔ convergence
+    # (modulo a 2^-64 collision). The checksum rides as an Observation
+    # on the per-round checkpoint job itself (cut_lineage_observed) —
+    # the former separate .agg().collect() was one extra job per round.
+    _ck = F.sum(F.xxhash64("comp").cast("decimal(38,0)")).alias("s")
+    labels, m = cut_lineage_observed(
+        seed.select("u", F.col("u").alias("comp")), [_ck], checkpoint_dir
     )
-
-    def _label_checksum(lbl: DataFrame):
-        # hash-min labels only ever decrease, so the label multiset is
-        # stable iff its hash-sum is; xxhash64 works on any id type
-        # (string doc ids included) and the decimal accumulator cannot
-        # overflow or go NULL, so checksum equality ⇔ convergence
-        # (modulo a 2^-64 collision).
-        return lbl.agg(
-            F.sum(F.xxhash64("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = _label_checksum(labels)
+    prev_sum = m["s"]
     for _ in range(max_iter):
         msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "comp")
-        labels = cut_lineage(
+        labels, m = cut_lineage_observed(
             labels.unionByName(msgs)
             .groupBy("u")
             .agg(F.min("comp").alias("comp")),
-            True,
+            [_ck],
             checkpoint_dir,
         )
-        cur_sum = _label_checksum(labels)
+        cur_sum = m["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

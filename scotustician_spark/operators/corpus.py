@@ -769,3 +769,131 @@ def weighted_reservoir_sample(
         (-F.col("c.nk")).alias("sample_key"),
         (F.col("__pos") + 1).cast("bigint").alias("rnk"),
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    in the raw pool by how much its hashed-n-gram profile looks like
+    the TARGET subset (rows where ``target_pred`` holds), as the
+    log-likelihood ratio of two bag-of-buckets multinomials.
+
+    Features are unigrams + adjacent bigrams of the lowercased
+    whitespace tokens, hashed into ``n_buckets`` md5 buckets (the same
+    hashing trick as the quality classifier). Bucket probabilities are
+    Laplace-smoothed (``alpha``); llr[b] = ln(p_target[b]) -
+    ln(p_raw[b]) is rounded to 12dp so any engine reproduces identical
+    per-bucket weights, then each document's log-weight is the in-row
+    fold of llr over its own features.
+
+    Plan shape at 100 TB — two corpus passes, nothing per-doc ever
+    shuffles:
+      1. count pass: explode features, hash to buckets, ONE hash
+         aggregate keyed by bucket (map-side partial combine bounds
+         shuffle rows at partitions × n_buckets);
+      2. the n_buckets llr rows are collected (a bounded driver read,
+         same class as the k-means centroid probes) into an array
+         LITERAL, so the score pass is a pure in-row map over the
+         documents scan — zero exchanges, zero Python.
+    Gumbel resampling keys (logw + Gumbel(u) with u drawn from the
+    row's own md5 bits — Gumbel-top-k samples ∝ weight without
+    replacement, no RNG state) are emitted alongside, rounded to 9dp
+    before any ordering so libm last-ulp differences cannot flip a
+    selection boundary; ties break on id downstream.
+
+    Returns (id_col, n_feats, log_weight, resample_key) for EVERY raw
+    doc (empty-token docs score 0.0 — they carry no evidence).
+    """
+    from ..functions.text import tokens
+
+    toks = F.coalesce(
+        tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
+    bigrams = F.when(
+        F.size("__l") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__l") - 2),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(F.col("__l"), i + 1),
+                F.element_at(F.col("__l"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        toks.alias("__l"),
+    ).select(
+        id_col,
+        "__is_target",
+        F.concat(F.col("__l"), bigrams).alias("__feats"),
+    )
+
+    def _bucket(x: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    # pass 1: global bucket counts for raw pool and target subset
+    ex = base.select(
+        "__is_target", F.explode("__feats").alias("__x")
+    ).select("__is_target", _bucket(F.col("__x")).alias("__b"))
+    cnt = ex.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("__is_target")).alias("ct"),
+    )
+    rows = cnt.collect()  # ≤ n_buckets rows — bounded driver read
+    tot_r = sum(r["cr"] for r in rows)
+    tot_t = sum(r["ct"] for r in rows)
+    import math
+
+    llr = [0.0] * n_buckets
+    for r in rows:
+        llr[r["__b"]] = round(
+            math.log((r["ct"] + alpha) / (tot_t + alpha * n_buckets))
+            - math.log((r["cr"] + alpha) / (tot_r + alpha * n_buckets)),
+            12,
+        )
+    arr = F.array(*[F.lit(w) for w in llr])
+
+    # pass 2: in-row scoring — element_at on the llr literal, array fold
+    logw = F.aggregate(
+        F.transform(
+            F.col("__feats"),
+            lambda x: F.element_at(arr, (_bucket(x) + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = ((h % 1000003) + 1).cast("double") / F.lit(1000004.0)
+    gumbel = -F.log(-F.log(u))
+    # the key is built from the ALREADY-6dp-ROUNDED log-weight: the raw
+    # fold's value depends on summation order (engines disagree at
+    # ~1e-13), which at a 9dp rounding boundary would flip bits; after
+    # the 6dp round the only cross-engine noise left is ln()'s last
+    # ulp (~1e-16), far inside the 9dp grid
+    lw = F.round(logw, 6)
+    return base.select(
+        id_col,
+        F.size("__feats").cast("bigint").alias("n_feats"),
+        lw.alias("log_weight"),
+        F.round(lw + gumbel, 9).alias("resample_key"),
+    )

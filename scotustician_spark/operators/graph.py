@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lineage import cut_lineage
+from .lineage import cut_lineage, cut_lineage_observed
 
 
 def triangle_counts(
@@ -211,32 +211,42 @@ def kcore_peel(
     ``until_stable=True`` turns ``rounds`` into a CAP and stops as
     soon as a peel round removes nothing (the surviving edge count is
     monotone non-increasing, so an unchanged count IS the fixpoint) —
-    the convergence arm for real graphs, one count() action per round
-    on top of the bounded oracle-friendly replay. ``stats`` (optional
-    dict) records ``rounds_run``.
+    the convergence arm for real graphs. The count rides as an
+    Observation on the per-round checkpoint job (cut_lineage_observed),
+    so the probe adds no extra Spark action to the bounded
+    oracle-friendly replay. ``stats`` (optional dict) records
+    ``rounds_run``.
     """
     from pyspark.sql import functions as F
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = cut_lineage(e, False, checkpoint_dir)
-    prev_n = e.count() if until_stable else None
+    # surviving-edge count observed on the per-round checkpoint job
+    # (cut_lineage_observed) instead of a separate count() action
+    _n = F.count(F.lit(1)).alias("n")
+    if until_stable:
+        e, m = cut_lineage_observed(e, [_n], checkpoint_dir)
+        prev_n = m["n"]
+    else:
+        e = cut_lineage(e, False, checkpoint_dir)
+        prev_n = None
     rounds_run = 0
     for _ in range(rounds):
         keep = e.groupBy("u").count().filter(F.col("count") >= k).select("u")
-        e = cut_lineage(
+        peeled = (
             e.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .select("u", "v"),
-            False,
-            checkpoint_dir,
+            .select("u", "v")
         )
         rounds_run += 1
         if until_stable:
-            cur_n = e.count()
+            e, m = cut_lineage_observed(peeled, [_n], checkpoint_dir)
+            cur_n = m["n"]
             if cur_n == prev_n:
                 break
             prev_n = cur_n
+        else:
+            e = cut_lineage(peeled, False, checkpoint_dir)
     if stats is not None:
         stats["rounds_run"] = rounds_run
     return e.groupBy("u").agg(F.count("*").cast("bigint").alias("core_degree")).select(
@@ -287,9 +297,10 @@ def label_propagation(
     probe alone is not enough either — synchronous LPA's standard
     failure mode on bipartite structure is a 2-cycle that never fixes
     (the round-7 x10 audit measured exactly that: a 64-round cap
-    burned at ~0.45 s/round). One tiny agg action per round;
-    type-agnostic (string ids hash fine). ``stats`` (optional dict)
-    records ``rounds_run``.
+    burned at ~0.45 s/round). The checksum rides as an Observation on
+    the per-round checkpoint job (cut_lineage_observed) — no separate
+    probe action; type-agnostic (string ids hash fine). ``stats``
+    (optional dict) records ``rounds_run``.
     """
     sym = cut_lineage(symmetrize(pairs, src, dst), True, checkpoint_dir)
     # round 1 collapses: with identity initial labels every neighbor
@@ -299,11 +310,11 @@ def label_propagation(
     labels = sym.groupBy("u").agg(F.min("v").alias("lbl")).select(
         F.col("u").alias("v"), "lbl"
     )
-
-    def _assign_checksum(lbl: DataFrame):
-        return lbl.agg(
-            F.sum(F.xxhash64("v", "lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    # assignment-sensitive checksum, observed on the per-round
+    # checkpoint job itself (cut_lineage_observed) rather than a
+    # separate agg action — the x10 audit priced the separate probe
+    # at ~0.16 s/round
+    _ck = F.sum(F.xxhash64("v", "lbl").cast("decimal(38,0)")).alias("s")
 
     # keep the last TWO checksums: synchronous LPA's failure mode is a
     # PERIOD-2 oscillation (bipartite structure swaps two assignments
@@ -313,7 +324,11 @@ def label_propagation(
     # 2-cycle, equally stable as a stopping state (the fixed-round
     # determinism argument applies: we stop at the first detected
     # recurrence, which is itself deterministic).
-    prev_sum = _assign_checksum(labels) if until_stable else None
+    if until_stable:
+        labels, m = cut_lineage_observed(labels, [_ck], checkpoint_dir)
+        prev_sum = m["s"]
+    else:
+        prev_sum = None
     prev2_sum = None
     rounds_run = 1
     for _ in range(rounds - 1):
@@ -322,23 +337,24 @@ def label_propagation(
             F.col("v") == F.col("__nv"),
         )
         cnt = nbr.groupBy("u", "lbl").agg(F.count("*").alias("c"))
-        labels = cut_lineage(
+        nxt = (
             cnt.groupBy("u")
             .agg(
                 F.min_by(
                     "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
                 ).alias("lbl")
             )
-            .select(F.col("u").alias("v"), "lbl"),
-            False,
-            checkpoint_dir,
+            .select(F.col("u").alias("v"), "lbl")
         )
         rounds_run += 1
         if until_stable:
-            cur_sum = _assign_checksum(labels)
+            labels, m = cut_lineage_observed(nxt, [_ck], checkpoint_dir)
+            cur_sum = m["s"]
             if cur_sum == prev_sum or cur_sum == prev2_sum:
                 break
             prev2_sum, prev_sum = prev_sum, cur_sum
+        else:
+            labels = cut_lineage(nxt, False, checkpoint_dir)
     if stats is not None:
         stats["rounds_run"] = rounds_run
     # label rides in its NATIVE type — vertex ids may be strings

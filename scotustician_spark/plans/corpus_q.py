@@ -1903,3 +1903,74 @@ def weighted_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_reservoir_sample(
         d, ["lang"], "n_chars", "doc_id", k=5
     ).select("lang", "doc_id", "sample_key", "rnk")
+
+
+_DSIR_B = 256
+_DSIR_TARGET = "source IN ('src1', 'src2', 'src3')"
+_DSIR_BKT = (
+    f"CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT) % {_DSIR_B}"
+)
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_DSIR_TARGET} AS is_t, {_TOKS_G} AS l
+        FROM documents),
+    f AS (SELECT doc_id, is_t,
+            l || CASE WHEN len(l) >= 2
+                 THEN list_transform(range(1, len(l)),
+                                     i -> l[i] || '_' || l[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END AS feats
+          FROM base),
+    e AS (SELECT doc_id, is_t, {_DSIR_BKT} AS b
+          FROM f, unnest(feats) AS u(x)),
+    cnt AS (SELECT b, count(*) AS cr,
+                   count(*) FILTER (WHERE is_t) AS ct
+            FROM e GROUP BY b),
+    tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM cnt),
+    llr AS (SELECT b, round(ln((ct + 1.0) / (t + {_DSIR_B}.0))
+                          - ln((cr + 1.0) / (r + {_DSIR_B}.0)), 12) AS w
+            FROM cnt, tot),
+    dw AS (SELECT e.doc_id, round(sum(llr.w), 6) AS lw
+           FROM e JOIN llr USING (b) GROUP BY e.doc_id),
+    sc AS (SELECT f.doc_id, CAST(len(f.feats) AS BIGINT) AS n_feats,
+                  COALESCE(dw.lw, 0.0) AS lw,
+                  -ln(-ln((((CAST(concat('0x', substring(md5('dsir|' ||
+                      CAST(f.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 1000003) + 1) / 1000004.0))) AS g
+           FROM f LEFT JOIN dw ON f.doc_id = dw.doc_id)
+    SELECT doc_id, n_feats, lw AS log_weight,
+           round(lw + g, 9) AS resample_key
+    FROM sc
+    ORDER BY resample_key DESC, doc_id
+    LIMIT 100
+    """,
+    doc="DSIR data selection (Xie et al. 2023): score every raw doc "
+    "by the log-likelihood ratio of two Laplace-smoothed hashed-"
+    f"n-gram multinomials ({_DSIR_B} md5 buckets, unigram+bigram "
+    "features) — target = the curated sources src1-3 — then Gumbel-"
+    "top-k resample 100 docs ∝ weight without replacement (u from "
+    "each row's own md5 bits, key = 6dp log-weight + Gumbel, 9dp-"
+    "rounded before ranking so libm ulp noise can't flip the cut). "
+    "operators/corpus.py::dsir_log_weights — scale shape: one "
+    "bucket-keyed count aggregate (map-side combine bounds shuffle "
+    f"rows at partitions × {_DSIR_B}), the {_DSIR_B} llr values "
+    "collect into an array LITERAL (bounded driver read, centroid-"
+    "probe class), and the score pass is a pure in-row fold over the "
+    "documents scan — zero per-doc shuffle; selection is "
+    "TakeOrderedAndProject. The oracle replays scoring via "
+    "explode+join+groupBy, so per-doc sums cross engines in "
+    "different orders — absorbed by rounding llr to 12dp and the "
+    "weight to 6dp BEFORE the 9dp key.",
+    bench=True,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = CP.dsir_log_weights(
+        d,
+        F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=_DSIR_B,
+    )
+    return w.orderBy(F.col("resample_key").desc(), "doc_id").limit(100)

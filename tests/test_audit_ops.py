@@ -622,3 +622,36 @@ def test_lpa_until_stable_detects_period2_oscillation(spark):
     ).collect()
     assert stats["rounds_run"] <= 6, stats
     assert len(out) == 4
+
+
+def test_cut_lineage_observed_fuses_probe_into_checkpoint(spark, tmp_path):
+    """cut_lineage_observed must return the checkpointed relation AND
+    the observed aggregate from the SAME materialization job, for both
+    the local and the reliable cut, and observe NULL sums on empty
+    input (the callers' None == None "stable" verdict)."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.lineage import cut_lineage_observed
+
+    df = spark.range(100).select(
+        F.col("id").alias("v"), (F.col("id") % 3).alias("lbl")
+    )
+    expected = df.agg(
+        F.sum(F.xxhash64("v", "lbl").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    ck = F.sum(F.xxhash64("v", "lbl").cast("decimal(38,0)")).alias("s")
+
+    cut, m = cut_lineage_observed(df, [ck])
+    assert m["s"] == expected
+    assert cut.count() == 100
+    # the CollectMetrics node must not survive the cut into downstream
+    # plans (the returned relation is a post-checkpoint scan)
+    assert "CollectMetrics" not in cut._jdf.queryExecution().toString()
+
+    cut_rel, m_rel = cut_lineage_observed(df, [ck], str(tmp_path / "ck"))
+    assert m_rel["s"] == expected
+    assert cut_rel.count() == 100
+
+    empty = df.filter(F.lit(False))
+    _, m0 = cut_lineage_observed(empty, [ck])
+    assert m0["s"] is None

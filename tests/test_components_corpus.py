@@ -1131,3 +1131,39 @@ def test_source_overlap_auto_dispatch(spark):
     assert hi_v[("s1", "s2")] >= 0.3
     # disjoint pair: zero matches are filtered (exact-arm contract)
     assert hi_v.get(("s2", "s3"), 0.0) <= 0.1
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR log-weights must rank docs sharing the target's vocabulary
+    above docs that don't, score empty/NULL text exactly 0.0 (no
+    evidence), and assign identically under repartitioning (md5
+    buckets, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.corpus import dsir_log_weights
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "t"),   # target
+        (2, "alpha gamma beta beta alpha", "t"),   # target
+        (3, "alpha beta gamma beta", "r"),         # raw, target-like
+        (4, "delta epsilon zeta delta zeta", "r"), # raw, disjoint
+        (5, "", "r"),                               # empty
+        (6, None, "r"),                             # NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = dsir_log_weights(
+        df, F.col("src") == "t", n_buckets=64
+    )
+    w = {r["doc_id"]: r for r in out.collect()}
+    assert len(w) == 6
+    assert w[3]["log_weight"] > w[4]["log_weight"]
+    for d in (5, 6):
+        assert w[d]["n_feats"] == 0
+        assert w[d]["log_weight"] == 0.0
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            df.repartition(7), F.col("src") == "t", n_buckets=64
+        ).collect()
+    }
+    assert again == {k: v["log_weight"] for k, v in w.items()}
