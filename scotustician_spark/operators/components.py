@@ -8,24 +8,27 @@ like this (its dedup is exact unique-key skip, helpers.py:287-296);
 it is the standard missing piece between LSH and an actual dedup'd
 corpus.
 
-Algorithm: hash-min label propagation. Every vertex starts labeled
-with its own id; each round, every vertex takes the min label over
-itself and its neighbors. Converges in O(graph diameter) rounds —
-near-dup clusters are dense and tiny (diameter ≲ 3-4), so 3-5 rounds
-in practice. Each round is one equi-join + one groupBy, both keyed on
-the vertex id, so AQE can coalesce/skew-split them; lineage is cut
-per round with localCheckpoint, or the loop would replan a 2^k-deep
-DAG. Convergence is detected by a type-agnostic label checksum
-(sum of xxhash64(comp), accumulated in decimal so it cannot
-overflow) — one tiny agg action, no extra join, and it works for
+Algorithm: hash-min label propagation WITH POINTER DOUBLING. Every
+vertex starts labeled with its own id; each round, every vertex takes
+the min label over itself and its neighbors, then follows its label's
+own label (label(label(v)) — the shortcutting step of Shiloach-Vishkin
+/ Kiveris et al.'s MapReduce components). The neighbor step alone
+moves a minimum one hop per round (O(diameter) rounds — a chain longer
+than max_iter would be SILENTLY mislabeled); composing with the
+doubling step squares the reach, so convergence is O(log diameter) —
+near-dup clusters are dense and tiny (diameter ≲ 3-4, 3-5 rounds in
+practice), and the default 30-round cap now covers diameter ~2^29
+instead of 30. Each round is one equi-join + one groupBy + one
+label-lookup self-join, all keyed on vertex ids, so AQE can
+coalesce/skew-split them; lineage is cut per round with
+localCheckpoint, or the loop would replan a 2^k-deep DAG. Convergence
+is detected by a type-agnostic label checksum (sum of xxhash64(comp),
+accumulated in decimal so it cannot overflow) observed ON the
+checkpoint job — no extra action, no extra join — and it works for
 string vertex ids (docket numbers like '80-1538') exactly as for
 numeric ones; a numeric cast would crash under ANSI mode or go NULL
-silently otherwise.
-
-At extreme scale (billions of edges, high-diameter graphs) the
-two-phase large-star/small-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond") halves round count; for dedup
-graphs plain hash-min's round count is already minimal.
+silently otherwise. Exhausting max_iter without the checksum settling
+raises instead of returning min-within-reach labels.
 """
 
 from __future__ import annotations
@@ -80,19 +83,45 @@ def connected_components(
         seed.select("u", F.col("u").alias("comp")), [_ck], checkpoint_dir
     )
     prev_sum = m["s"]
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "comp")
-        labels, m = cut_lineage_observed(
+        cand = (
             labels.unionByName(msgs)
             .groupBy("u")
-            .agg(F.min("comp").alias("comp")),
-            [_ck],
-            checkpoint_dir,
+            .agg(F.min("comp").alias("comp"))
         )
+        # pointer doubling: follow the label's own label. Pure hash-min
+        # moves a component's minimum ONE hop per round — O(diameter)
+        # rounds, and a chain longer than max_iter silently mislabeled
+        # (the streaming bench's 50k-edge stitched paths hit exactly
+        # this). Composing each round with label(label(v)) squares the
+        # reach per round — O(log diameter) — for one extra
+        # vertex-keyed self-join per round. Label values are always
+        # seed-vertex ids (mins over seed ids), so the lookup always
+        # hits; LEFT + least() guards the invariant anyway (least
+        # skips NULLs).
+        hop = cand.join(
+            cand.select(F.col("u").alias("comp"), F.col("comp").alias("__c2")),
+            "comp",
+            "left",
+        ).select("u", F.least("comp", "__c2").alias("comp"))
+        labels, m = cut_lineage_observed(hop, [_ck], checkpoint_dir)
         cur_sum = m["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # labels-after-max_iter are min-within-reach, NOT components;
+        # returning them silently corrupts every downstream dedup
+        # decision. With doubling, 30 rounds cover diameter ~2^29, so
+        # this fires only on a user-set tiny cap.
+        raise ValueError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; raise max_iter (doubling needs about "
+            "log2(graph diameter) + 2 rounds)"
+        )
     return labels.join(verts, "u", "left_semi").select(
         F.col("u").alias(id_col), F.col("comp").alias("component_id")
     )
@@ -190,7 +219,10 @@ def scripted_connected_components(
     convergence signal is ``sum(xxhash64(comp))`` in DECIMAL(38,0),
     the same type-agnostic checksum the Python loop uses, so string
     ids (docket numbers like '80-1538') work identically to numeric
-    ones. Creates and drops managed tables ``{table_prefix}_a/_b``;
+    ones. NOTE: this demo keeps the plain ONE-HOP hash-min recurrence
+    (O(diameter) rounds, bounded by ``max_iter``) — production callers
+    use ``connected_components``, whose pointer-doubling loop is
+    O(log diameter) and raises on a non-converged cap. Creates and drops managed tables ``{table_prefix}_a/_b``;
     cleanup and the prior ``scripting.enabled`` value are restored
     even if the script fails mid-run.
     """

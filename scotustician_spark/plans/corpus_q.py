@@ -46,7 +46,8 @@ def _bucket_sql(n: int, hex_off: int = 1, id_expr: str = "doc_id") -> str:
     FROM comps
     """,
     doc="Duplicate-cluster resolution: MinHash-LSH candidate pairs → "
-    "connected components (hash-min label propagation, O(diameter) "
+    "connected components (hash-min + pointer-doubling label "
+    "propagation, O(log diameter) "
     "join+groupBy rounds) → canonical keeper per cluster. The oracle "
     "walks the same pair graph with a recursive CTE.",
 )

@@ -1167,3 +1167,24 @@ def test_dsir_weights_favor_target_like_docs(spark):
         ).collect()
     }
     assert again == {k: v["log_weight"] for k, v in w.items()}
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 200-vertex path has diameter 199 > the 30-round cap: pure
+    one-hop hash-min would exhaust max_iter and (before the doubling
+    fix) SILENTLY return min-within-30-hops labels. Pointer doubling
+    must converge in ~log2(199)+2 rounds and label everything 0 — and
+    an impossibly small cap must raise rather than mislabel."""
+    import pytest
+
+    n = 200
+    e_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    v_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    got = connected_components(e_df, v_df).collect()
+    assert len(got) == n
+    assert all(r["component_id"] == 0 for r in got)
+
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(e_df, v_df, max_iter=3).collect()

@@ -346,24 +346,27 @@ def lpa_convergence_audit(spark, tier_dir: str) -> list[str]:
         "## Label propagation: fixed rounds vs convergence (x10 tier)",
         "",
         "Same frequent-pair graph (checkpointed, excluded from the",
-        "timings); min-of-2 after warm-up. The convergence arm pays one",
-        "tiny checksum aggregation (sum of xxhash64(vertex,label)) per",
-        "round and stops on a fixed point OR a detected period-2",
-        "oscillation (synchronous LPA's failure mode — the round-7 audit",
-        "caught the fixed-point-only probe burning a 64-round cap on",
-        "exactly such a 2-cycle; the stop now compares the last two",
-        "checksums).",
+        "timings); min-of-2 after warm-up. The convergence arm stops on",
+        "a fixed point OR a detected period-2 oscillation (synchronous",
+        "LPA's failure mode — the round-7 audit caught a fixed-point-only",
+        "probe burning a 64-round cap on exactly such a 2-cycle; the",
+        "stop compares the last two assignment checksums). Since the",
+        "cut_lineage_observed change, the checksum rides as an",
+        "Observation ON the per-round checkpoint job — no separate probe",
+        "action — so the residual convergence-arm premium over the same",
+        "round count without probes is the eager-vs-lazy checkpoint",
+        "pipelining difference plus CollectMetrics evaluation, not an",
+        "extra job per round.",
         "",
         "| arm | rounds run | wall |",
         "|---|---|---|",
         f"| fixed 4 rounds (oracle arm) | {fixed_r} | {fixed_w:.3f}s |",
-        f"| until_stable (cap 64) | {conv_r} | {conv_w:.3f}s |",
+        f"| until_stable (cap 64, fused probe) | {conv_r} | {conv_w:.3f}s |",
         f"| fixed {conv_r} rounds (no probes) | {conv_r} | {plain_w:.3f}s |",
         "",
-        f"Checksum-probe overhead ≈ {probe_cost:.3f}s over {conv_r} probed "
-        f"rounds (~{probe_cost / max(conv_r, 1):.3f}s/round) — the margin an "
-        "accumulator-observed stop could recover; the rounds themselves "
-        "dominate the rest.",
+        f"Convergence-arm premium ≈ {probe_cost:.3f}s over {conv_r} probed "
+        f"rounds (~{probe_cost / max(conv_r, 1):.3f}s/round; was ~0.162s/round "
+        "with the separate per-round agg action this fusion replaced).",
     ]
 
 
