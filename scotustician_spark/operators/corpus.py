@@ -778,6 +778,7 @@ def dsir_log_weights(
     text_col: str = "text",
     n_buckets: int = 256,
     alpha: float = 1.0,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document
@@ -790,72 +791,67 @@ def dsir_log_weights(
     hashing trick as the quality classifier). Bucket probabilities are
     Laplace-smoothed (``alpha``); llr[b] = ln(p_target[b]) -
     ln(p_raw[b]) is rounded to 12dp so any engine reproduces identical
-    per-bucket weights, then each document's log-weight is the in-row
-    fold of llr over its own features.
+    per-bucket weights, then each document's log-weight is the
+    sequential feature-order sum of llr over its own features.
 
     Plan shape at 100 TB — two corpus passes, nothing per-doc ever
     shuffles:
-      1. count pass: explode features, hash to buckets, ONE hash
-         aggregate keyed by bucket (map-side partial combine bounds
-         shuffle rows at partitions × n_buckets);
+      1. count pass: per-partition bucket-count partials (≤ n_buckets
+         rows per Arrow batch), ONE hash aggregate keyed by bucket;
       2. the n_buckets llr rows are collected (a bounded driver read,
-         same class as the k-means centroid probes) into an array
-         LITERAL, so the score pass is a pure in-row map over the
-         documents scan — zero exchanges, zero Python.
-    Gumbel resampling keys (logw + Gumbel(u) with u drawn from the
-    row's own md5 bits — Gumbel-top-k samples ∝ weight without
-    replacement, no RNG state) are emitted alongside, rounded to 9dp
-    before any ordering so libm last-ulp differences cannot flip a
-    selection boundary; ties break on id downstream.
+         same class as the k-means centroid probes) and scoring is a
+         pure map over the documents scan — zero per-doc exchanges.
+
+    ``kernel`` picks the scoring implementation, minhash-style:
+      - ``"arrow"`` (default): hashlib-md5 pandas kernels with a
+        per-batch feature→bucket cache (corpus features repeat).
+        Measured ~10x the expression arm: the expression form's HOFs
+        are CodegenFallback, so 100+ interpreted expression-tree walks
+        per document.
+      - ``"expr"``: pure Catalyst higher-order functions — the arm
+        whose algebra the SQL oracle replays term-for-term; equality
+        with the arrow arm is pinned by test. The tokens() expression
+        is let-bound (operators/dedup.py::_let) so ProjectCollapse
+        cannot inline the regexp split into every element_at site.
+    Both arms share the same md5 buckets (hashlib md5 of UTF-8 ==
+    Spark md5; ASCII-flagged Python regexes == Java \\s semantics, the
+    minhash_signature_pandas recipe), and BOTH leave the Gumbel key
+    and all rounding to Spark expressions, so arm choice never changes
+    a bit of output: log-weights sum the same 12dp llr values in the
+    same feature order (IEEE adds from 0.0 — order-identical is
+    bit-identical), and the resample key is built from the
+    ALREADY-6dp-ROUNDED weight (raw sums differ across ENGINES at
+    ~1e-13 from summation order, which at a 9dp boundary would flip
+    bits; after the 6dp round only ln()'s last ulp remains, far
+    inside the 9dp grid). Gumbel-top-k (u from the row's own md5
+    bits, key = log_weight + Gumbel(u)) samples ∝ weight without
+    replacement, no RNG state; ties break on id downstream.
 
     Returns (id_col, n_feats, log_weight, resample_key) for EVERY raw
     doc (empty-token docs score 0.0 — they carry no evidence).
     """
-    from ..functions.text import tokens
+    import math
 
-    toks = F.coalesce(
-        tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
-    )
-    bigrams = F.when(
-        F.size("__l") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__l") - 2),
-            lambda i: F.concat_ws(
-                "_",
-                F.element_at(F.col("__l"), i + 1),
-                F.element_at(F.col("__l"), i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
-        F.col(id_col),
-        target_pred.alias("__is_target"),
-        toks.alias("__l"),
-    ).select(
-        id_col,
-        "__is_target",
-        F.concat(F.col("__l"), bigrams).alias("__feats"),
+    from ..session import repartition_for_compute
+
+    # feature expansion + per-feature md5 is the compute-heavy per-row
+    # stage: widen a single-split scan first or both passes serialize
+    # onto one core (no-op on real multi-split inputs)
+    docs = repartition_for_compute(docs)
+    flagged = docs.select(
+        F.col(id_col), target_pred.alias("__is_target"), F.col(text_col)
     )
 
-    def _bucket(x: Column) -> Column:
-        return (
-            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
-            % n_buckets
-        )
+    if kernel == "arrow":
+        cnt, scored = _dsir_arrow(flagged, id_col, text_col, n_buckets)
+    elif kernel == "expr":
+        cnt, scored = _dsir_expr(flagged, id_col, text_col, n_buckets)
+    else:
+        raise ValueError(f"unknown dsir kernel {kernel!r}")
 
-    # pass 1: global bucket counts for raw pool and target subset
-    ex = base.select(
-        "__is_target", F.explode("__feats").alias("__x")
-    ).select("__is_target", _bucket(F.col("__x")).alias("__b"))
-    cnt = ex.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count_if(F.col("__is_target")).alias("ct"),
-    )
     rows = cnt.collect()  # ≤ n_buckets rows — bounded driver read
     tot_r = sum(r["cr"] for r in rows)
     tot_t = sum(r["ct"] for r in rows)
-    import math
-
     llr = [0.0] * n_buckets
     for r in rows:
         llr[r["__b"]] = round(
@@ -863,17 +859,8 @@ def dsir_log_weights(
             - math.log((r["cr"] + alpha) / (tot_r + alpha * n_buckets)),
             12,
         )
-    arr = F.array(*[F.lit(w) for w in llr])
+    per_doc = scored(llr)  # (id, n_feats, __logw) — raw, unrounded
 
-    # pass 2: in-row scoring — element_at on the llr literal, array fold
-    logw = F.aggregate(
-        F.transform(
-            F.col("__feats"),
-            lambda x: F.element_at(arr, (_bucket(x) + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))),
@@ -885,15 +872,177 @@ def dsir_log_weights(
     ).cast("long")
     u = ((h % 1000003) + 1).cast("double") / F.lit(1000004.0)
     gumbel = -F.log(-F.log(u))
-    # the key is built from the ALREADY-6dp-ROUNDED log-weight: the raw
-    # fold's value depends on summation order (engines disagree at
-    # ~1e-13), which at a 9dp rounding boundary would flip bits; after
-    # the 6dp round the only cross-engine noise left is ln()'s last
-    # ulp (~1e-16), far inside the 9dp grid
-    lw = F.round(logw, 6)
-    return base.select(
+    lw = F.round(F.col("__logw"), 6)
+    return per_doc.select(
         id_col,
-        F.size("__feats").cast("bigint").alias("n_feats"),
+        F.col("n_feats").cast("bigint").alias("n_feats"),
         lw.alias("log_weight"),
         F.round(lw + gumbel, 9).alias("resample_key"),
     )
+
+
+def _dsir_feats_py(text: str | None) -> list[str]:
+    """Python twin of the expression arm's feature builder: whitespace
+    tokens of the lowercased text (ASCII regex classes — Java ``\\s``
+    semantics, the minhash kernel recipe) plus adjacent bigrams."""
+    import re as _re
+
+    if text is None:
+        return []
+    stripped = _re.sub(r"^\s+|\s+$", "", text.lower(), flags=_re.ASCII)
+    if not stripped:
+        return []
+    toks = _re.split(r"\s+", stripped, flags=_re.ASCII)
+    return toks + [
+        toks[i] + "_" + toks[i + 1] for i in range(len(toks) - 1)
+    ]
+
+
+def _dsir_arrow(flagged: DataFrame, id_col, text_col, n_buckets):
+    """Arrow-kernel arm: per-batch bucket-count partials (pass 1) and
+    a per-doc llr-sum scorer factory (pass 2)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def _bucket_fn():
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def b(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    % n_buckets
+                )
+                cache[s] = v
+            return v
+
+        return b
+
+    def _partials(batches):
+        bucket = _bucket_fn()
+        for pdf in batches:
+            cr = [0] * n_buckets
+            ct = [0] * n_buckets
+            for text, is_t in zip(pdf[text_col], pdf["__is_target"]):
+                for f in _dsir_feats_py(text):
+                    bk = bucket(f)
+                    cr[bk] += 1
+                    if is_t:
+                        ct[bk] += 1
+            nz = [i for i in range(n_buckets) if cr[i]]
+            yield pd.DataFrame(
+                {"__b": nz, "cr": [cr[i] for i in nz], "ct": [ct[i] for i in nz]}
+            )
+
+    cnt = (
+        flagged.mapInPandas(
+            _partials, "__b long, cr long, ct long"
+        )
+        .groupBy("__b")
+        .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+    )
+
+    id_field = flagged.schema[id_col]
+
+    def scored(llr: list[float]) -> DataFrame:
+        out_schema = StructType(
+            [
+                StructField(id_col, id_field.dataType, id_field.nullable),
+                StructField("n_feats", LongType(), False),
+                StructField("__logw", DoubleType(), False),
+            ]
+        )
+
+        def _score(batches):
+            bucket = _bucket_fn()
+            for pdf in batches:
+                n_out, w_out = [], []
+                for text in pdf[text_col]:
+                    feats = _dsir_feats_py(text)
+                    acc = 0.0
+                    for f in feats:  # feature order == the expr fold
+                        acc += llr[bucket(f)]
+                    n_out.append(len(feats))
+                    w_out.append(acc)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_feats": n_out,
+                        "__logw": w_out,
+                    }
+                )
+
+        return flagged.mapInPandas(_score, out_schema)
+
+    return cnt, scored
+
+
+def _dsir_expr(flagged: DataFrame, id_col, text_col, n_buckets):
+    """Expression arm: pure Catalyst HOFs, the algebra the SQL oracle
+    replays. tokens() is let-bound so ProjectCollapse cannot inline
+    the regexp split into every element_at reference inside the bigram
+    lambda (measured 3x on the count pass)."""
+    from ..functions.text import tokens
+    from .dedup import _let
+
+    toks = F.coalesce(
+        tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
+
+    def _feats_of(l: Column) -> Column:
+        big = F.when(
+            F.size(l) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(l) - 2),
+                lambda i: F.concat_ws(
+                    "_", F.element_at(l, i + 1), F.element_at(l, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(l, big)
+
+    base = flagged.select(
+        id_col,
+        "__is_target",
+        _let(toks, _feats_of).alias("__feats"),
+    )
+
+    def _bucket(x: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    ex = base.select(
+        "__is_target", F.explode("__feats").alias("__x")
+    ).select("__is_target", _bucket(F.col("__x")).alias("__b"))
+    cnt = ex.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("__is_target")).alias("ct"),
+    )
+
+    def scored(llr: list[float]) -> DataFrame:
+        arr = F.array(*[F.lit(w) for w in llr])
+        logw = F.aggregate(
+            F.transform(
+                F.col("__feats"),
+                lambda x: F.element_at(arr, (_bucket(x) + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return base.select(
+            id_col,
+            F.size("__feats").cast("long").alias("n_feats"),
+            logw.alias("__logw"),
+        )
+
+    return cnt, scored

@@ -1956,15 +1956,18 @@ _DSIR_BKT = (
     "each row's own md5 bits, key = 6dp log-weight + Gumbel, 9dp-"
     "rounded before ranking so libm ulp noise can't flip the cut). "
     "operators/corpus.py::dsir_log_weights — scale shape: one "
-    "bucket-keyed count aggregate (map-side combine bounds shuffle "
-    f"rows at partitions × {_DSIR_B}), the {_DSIR_B} llr values "
-    "collect into an array LITERAL (bounded driver read, centroid-"
-    "probe class), and the score pass is a pure in-row fold over the "
-    "documents scan — zero per-doc shuffle; selection is "
-    "TakeOrderedAndProject. The oracle replays scoring via "
-    "explode+join+groupBy, so per-doc sums cross engines in "
-    "different orders — absorbed by rounding llr to 12dp and the "
-    "weight to 6dp BEFORE the 9dp key.",
+    "bucket-keyed count aggregate (per-partition partials bound "
+    f"shuffle rows at partitions × {_DSIR_B}), the {_DSIR_B} llr "
+    "values collect to the driver (bounded read, centroid-probe "
+    "class), and the score pass is a pure map over the documents "
+    "scan — zero per-doc shuffle; selection is "
+    "TakeOrderedAndProject. Serves the ARROW kernel arm (hashlib md5 "
+    "+ per-batch feature cache, ~10x the CodegenFallback HOF "
+    "expression arm, bit-equality pinned by test); the oracle "
+    "replays the expression arm's algebra via explode+join+groupBy, "
+    "so per-doc sums cross engines in different orders — absorbed "
+    "by rounding llr to 12dp and the weight to 6dp BEFORE the 9dp "
+    "key.",
     bench=True,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1167,6 +1167,24 @@ def test_dsir_weights_favor_target_like_docs(spark):
         ).collect()
     }
     assert again == {k: v["log_weight"] for k, v in w.items()}
+    # the served arrow kernel and the oracle-shaped expression arm must
+    # be bit-identical on every column (same md5 buckets, same 12dp llr
+    # summed in the same feature order, same Spark-side rounding)
+    expr_rows = sorted(
+        dsir_log_weights(
+            df, F.col("src") == "t", n_buckets=64, kernel="expr"
+        ).collect()
+    )
+    assert sorted(out.collect()) == expr_rows
+    # non-ASCII whitespace (NBSP) must tokenize identically in both
+    # arms: Java \s is ASCII-only, so the Python kernel's regexes are
+    # ASCII-flagged — an NBSP-joined pair stays ONE token
+    nb = spark.createDataFrame(
+        [(7, "alpha beta gamma", "r")], "doc_id long, text string, src string"
+    )
+    a7 = dsir_log_weights(nb, F.lit(False), n_buckets=64).collect()[0]
+    e7 = dsir_log_weights(nb, F.lit(False), n_buckets=64, kernel="expr").collect()[0]
+    assert a7 == e7 and a7["n_feats"] == 3  # 2 tokens + 1 bigram
 
 
 def test_connected_components_long_chain_pointer_doubling(spark):

@@ -78,6 +78,7 @@ X1000_QUERIES = [
     "bpe_compression_by_source",
     "vocab_growth",
     "source_overlap_minhash",  # round-7 sketch arm: the ≤2x scale path
+    "dsir_importance_weights",  # round-7: two-pass, zero per-doc shuffle
 ]
 
 
@@ -367,6 +368,12 @@ def lpa_convergence_audit(spark, tier_dir: str) -> list[str]:
         f"Convergence-arm premium ≈ {probe_cost:.3f}s over {conv_r} probed "
         f"rounds (~{probe_cost / max(conv_r, 1):.3f}s/round; was ~0.162s/round "
         "with the separate per-round agg action this fusion replaced).",
+        "",
+        "Context for the x10 table's label_propagation_communities row:",
+        "the REGISTERED query includes the frequent-pair mining that",
+        f"builds the graph; the LPA rounds themselves run {fixed_w:.1f}s at",
+        "4 rounds — the residual gap to DuckDB's unrolled-CTE replay is",
+        "the mining stage, not the iteration.",
     ]
 
 
