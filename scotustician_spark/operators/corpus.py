@@ -830,8 +830,6 @@ def dsir_log_weights(
     Returns (id_col, n_feats, log_weight, resample_key) for EVERY raw
     doc (empty-token docs score 0.0 — they carry no evidence).
     """
-    import math
-
     from ..session import repartition_for_compute
 
     # feature expansion + per-feature md5 is the compute-heavy per-row
@@ -849,7 +847,17 @@ def dsir_log_weights(
     else:
         raise ValueError(f"unknown dsir kernel {kernel!r}")
 
-    rows = cnt.collect()  # ≤ n_buckets rows — bounded driver read
+    llr = _dsir_llr(cnt.collect(), n_buckets, alpha)
+    # scored() yields raw (id, n_feats, __logw); Gumbel + rounding stay
+    # Spark-side so arm choice never changes output bits
+    return _dsir_finalize(scored(llr), id_col)
+
+
+def _dsir_llr(rows, n_buckets: int, alpha: float) -> list[float]:
+    """Laplace-smoothed per-bucket log-likelihood ratios from
+    (__b, cr, ct) count rows, 12dp-rounded (engine-portable)."""
+    import math
+
     tot_r = sum(r["cr"] for r in rows)
     tot_t = sum(r["ct"] for r in rows)
     llr = [0.0] * n_buckets
@@ -859,8 +867,12 @@ def dsir_log_weights(
             - math.log((r["cr"] + alpha) / (tot_r + alpha * n_buckets)),
             12,
         )
-    per_doc = scored(llr)  # (id, n_feats, __logw) — raw, unrounded
+    return llr
 
+
+def _dsir_finalize(per_doc: DataFrame, id_col: str) -> DataFrame:
+    """Attach the Gumbel resample key and the rounding ladder (6dp
+    weight → 9dp key; see dsir_log_weights) to raw scored docs."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))),
@@ -879,6 +891,50 @@ def dsir_log_weights(
         lw.alias("log_weight"),
         F.round(lw + gumbel, 9).alias("resample_key"),
     )
+
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR's sufficient statistic alone: (__b, cr, ct) hashed-n-gram
+    bucket counts for the raw pool and the target subset. Counts are
+    exact and associative — batch-splittable sums — which is what
+    makes the statistic STREAMABLE (streaming/incremental.py::
+    run_dsir_state_update maintains it per micro-batch) and mergeable
+    across corpus shards."""
+    from ..session import repartition_for_compute
+
+    flagged = repartition_for_compute(docs).select(
+        target_pred.alias("__is_target"), F.col(text_col)
+    )
+    cnt, _ = _dsir_arrow(flagged, None, text_col, n_buckets)
+    return cnt
+
+
+def dsir_score_from_counts(
+    docs: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score documents against PRECOMPUTED bucket counts (e.g. the
+    state a streaming ``run_dsir_state_update`` sink maintains) — the
+    serving half of DSIR. Output is bit-identical to
+    ``dsir_log_weights`` when ``counts`` equals that pass's own counts
+    (same llr table, same kernel, same Spark-side rounding)."""
+    from ..session import repartition_for_compute
+
+    llr = _dsir_llr(counts.collect(), n_buckets, alpha)
+    flagged = repartition_for_compute(docs).select(
+        F.col(id_col), F.lit(False).alias("__is_target"), F.col(text_col)
+    )
+    _, scored = _dsir_arrow(flagged, id_col, text_col, n_buckets)
+    return _dsir_finalize(scored(llr), id_col)
 
 
 def _dsir_feats_py(text: str | None) -> list[str]:
@@ -950,6 +1006,8 @@ def _dsir_arrow(flagged: DataFrame, id_col, text_col, n_buckets):
         .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
     )
 
+    if id_col is None:  # counts-only caller (dsir_bucket_counts)
+        return cnt, None
     id_field = flagged.schema[id_col]
 
     def scored(llr: list[float]) -> DataFrame:

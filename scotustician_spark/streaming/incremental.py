@@ -406,6 +406,59 @@ def run_components_state_update(
     )
 
 
+def run_dsir_state_update(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> None:
+    """Streaming maintenance of DSIR's sufficient statistic
+    (operators/corpus.py::dsir_bucket_counts): each micro-batch's
+    hashed-n-gram bucket counts — raw pool and target subset — merge
+    into the persisted (__b, cr, ct) table by SUMMING. Counts are
+    exact and associative, so the maintained state equals the batch
+    counts of everything ever streamed at any batch split, and
+    ``dsir_score_from_counts`` serves importance weights off the state
+    alone — the corpus is featurized exactly once per document
+    forever, and re-scoring after the target distribution drifts costs
+    one bounded llr rebuild, never a corpus pass. State is n_buckets
+    rows, history-independent (the flattest state in the sink family).
+    ``target_col`` must be a boolean column on the stream (the target
+    predicate is evaluated upstream so the sink stays
+    predicate-agnostic). Blocks until AvailableNow drains."""
+    from pyspark.sql import functions as F
+
+    from ..operators.corpus import dsir_bucket_counts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = dsir_bucket_counts(
+            batch_df, F.col(target_col), text_col, n_buckets
+        )
+        exactly_once_merge_sink(
+            spark,
+            state_path,
+            batch_id,
+            partial,
+            lambda base, p: base.unionByName(p)
+            .groupBy("__b")
+            .agg(
+                F.sum("cr").cast("long").alias("cr"),
+                F.sum("ct").cast("long").alias("ct"),
+            ),
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_word_freq_state_update(
     stream_df: DataFrame,
     state_path: str,

@@ -703,3 +703,72 @@ def test_run_lsh_index_update_two_batches(spark, tmp_path):
     inline = lsh_bucket_topk(both, queries, dim, k=3, sim_round=6)
     key = lambda d: sorted(map(tuple, d.select("query_id", "neighbor_id", "sim", "rnk").collect()))
     assert key(served) == key(inline)
+
+
+def test_run_dsir_state_update_two_batches(spark, tmp_path):
+    """Streaming DSIR sufficient-statistic maintenance: bucket counts
+    after two AvailableNow drains must equal the one-shot counts over
+    the union, replay is a no-op, and weights SERVED off the state
+    (dsir_score_from_counts) are bit-identical to the batch
+    dsir_log_weights over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.corpus import (
+        dsir_bucket_counts,
+        dsir_log_weights,
+        dsir_score_from_counts,
+    )
+    from scotustician_spark.streaming.incremental import run_dsir_state_update
+
+    src = tmp_path / "d_src"
+    src.mkdir()
+    state = str(tmp_path / "d_state")
+    ckpt = str(tmp_path / "d_ckpt")
+    schema = "doc_id LONG, text STRING, is_target BOOLEAN"
+
+    def feed(rows):
+        import uuid
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).json(str(src / uuid.uuid4().hex))
+
+    def run():
+        run_dsir_state_update(
+            spark.readStream.schema(schema).json(str(src) + "/*"),
+            state,
+            ckpt,
+            n_buckets=64,
+        )
+
+    batch1 = [
+        (1, "alpha beta gamma alpha", True),
+        (2, "delta epsilon zeta", False),
+    ]
+    batch2 = [
+        (3, "alpha gamma beta beta", True),
+        (4, "eta theta iota kappa", False),
+        (5, None, False),
+    ]
+    feed(batch1)
+    run()
+    feed(batch2)
+    run()
+
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    expected = sorted(
+        dsir_bucket_counts(
+            all_rows, F.col("is_target"), n_buckets=64
+        ).collect()
+    )
+    got = sorted(spark.read.parquet(state).collect())
+    assert got == expected
+
+    run()  # replay with nothing new: a no-op on the counts
+    assert sorted(spark.read.parquet(state).collect()) == expected
+
+    served = dsir_score_from_counts(
+        all_rows, spark.read.parquet(state), n_buckets=64
+    )
+    batch = dsir_log_weights(all_rows, F.col("is_target"), n_buckets=64)
+    assert sorted(served.collect()) == sorted(batch.collect())
