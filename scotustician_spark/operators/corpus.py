@@ -837,7 +837,12 @@ def dsir_log_weights(
     # onto one core (no-op on real multi-split inputs)
     docs = repartition_for_compute(docs)
     flagged = docs.select(
-        F.col(id_col), target_pred.alias("__is_target"), F.col(text_col)
+        F.col(id_col),
+        # NULL predicate (e.g. isin over a NULL source) must mean "not
+        # target" in BOTH arms: count_if skips NULLs, but a NULL
+        # reaching the Arrow kernel becomes pandas NaN, which is truthy
+        F.coalesce(target_pred, F.lit(False)).alias("__is_target"),
+        F.col(text_col),
     )
 
     if kernel == "arrow":
@@ -908,7 +913,8 @@ def dsir_bucket_counts(
     from ..session import repartition_for_compute
 
     flagged = repartition_for_compute(docs).select(
-        target_pred.alias("__is_target"), F.col(text_col)
+        F.coalesce(target_pred, F.lit(False)).alias("__is_target"),
+        F.col(text_col),
     )
     cnt, _ = _dsir_arrow(flagged, None, text_col, n_buckets)
     return cnt

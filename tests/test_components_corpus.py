@@ -1185,6 +1185,19 @@ def test_dsir_weights_favor_target_like_docs(spark):
     a7 = dsir_log_weights(nb, F.lit(False), n_buckets=64).collect()[0]
     e7 = dsir_log_weights(nb, F.lit(False), n_buckets=64, kernel="expr").collect()[0]
     assert a7 == e7 and a7["n_feats"] == 3  # 2 tokens + 1 bigram
+    # a NULL target predicate (src NULL → isin NULL) must mean "not
+    # target" in both arms: count_if skips NULLs, and the kernel must
+    # not let pandas NaN (truthy!) count the doc as target
+    nulls = spark.createDataFrame(
+        [(1, "alpha beta", None), (2, "alpha beta", "t")],
+        "doc_id long, text string, src string",
+    )
+    pred = F.col("src") == "t"
+    an = sorted(dsir_log_weights(nulls, pred, n_buckets=64).collect())
+    en = sorted(
+        dsir_log_weights(nulls, pred, n_buckets=64, kernel="expr").collect()
+    )
+    assert an == en  # NaN-as-target would skew the kernel's llr table
 
 
 def test_connected_components_long_chain_pointer_doubling(spark):
