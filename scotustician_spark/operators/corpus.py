@@ -860,12 +860,34 @@ def dsir_log_weights(
 
 def _dsir_llr(rows, n_buckets: int, alpha: float) -> list[float]:
     """Laplace-smoothed per-bucket log-likelihood ratios from
-    (__b, cr, ct) count rows, 12dp-rounded (engine-portable)."""
+    (__b, cr, ct) count rows, 12dp-rounded (engine-portable).
+
+    Buckets ABSENT from ``rows`` get the smoothing formula's own
+    zero-count value, ln((tot_r + αB) / (tot_t + αB)) — not 0.0. The
+    one-shot pass never reads those entries (every scored feature was
+    counted), but ``dsir_score_from_counts`` serves NEW docs off
+    persisted state, and their out-of-state vocabulary must score as
+    "never seen" under the same smoothing, not as neutral. Rejects
+    counts whose bucket ids exceed ``n_buckets`` — state built with a
+    different bucket count would otherwise serve silently wrong
+    weights (the reverse mismatch, a larger serving n_buckets, is
+    undetectable from state alone: keep B consistent per state path).
+    """
     import math
 
+    bad = [r["__b"] for r in rows if not 0 <= r["__b"] < n_buckets]
+    if bad:
+        raise ValueError(
+            f"bucket ids {sorted(bad)[:5]} outside [0, {n_buckets}) — "
+            "counts were built with a different n_buckets"
+        )
     tot_r = sum(r["cr"] for r in rows)
     tot_t = sum(r["ct"] for r in rows)
-    llr = [0.0] * n_buckets
+    unseen = round(
+        math.log((tot_r + alpha * n_buckets) / (tot_t + alpha * n_buckets)),
+        12,
+    )
+    llr = [unseen] * n_buckets
     for r in rows:
         llr[r["__b"]] = round(
             math.log((r["ct"] + alpha) / (tot_t + alpha * n_buckets))
@@ -989,8 +1011,11 @@ def _dsir_arrow(flagged: DataFrame, id_col, text_col, n_buckets):
         return b
 
     def _partials(batches):
-        bucket = _bucket_fn()
         for pdf in batches:
+            # cache is PER ARROW BATCH, not per partition: bigrams are
+            # near-unique, so a partition-lifetime dict would grow with
+            # text volume (GBs at scale) for little extra hit rate
+            bucket = _bucket_fn()
             cr = [0] * n_buckets
             ct = [0] * n_buckets
             for text, is_t in zip(pdf[text_col], pdf["__is_target"]):
@@ -1026,8 +1051,8 @@ def _dsir_arrow(flagged: DataFrame, id_col, text_col, n_buckets):
         )
 
         def _score(batches):
-            bucket = _bucket_fn()
             for pdf in batches:
+                bucket = _bucket_fn()  # per-batch: see _partials
                 n_out, w_out = [], []
                 for text in pdf[text_col]:
                     feats = _dsir_feats_py(text)
@@ -1080,10 +1105,9 @@ def _dsir_expr(flagged: DataFrame, id_col, text_col, n_buckets):
     )
 
     def _bucket(x: Column) -> Column:
-        return (
-            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
-            % n_buckets
-        )
+        # the module's stable bucket primitive — same recipe as the
+        # oracle's _DSIR_BKT macro and the Arrow kernel's hashlib twin
+        return hash_bucket(x, n_buckets)
 
     ex = base.select(
         "__is_target", F.explode("__feats").alias("__x")

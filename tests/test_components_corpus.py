@@ -1219,3 +1219,56 @@ def test_connected_components_long_chain_pointer_doubling(spark):
 
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(e_df, v_df, max_iter=3).collect()
+
+
+def test_dsir_serving_unseen_buckets_and_mismatch_guard(spark):
+    """Serving off persisted counts: features hashing to buckets ABSENT
+    from the state must score with the Laplace formula's zero-count llr
+    (ln((R+aB)/(T+aB))), not 0.0; and counts built with a larger
+    n_buckets than served must be rejected loudly."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.corpus import (
+        dsir_bucket_counts,
+        dsir_score_from_counts,
+    )
+
+    B = 64
+    seen = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    counts = dsir_bucket_counts(seen, F.col("is_target"), n_buckets=B)
+    rows = counts.collect()
+    tot_r = sum(r["cr"] for r in rows)
+    tot_t = sum(r["ct"] for r in rows)
+    unseen_llr = round(math.log((tot_r + B) / (tot_t + B)), 12)
+
+    # a doc whose single token (no bigram) is new vocabulary — unless
+    # it collides with a seen bucket, its weight is exactly the
+    # zero-count llr
+    probe = spark.createDataFrame(
+        [(9, "zzzzunseenzzzz")], "doc_id long, text string"
+    )
+    got = dsir_score_from_counts(probe, counts, n_buckets=B).collect()[0]
+    assert got["n_feats"] == 1
+    seen_buckets = {r["__b"] for r in rows}
+    from scotustician_spark.operators.corpus import _dsir_feats_py
+    import hashlib
+
+    b9 = int(
+        hashlib.md5(_dsir_feats_py("zzzzunseenzzzz")[0].encode()).hexdigest()[:8],
+        16,
+    ) % B
+    if b9 not in seen_buckets:
+        assert got["log_weight"] == round(unseen_llr, 6)
+
+    # counts carrying bucket ids >= served n_buckets: loud rejection
+    big = spark.createDataFrame(
+        [(200, 5, 1)], "__b long, cr long, ct long"
+    )
+    with pytest.raises(ValueError, match="different n_buckets"):
+        dsir_score_from_counts(probe, big, n_buckets=B).collect()
