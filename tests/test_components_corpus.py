@@ -1272,3 +1272,50 @@ def test_dsir_serving_unseen_buckets_and_mismatch_guard(spark):
     )
     with pytest.raises(ValueError, match="different n_buckets"):
         dsir_score_from_counts(probe, big, n_buckets=B).collect()
+
+
+def test_dsir_arms_bit_equal_hypothesis(spark):
+    """Property: the Arrow kernel and expression arms of DSIR are
+    bit-identical on arbitrary text — whitespace variety (tabs,
+    newlines, NBSP — ASCII \\s semantics), mixed case, punctuation,
+    repeated tokens, empty and null docs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from scotustician_spark.operators.corpus import dsir_log_weights
+
+    token = st.text(
+        alphabet="abZ9._é",  # incl. a non-ASCII letter
+        min_size=1,
+        max_size=5,
+    )
+    doc = st.one_of(
+        st.none(),
+        st.just(""),
+        st.lists(token, min_size=0, max_size=6).map(" ".join),
+        st.lists(token, min_size=2, max_size=4).map("\t".join),
+        st.lists(token, min_size=2, max_size=3).map(" ".join),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def prop(texts):
+        rows = [(i, t, i % 2 == 0) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, is_t boolean"
+        )
+        a = sorted(
+            dsir_log_weights(df, F.col("is_t"), n_buckets=32).collect()
+        )
+        e = sorted(
+            dsir_log_weights(
+                df, F.col("is_t"), n_buckets=32, kernel="expr"
+            ).collect()
+        )
+        assert a == e
+
+    prop()
