@@ -179,8 +179,9 @@ def token_heavy_hitters(
     df: DataFrame,
     text_col: str,
     min_freq: int,
-    k: int = 4096,
+    k: int | None = None,
     strategy: str = "auto",
+    mg_max_k: int = 1 << 20,
 ) -> DataFrame:
     """Heavy-hitter TOKENS of a text corpus: (token, freq) for every
     lower-cased whitespace token with corpus frequency >= min_freq.
@@ -197,6 +198,16 @@ def token_heavy_hitters(
       a tiny candidate set, then an exact recount over the broadcast-
       semi-joined sliver. The explode happens twice but the full token
       stream never shuffles — the unshufflable-regime plan.
+
+    ``k`` (MG summary width) defaults to DERIVED: exactness needs
+    k > n/min_freq (MG only guarantees recall for freq > n/k), so a
+    fixed width silently drops true heavy hitters at exactly the
+    corpus sizes that select the MG arm — the defect a round-7 review
+    caught here. When the derived k exceeds ``mg_max_k`` the MG
+    counters no longer fit a sane task heap, and an UNSOUND summary is
+    worse than a shuffle, so the call falls back to the exact groupby
+    arm. Pass ``k`` explicitly only when you know n's order of
+    magnitude and accept the k > n/min_freq obligation yourself.
     """
     from ..functions.text import tokens
     from .bloom import plan_size_bytes
@@ -206,6 +217,11 @@ def token_heavy_hitters(
     )
     if strategy == "auto":
         strategy = choose_heavy_hitter_strategy(plan_size_bytes(df))
+    if strategy == "misra_gries" and k is None:
+        n = toks.count()  # map-only pass: nothing shuffles
+        k = max(16, n // max(min_freq, 1) + 1)
+        if k > mg_max_k:
+            strategy = "groupby"
     if strategy == "groupby":
         return (
             toks.groupBy("token")

@@ -63,14 +63,70 @@ def blocked_levenshtein_pairs(
 
 
 def length_prefix_block(name_col: str, prefix_len: int = 4) -> Column:
-    """Default blocking key: (length, prefix). Two strings within edit
-    distance d differ in length by at most d — pair a band of widths
-    with a shared prefix. NOTE: a pure (length, prefix) key misses
-    pairs whose edit touches the first ``prefix_len`` chars or changes
-    the length band; production blocking unions several keys (prefix,
-    suffix, phonetic). Kept single-key here for a deterministic
-    oracle."""
+    """EXACT-length blocking key: (length, prefix). NOTE this single
+    key finds SUBSTITUTION-ONLY matches: any insertion/deletion pair
+    changes the length and never collides (a round-7 review caught the
+    old docstring claiming a 'band of widths' this key does not
+    build — use ``banded_levenshtein_pairs`` for the real band), and
+    edits inside the first ``prefix_len`` chars are missed too.
+    Production blocking unions several keys (prefix, suffix,
+    phonetic)."""
     c = F.col(name_col)
     return F.concat_ws(
         "|", F.length(c).cast("string"), F.substring(c, 1, prefix_len)
+    )
+
+
+def banded_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    prefix_len: int = 4,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Blocked fuzzy self-join with a true LENGTH BAND: two strings
+    within edit distance d differ in length by at most d, so one join
+    side explodes each row to the keys (len−d .. len+d, prefix) while
+    the other keeps its exact length — every pair with |Δlen| ≤ d and
+    a shared prefix collides on exactly ONE key (δ = len_b − len_a),
+    no post-join dedup. Catches the insertion/deletion pairs the
+    exact-length key structurally misses, at (2d+1)× one side's key
+    rows (d is 1-2 in practice). Pair cost stays quadratic in block
+    size only; edits inside the shared prefix remain out of scope
+    (union another key for those)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        F.length(name_col).alias("__len"),
+        F.substring(F.col(name_col), 1, prefix_len).alias("__pfx"),
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__name").alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.col("__len") - max_distance, F.col("__len") + max_distance
+            )
+        ).alias("__tlen"),
+        "__pfx",
+    ).select(
+        "id_a",
+        "name_a",
+        F.concat_ws("|", F.col("__tlen").cast("string"), "__pfx").alias(
+            "__block"
+        ),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__name").alias("name_b"),
+        F.concat_ws("|", F.col("__len").cast("string"), "__pfx").alias(
+            "__block"
+        ),
+    )
+    return (
+        a.join(b, "__block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
     )

@@ -68,10 +68,19 @@ def skyline_2d(
         .select(*group_cols, max_col, "_lvl_best")
     )
     # surviving levels are bounded by the (group × max-attr) cardinality
-    # — broadcast them so the fact side never shuffles for the join-back
-    # (measured: un-hinted, Catalyst shuffled both sides)
+    # — usually tiny, so broadcast them and the fact side never shuffles
+    # for the join-back (measured: un-hinted, Catalyst shuffled both
+    # sides). But that cardinality is NOT bounded by construction (a
+    # continuous max_col can leave ~one level per row), so the hint is
+    # gated on the planner's own size estimate, the choose_semi_strategy
+    # discipline — an oversized frontier falls back to a shuffle join
+    # instead of collecting the driver to death.
+    from .bloom import BROADCAST_THRESHOLD_BYTES, plan_size_bytes
+
+    if plan_size_bytes(survivors) <= BROADCAST_THRESHOLD_BYTES:
+        survivors = F.broadcast(survivors)
     return (
-        df.join(F.broadcast(survivors), [*group_cols, max_col])
+        df.join(survivors, [*group_cols, max_col])
         .filter(F.col(min_col) == F.col("_lvl_best"))
         .drop("_lvl_best")
     )

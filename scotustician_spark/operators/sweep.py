@@ -8,10 +8,12 @@ holds the whole table). The scalable exact plan:
 
 1. explode each interval into two boundary deltas (+1 at start, -1 at
    end) and AGGREGATE PER DISTINCT TIMESTAMP (net delta + start
-   count) — a map-side-combinable groupBy that also makes tie order a
-   non-issue: concurrency is evaluated after all starts at a
-   timestamp and before its ends (closed-start, open-end reading
-   gives the same peak);
+   count) — a map-side-combinable groupBy that makes tie ORDER a
+   non-issue; tie SEMANTICS is an explicit parameter (see
+   ``interval_concurrency``): the instantaneous reading evaluates
+   after all starts at a timestamp and before its ends, the
+   half-open reading subtracts ends at t first — they differ exactly
+   on back-to-back intervals (end == next start);
 2. the running net over distinct timestamps is a global exclusive
    prefix sum — computed by the shared
    ``operators/prefix.py::bucketed_running_sum`` (in-bucket windows +
@@ -38,15 +40,41 @@ def interval_concurrency(
     start_col: str,
     end_col: str,
     bucket_width: int = 3_600_000_000,
+    semantics: str = "instant",
 ) -> DataFrame:
-    """(t, concurrency) for every distinct boundary timestamp:
-    the number of intervals [start, end) covering t, evaluated with
-    all starts at t counted and no ends at t yet subtracted (the peak
-    at that instant). ``start_col``/``end_col`` are integral (e.g.
-    epoch micros); ``bucket_width`` trades bucket-relation size
-    against per-bucket window width."""
-    starts = df.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
-    ends = df.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    """(t, concurrency) for every distinct boundary timestamp.
+
+    ``semantics`` picks the tie rule at timestamps where ends meet
+    starts (they differ EXACTLY on back-to-back intervals,
+    end == next start — a round-7 review caught the old docstring
+    claiming both at once):
+
+    - ``"instant"`` (default): all starts at t counted, no ends at t
+      subtracted — the capacity needed AT the instant of handover
+      (a session ending at t and one starting at t briefly coexist:
+      [0,1) then [1,2) reads 2 at t=1). This is the reading the
+      registered oracle replays.
+    - ``"half-open"``: intervals are [start, end) sets — an interval
+      ending at t does NOT cover t ([0,1) then [1,2) reads 1 at t=1);
+      concurrency(t) = run_before + net(t).
+
+    Rows with a NULL start or end are dropped (an undefined boundary
+    is not an interval): unfiltered, the NULL would bucket into a
+    NULL prefix group that Spark's nulls-first ordering places before
+    every real bucket, leaking its -1/+1 into every carry-in.
+
+    ``start_col``/``end_col`` are integral (e.g. epoch micros);
+    ``bucket_width`` trades bucket-relation size against per-bucket
+    window width."""
+    if semantics not in ("instant", "half-open"):
+        raise ValueError(
+            f"semantics must be 'instant' or 'half-open', got {semantics!r}"
+        )
+    iv = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
+    starts = iv.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
+    ends = iv.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
     per_ts = (
         starts.unionByName(ends)
         .groupBy("t")
@@ -58,9 +86,10 @@ def interval_concurrency(
     running = bucketed_running_sum(
         per_ts, order_col="t", value_col="net", bucket_width=bucket_width
     )
+    at_t = (
+        F.col("n_starts") if semantics == "instant" else F.col("net")
+    )
     return running.select(
         "t",
-        (F.col("run_before") + F.col("n_starts")).cast("long").alias(
-            "concurrency"
-        ),
+        (F.col("run_before") + at_t).cast("long").alias("concurrency"),
     )

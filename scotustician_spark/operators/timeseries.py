@@ -64,15 +64,22 @@ def gap_fill_daily(
             ).alias(date_col),
         )
     )
-    joined = dense.join(observed, [key_col, date_col], "left")
+    # is_observed = join EXISTENCE, via a never-null literal marker on
+    # the observed side — deriving it from a measure column's nullness
+    # (the old form) misreported genuinely observed rows whose first
+    # zero/locf column happened to be NULL (routine for LOCF columns),
+    # and crashed outright when both column lists were empty
+    joined = dense.join(
+        observed.withColumn("__obs", F.lit(True)),
+        [key_col, date_col],
+        "left",
+    )
     w = (
         W.partitionBy(key_col)
         .orderBy(date_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    any_obs = (
-        F.col(zero_cols[0]) if zero_cols else F.col(locf_cols[0])
-    ).isNotNull()
+    any_obs = F.col("__obs").isNotNull()
     out_cols = [F.col(key_col), F.col(date_col), any_obs.alias("is_observed")]
     out_cols += [
         F.coalesce(F.col(c), F.lit(0).cast(dict(observed.dtypes)[c])).alias(c)

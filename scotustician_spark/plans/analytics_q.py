@@ -200,30 +200,35 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
         SELECT c_custkey AS id, c_name AS name,
-               CAST(length(c_name) AS VARCHAR) || '|' ||
-                   substring(c_name, 1, 16) AS blk
+               length(c_name) AS len,
+               substring(c_name, 1, 16) AS pfx
         FROM customer)
     SELECT a.id AS id_a, b.id AS id_b,
            a.name AS name_a, b.name AS name_b,
            CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
-    FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+    FROM s a JOIN s b
+      ON a.pfx = b.pfx AND abs(a.len - b.len) <= 1 AND a.id < b.id
     WHERE levenshtein(a.name, b.name) <= 1
     """,
-    doc="Blocked fuzzy self-join (entity resolution): candidate pairs "
-    "share a (length, 16-char-prefix) blocking key, then JVM-side "
-    "levenshtein filters inside the block sliver only — pair cost is "
-    "quadratic in BLOCK size, never corpus size (the blocking-key "
-    "selectivity knob, same economics as LSH bucket sparsity).",
+    doc="Blocked fuzzy self-join (entity resolution) with a true "
+    "length BAND: one side explodes to (len-1..len+1, 16-char-prefix) "
+    "keys so insertion/deletion pairs collide too (the exact-length "
+    "key finds substitutions only — round-7 review fix), each "
+    "qualifying pair on exactly one key; JVM-side levenshtein filters "
+    "inside the block sliver only — pair cost is quadratic in BLOCK "
+    "size, never corpus size. operators/fuzzy.py::"
+    "banded_levenshtein_pairs; the oracle states the same band as a "
+    "predicate on the quadratic join.",
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.fuzzy import length_prefix_block
+    from ..operators.fuzzy import banded_levenshtein_pairs
 
     c = _t(spark, sf_dir, "customer")
-    return blocked_levenshtein_pairs(
+    return banded_levenshtein_pairs(
         c,
         id_col="c_custkey",
         name_col="c_name",
-        block_expr=length_prefix_block("c_name", prefix_len=16),
+        prefix_len=16,
         max_distance=1,
     )
 
@@ -253,7 +258,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return token_heavy_hitters(d, "text", min_freq=200, k=4096)
+    return token_heavy_hitters(d, "text", min_freq=200)
 
 
 @register(
@@ -1418,7 +1423,7 @@ def cms_token_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     cells = cms_cells(toks, "token", width=_CMS_WIDTH)
-    hh = token_heavy_hitters(d, "text", min_freq=200, k=4096)
+    hh = token_heavy_hitters(d, "text", min_freq=200)
     est = cms_estimate(cells, hh.select("token"), "token", width=_CMS_WIDTH)
     return hh.join(est, "token").select(
         "token",

@@ -505,3 +505,151 @@ def test_gini_closed_form(spark, tmp_path):
     }
     assert abs(out["EQ"]["gini"] - 0.0) < 1e-9
     assert abs(out["SKEW"]["gini"] - 0.75) < 1e-9
+
+
+def test_token_heavy_hitters_derived_k_keeps_mg_exact(spark):
+    """Round-7 review finding: a FIXED Misra-Gries width k silently
+    drops true heavy hitters once n/k exceeds min_freq — exactly the
+    regime the MG arm is selected for. The derived-k default must keep
+    the MG arm equal to the exact groupby arm, and an over-cap derived
+    k must fall back to groupby rather than run an unsound summary."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators.frequency import token_heavy_hitters
+
+    # 'hot' appears 3 times up front, then 1000 distinct junk tokens:
+    # with k=16, each decrement-all retires hot after <=3 floods, so a
+    # fixed small width loses it even though freq == min_freq == 3
+    docs = [(0, "hot hot hot")] + [
+        (i, f"junk{i}a junk{i}b junk{i}c junk{i}d") for i in range(1, 251)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)
+
+    exact = {
+        (r["token"], r["freq"])
+        for r in token_heavy_hitters(
+            df, "text", min_freq=3, strategy="groupby"
+        ).collect()
+    }
+    assert ("hot", 3) in exact
+
+    # the hazard itself, pinned where partitioning is caller-controlled
+    # (token_heavy_hitters repartitions internally, which spreads the
+    # junk floods thin): one partition, k=16, 1000 distinct junk tokens
+    # after hot×3 → ≥3 decrement-all events → hot's counter dies
+    from scotustician_spark.operators.frequency import heavy_hitters
+
+    toks = (
+        df.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .coalesce(1)
+    )
+    fixed_small = {
+        (r["token"], r["freq"])
+        for r in heavy_hitters(toks, "token", min_freq=3, k=16).collect()
+    }
+    assert ("hot", 3) not in fixed_small  # the documented hazard
+
+    derived = {
+        (r["token"], r["freq"])
+        for r in token_heavy_hitters(
+            df, "text", min_freq=3, strategy="misra_gries"
+        ).collect()
+    }
+    assert derived == exact
+
+    capped = {
+        (r["token"], r["freq"])
+        for r in token_heavy_hitters(
+            df, "text", min_freq=3, strategy="misra_gries", mg_max_k=10
+        ).collect()
+    }
+    assert capped == exact  # over-cap derived k -> exact groupby arm
+
+
+def test_gap_fill_daily_null_measures_and_empty_cols(spark):
+    """Round-7 review findings: a genuinely observed row whose marker
+    column is NULL must still report is_observed=true (existence comes
+    from the JOIN, not a measure's nullness), and the axis-only call
+    (both column lists empty) must work instead of IndexError."""
+    from scotustician_spark.operators.timeseries import gap_fill_daily
+
+    obs = spark.createDataFrame(
+        [("a", "2026-01-01", 5, 1.0), ("a", "2026-01-03", None, None)],
+        "k string, d string, n long, v double",
+    ).select("k", F.col("d").cast("date").alias("d"), "n", "v")
+
+    rows = {
+        str(r["d"]): r
+        for r in gap_fill_daily(
+            obs, "k", "d", zero_cols=["n"], locf_cols=["v"]
+        ).collect()
+    }
+    assert rows["2026-01-01"]["is_observed"] is True
+    assert rows["2026-01-02"]["is_observed"] is False
+    # observed row with NULL measures: observed, zero-filled, carried
+    assert rows["2026-01-03"]["is_observed"] is True
+    assert rows["2026-01-03"]["n"] == 0
+    assert rows["2026-01-03"]["v"] == 1.0  # LOCF across the NULL
+
+    axis_only = gap_fill_daily(
+        obs, "k", "d", zero_cols=[], locf_cols=[]
+    ).collect()
+    assert len(axis_only) == 3
+    assert sum(r["is_observed"] for r in axis_only) == 2
+
+
+def test_banded_levenshtein_finds_insert_delete_pairs(spark):
+    """Round-7 review finding: the exact-length block key structurally
+    misses every insertion/deletion pair (the majority class at
+    distance 1). The banded variant must find them, emit each pair
+    once, and agree with a naive quadratic band join."""
+    from scotustician_spark.operators.fuzzy import (
+        banded_levenshtein_pairs,
+        blocked_levenshtein_pairs,
+        length_prefix_block,
+    )
+
+    rows = [
+        (1, "smith"),
+        (2, "smiths"),   # insertion of 's': distance 1, length differs
+        (3, "smyth"),    # substitution: distance 1, same length
+        (4, "jones"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    exact_key = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_levenshtein_pairs(
+            df, "id", "name", length_prefix_block("name", 2)
+        ).collect()
+    }
+    assert exact_key == {(1, 3)}  # substitutions only
+
+    banded = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in banded_levenshtein_pairs(
+            df, "id", "name", prefix_len=2, max_distance=1
+        ).collect()
+    }
+    # the insert pair appears, once, alongside the substitution pair;
+    # (2,3) is distance 2 and excluded
+    assert banded == {(1, 2, 1), (1, 3, 1)}
+
+    naive = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in df.alias("a")
+        .crossJoin(df.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.substring("a.name", 1, 2) == F.substring("b.name", 1, 2))
+            & (F.abs(F.length("a.name") - F.length("b.name")) <= 1)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.name", "b.name").alias("distance"),
+        )
+        .filter(F.col("distance") <= 1)
+        .collect()
+    }
+    assert banded == naive

@@ -655,3 +655,46 @@ def test_cut_lineage_observed_fuses_probe_into_checkpoint(spark, tmp_path):
     empty = df.filter(F.lit(False))
     _, m0 = cut_lineage_observed(empty, [ck])
     assert m0["s"] is None
+
+
+def test_interval_concurrency_semantics_and_null_boundaries(spark):
+    """Back-to-back intervals (end == next start) are exactly where
+    the two tie semantics differ: 'instant' counts the handover moment
+    as coexistence, 'half-open' treats [s, e) as a set. NULL
+    boundaries must be dropped, not leaked into every carry-in via the
+    nulls-first prefix bucket."""
+    df = spark.createDataFrame(
+        [(0, 100), (100, 200)], "s long, e long"
+    )
+    inst = {
+        r["t"]: r["concurrency"]
+        for r in interval_concurrency(df, "s", "e", bucket_width=64).collect()
+    }
+    half = {
+        r["t"]: r["concurrency"]
+        for r in interval_concurrency(
+            df, "s", "e", bucket_width=64, semantics="half-open"
+        ).collect()
+    }
+    assert inst[100] == 2  # handover instant: both briefly alive
+    assert half[100] == 1  # [0,100) does not cover 100
+    assert inst[0] == half[0] == 1
+    # the final end: still alive AT the instant, gone under [s, e)
+    assert inst[200] == 1 and half[200] == 0
+
+    # a NULL end used to subtract 1 from EVERY timestamp's carry-in
+    with_null = spark.createDataFrame(
+        [(0, 100), (100, 200), (50, None)], "s long, e long"
+    )
+    got = {
+        r["t"]: r["concurrency"]
+        for r in interval_concurrency(
+            with_null, "s", "e", bucket_width=64
+        ).collect()
+    }
+    assert got == inst  # the undefined interval is dropped entirely
+
+    import pytest
+
+    with pytest.raises(ValueError, match="semantics"):
+        interval_concurrency(df, "s", "e", semantics="closed")
