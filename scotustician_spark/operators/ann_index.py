@@ -102,6 +102,7 @@ def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
     losslessly. Vectors range-lay-out by id for candidate-fetch
     row-group pruning."""
     m = index.params["m"]
+    _require_integral_ids(index.codes, "cid", "write_ivfpq_index")
     index.centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
@@ -182,9 +183,13 @@ def append_to_ivfpq_index(
     Probing the appended index is exactly equivalent to probing an
     index whose build had quantized the delta with the same frozen
     quantizer — the differential tests pin appended codes equal to
-    direct encoding. Write the result back with ``write_ivfpq_index``
-    (cell-partitioned codes mean an appended cell directory rewrites,
-    untouched cells don't move under dynamic partition overwrite).
+    direct encoding. Persist the result with ``write_ivfpq_index`` to
+    a NEW path (the versioned ``publish_ivfpq_version`` /
+    ``ivfpq_stream_sink`` flow): the appended relations lazily READ
+    the source index's files, so writing back onto the SAME path is a
+    self-overwrite — Spark rejects it ("Cannot overwrite a path that
+    is also being read from"), and cutting lineage to force it through
+    would drop the old version a concurrent reader may hold open.
     """
     p = index.params
     dim, m, d2r = p["dim"], p["m"], p["d2_round"]
@@ -192,22 +197,14 @@ def append_to_ivfpq_index(
     d = delta.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
 
     # nearest existing cell per delta vector (struct-min argmin — same
-    # rounding/tie-break discipline as the build)
+    # rounding/tie-break discipline as the build; the distance is the
+    # SHARED _sq_l2 kernel so the appended-equals-direct-encoding
+    # parity can never drift from a one-sided edit)
+    from .similarity import _sq_l2
+
     assigned = (
         d.crossJoin(F.broadcast(index.centroids))
-        .withColumn(
-            "d2r",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "c_vec", "centroid", lambda x, c: (x - c) * (x - c)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                d2r,
-            ),
-        )
+        .withColumn("d2r", F.round(_sq_l2("c_vec", "centroid"), d2r))
         .groupBy("cid")
         .agg(F.min(F.struct("d2r", "cell", "c_vec")).alias("__m"))
         .select(
@@ -280,7 +277,33 @@ def build_ivfflat_index(
     )
 
 
+def _require_integral_ids(df: DataFrame, id_col: str, who: str) -> None:
+    """The persisted-index tables pin ``cid long`` so empty corpora
+    round-trip without schema inference; a non-integral id column
+    would silently CAST TO NULL (every probe would then return NULL
+    neighbor_ids and rerank joins would match nothing — a round-7
+    review finding). Fail fast with the remedy instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    t = df.schema[id_col].dataType
+    if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{who} requires an integral id column; {id_col} is "
+            f"{t.simpleString()} — map ids to longs first (e.g. "
+            "xxhash64(id), keeping a side table for the reverse lookup)"
+        )
+
+
 def write_ivfflat_index(index: IvfFlatIndex, path: str) -> None:
+    """Persist the IVF-flat index. ``c_vec`` keeps its NATIVE element
+    type, recorded in the meta file so the read side can pin the
+    schema without inference (empty-corpus round-trip) — the former
+    unconditional float32 cast silently truncated float64 vectors by
+    ~29 mantissa bits, so a persisted-then-read index could re-rank
+    differently than the in-memory twin at a rounded-sim tie (round-7
+    review finding)."""
+    _require_integral_ids(index.vectors, "cid", "write_ivfflat_index")
+    vt = index.vectors.schema["c_vec"].dataType.simpleString()
     index.centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
@@ -288,7 +311,7 @@ def write_ivfflat_index(index: IvfFlatIndex, path: str) -> None:
         index.vectors.select(
             F.col("cid").cast("long").alias("cid"),
             F.col("cell").cast("int").alias("cell"),
-            F.col("c_vec").cast("array<float>").alias("c_vec"),
+            F.col("c_vec"),
         )
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -297,17 +320,19 @@ def write_ivfflat_index(index: IvfFlatIndex, path: str) -> None:
     spark = index.centroids.sparkSession
     from pyspark.sql import Row
 
-    spark.createDataFrame([Row(**index.params)]).coalesce(1).write.mode(
-        "overwrite"
-    ).json(f"{path}/meta")
+    spark.createDataFrame(
+        [Row(**index.params, c_vec_type=vt)]
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
 def read_ivfflat_index(spark: SparkSession, path: str) -> IvfFlatIndex:
     meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    # pre-round-7 indexes carry no c_vec_type and WERE written float32
+    vt = meta.get("c_vec_type") or "array<float>"
     return IvfFlatIndex(
         centroids=spark.read.parquet(f"{path}/centroids"),
         vectors=spark.read.schema(
-            "cid long, c_vec array<float>, cell int"
+            f"cid long, c_vec {vt}, cell int"
         ).parquet(f"{path}/vectors"),
         params={k: int(meta[k]) for k in ("n_cells", "d2_round")},
     )
@@ -386,6 +411,7 @@ def write_tombstones(
     them until a compaction folds them in. Append-mode writes make
     repeated deletes idempotent in effect: duplicates collapse at read
     time."""
+    _require_integral_ids(ids, id_col, "write_tombstones")
     ids.select(F.col(id_col).cast("long").alias("cid")).distinct().coalesce(
         1
     ).write.mode("append").parquet(f"{path}/tombstones")
@@ -515,9 +541,16 @@ def ivfpq_tombstone_sink(
     Replay-safe without any keyed state: tombstone appends are
     idempotent in effect (the reader distincts) and ``compact`` is
     idempotent, so a batch replayed after checkpoint recovery changes
-    nothing observable. Serving keeps reading
-    ``read_ivfpq_index_live`` throughout — before, during, and after
-    a compaction it returns the same live rows.
+    nothing observable. A serving job that OPENS
+    ``read_ivfpq_index_live`` before or after a compaction sees the
+    same live rows. CAVEAT (round-7 review): the live view is LAZY —
+    a single query whose codes scan and tombstone scan straddle a
+    compaction's commit window can pair pre-compaction codes with the
+    post-compaction (truncated) tombstone set and briefly serve doomed
+    ids. Snapshot-isolated overlap needs the versioned flow
+    (``publish_ivfpq_version`` per compaction); on this single-writer
+    in-place path, re-open the index per query and avoid running
+    probes concurrently with the compaction.
 
     Use::
 
@@ -540,15 +573,50 @@ def ivfpq_tombstone_sink(
 
 # ---- versioned publication + streaming maintenance ----------------
 
+def _scan_complete_versions(spark: SparkSession, root: str) -> int | None:
+    """Highest COMPLETE version dir under ``root`` (``v<N>`` whose
+    ``vectors/_SUCCESS`` exists — vectors is the LAST table
+    write_ivfpq_index commits, so its marker implies the whole
+    version). The recovery source of truth when the LATEST pointer is
+    missing or torn."""
+    import re
+
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    rp = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(rp):
+        return None
+    best = None
+    for st in fs.listStatus(rp):
+        m = re.fullmatch(r"v(\d+)", st.getPath().getName())
+        if m and _fs_exists(
+            spark, f"{root}/v{m.group(1)}/vectors/_SUCCESS"
+        ):
+            best = max(best or 0, int(m.group(1)))
+    return best
+
+
 def _latest_version(spark: SparkSession, root: str) -> int | None:
     """Read the LATEST pointer (one JSON row written through Spark).
-    Returns None ONLY when no pointer exists (FS probe); a pointer that
-    exists but can't be read raises — resetting versioning to v1 on a
-    transient error would overwrite an existing immutable version."""
+    A MISSING or EMPTY pointer falls back to scanning the version dirs
+    (a crash between the pointer delete and its rewrite must not reset
+    versioning to v1 — that would overwrite an existing 'immutable'
+    version and orphan the rest, the round-7 review's torn-flip
+    scenario); a pointer that exists but can't be READ still raises —
+    a transient FS error must propagate, not downgrade the version."""
     if not _fs_exists(spark, f"{root}/LATEST"):
-        return None
-    rows = spark.read.json(f"{root}/LATEST").collect()
-    return int(rows[0]["version"]) if rows else None
+        return _scan_complete_versions(spark, root)
+    # explicit schema: an EMPTY pointer dir (crash mid-write) must read
+    # as zero rows, not throw schema inference
+    rows = spark.read.schema("version long").json(f"{root}/LATEST").collect()
+    if not rows:  # pointer dir exists but is EMPTY: the torn state
+        return _scan_complete_versions(spark, root)
+    if "version" not in rows[0].asDict() or rows[0]["version"] is None:
+        # present-but-garbage is CORRUPTION, not a torn flip: raise
+        raise ValueError(f"corrupt LATEST pointer under {root}")
+    return int(rows[0]["version"])
 
 
 def publish_ivfpq_version(index: IvfPqIndex, root: str) -> int:
@@ -556,24 +624,41 @@ def publish_ivfpq_version(index: IvfPqIndex, root: str) -> int:
     ``root/v<N>`` and flip the LATEST pointer — the serving contract
     for index updates: a reader that opened v<N-1> keeps a consistent
     snapshot while v<N> lands, and the pointer flip is the only
-    mutation (tiny, last, readable atomically enough for any store;
-    on S3-like stores pair it with conditional puts). Returns N."""
+    mutation. The flip writes to a temp dir then RENAMES over LATEST
+    (atomic on HDFS/local; on S3-like stores pair with conditional
+    puts), and even a torn flip is healed: ``_latest_version`` falls
+    back to scanning the complete version dirs, so recovery never
+    resets to v1 over existing versions. Returns N."""
     spark = index.centroids.sparkSession
     cur = _latest_version(spark, root)
     nxt = 1 if cur is None else cur + 1
     write_ivfpq_index(index, f"{root}/v{nxt}")
     from pyspark.sql import Row
 
+    tmp = f"{root}/LATEST__tmp"
     spark.createDataFrame([Row(version=nxt)]).coalesce(1).write.mode(
         "overwrite"
-    ).json(f"{root}/LATEST")
+    ).json(tmp)
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(f"{root}/LATEST")
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
     return nxt
 
 
 def read_latest_ivfpq(spark: SparkSession, root: str) -> IvfPqIndex:
     v = _latest_version(spark, root)
     if v is None:
-        raise FileNotFoundError(f"no published index version under {root}")
+        raise FileNotFoundError(
+            f"no published index version under {root} — bootstrap with "
+            "build_ivfpq_index(...) + publish_ivfpq_version(index, root) "
+            "before serving or streaming appends (ivfpq_stream_sink "
+            "needs an existing quantizer: appends are frozen-quantizer)"
+        )
     return read_ivfpq_index(spark, f"{root}/v{v}")
 
 

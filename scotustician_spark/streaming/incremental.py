@@ -23,16 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from scotustician_spark.sources.sinks import idempotent_append
 
 
-def _state_exists(spark: SparkSession, path: str) -> bool:
-    """True iff a parquet state table exists at ``path`` (Hadoop FS
-    probe — works for any scheme the session can reach)."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
-
-
 def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -64,6 +54,7 @@ def exactly_once_merge_sink(
     batch_id: int,
     partial: DataFrame,
     merge,
+    publish=None,
 ) -> None:
     """Replay-safe copy-on-write merge for foreachBatch sum-merge
     sinks (CMS cells, word frequencies, quantile histograms).
@@ -85,6 +76,11 @@ def exactly_once_merge_sink(
       the plain ``spark.read.parquet(state_path)`` contract; a crash
       mid-publish is healed by the next drain's republish while the
       versioned copy stays intact;
+    - ``publish`` (optional DataFrame→DataFrame) projects the state
+      into its published view — the versioned copies keep the FULL
+      merge state (e.g. CDC sequence numbers and tombstones, which
+      the merge needs to make cross-batch redeliveries no-ops) while
+      readers see the clean table;
     - versions older than the latest are pruned after publish.
 
     Contract: a state path is bound to ONE streaming checkpoint
@@ -111,9 +107,10 @@ def exactly_once_merge_sink(
         ).close()
         applied = batch_id
     # publish (also heals a previous torn publish on replay)
-    spark.read.parquet(f"{versions}/b={applied}").write.mode(
-        "overwrite"
-    ).parquet(state_path)
+    published = spark.read.parquet(f"{versions}/b={applied}")
+    if publish is not None:
+        published = publish(published)
+    published.write.mode("overwrite").parquet(state_path)
     for old in _applied_versions(spark, versions):
         if old < applied:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{versions}/b={old}"), True)
@@ -262,17 +259,71 @@ def run_cdc_apply(
 ) -> None:
     """Streaming CDC apply: each micro-batch of change rows
     (op ∈ {'I','U','D'} + optional source sequence) merges into the
-    keyed parquet table via ``merge_apply_cdc`` — the
-    Debezium-feed-to-table pattern with AvailableNow semantics. The
-    checkpoint makes redelivered files no-ops at the batch level; the
-    per-key sequence collapse makes re-sent changes no-ops at the row
-    level. Blocks until the trigger drains.
+    keyed parquet table — the Debezium-feed-to-table pattern with
+    AvailableNow semantics. Blocks until the trigger drains.
+
+    Routed through ``exactly_once_merge_sink`` (round-7 review): the
+    former direct ``merge_apply_cdc`` overwrite could lose the WHOLE
+    table when a crash landed between the overwrite's delete and its
+    commit (the replay saw an empty path and re-created the table from
+    just its own batch) — the same torn-overwrite hazard the other
+    sinks in this family were migrated off in round 6. The versioned
+    state keeps the op and sequence columns so, with ``seq_col`` set,
+    a STALE change redelivered in a LATER batch is a row-level no-op
+    too (the merge takes the max-sequence change per key; deletes
+    persist as tombstones in the state). The PUBLISHED table at
+    ``table_path`` stays the clean view — tombstones and meta columns
+    are projected away, so ``spark.read.parquet(table_path)`` reads
+    exactly the applied table. Without ``seq_col`` there is no
+    cross-batch order, so later batches win per key (within-batch
+    still at-most-one change per key, as before).
     """
-    from ..sources.sinks import merge_apply_cdc
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_apply_cdc(
-            batch_df.sparkSession, table_path, batch_df, key_cols, op_col, seq_col
+        spark = batch_df.sparkSession
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
+
+        seq = (
+            F.col(seq_col)
+            if seq_col is not None
+            # batch id stands in for the source sequence: later
+            # batches win per key, matching the old overwrite order
+            else F.lit(batch_id).alias("__seq")
+        )
+        partial = batch_df.withColumn("__seq", seq.cast("long"))
+        w = W.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
+        partial = (
+            partial.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *([seq_col] if seq_col else []))
+        )
+
+        def merge(base: DataFrame, p: DataFrame) -> DataFrame:
+            # ties go to the NEW batch (src=1), matching the former
+            # in-place semantics where the batch replaced the table row
+            u = base.withColumn("__src", F.lit(0)).unionByName(
+                p.withColumn("__src", F.lit(1))
+            )
+            mw = W.partitionBy(*key_cols).orderBy(
+                F.col("__seq").desc(), F.col("__src").desc()
+            )
+            return (
+                u.withColumn("__rn", F.row_number().over(mw))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
+
+        exactly_once_merge_sink(
+            spark,
+            table_path,
+            batch_id,
+            partial,
+            merge,
+            # clean published view: tombstones out, meta columns off
+            publish=lambda s: s.filter(~F.col(op_col).eqNullSafe("D")).drop(
+                op_col, "__seq"
+            ),
         )
 
     (

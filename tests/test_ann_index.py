@@ -509,3 +509,93 @@ def test_tombstone_and_latest_read_errors_propagate(spark, tmp_path):
     (root / "LATEST" / "part-00000.json").write_text("{\"nonsense\": true}")
     with pytest.raises(Exception):
         _latest_version(spark, str(root))
+
+
+def test_torn_latest_pointer_recovers_from_version_scan(spark, corpus, tmp_path):
+    """Round-7 review: a crash between the LATEST delete and its
+    rewrite must NOT reset versioning to v1 (which would overwrite an
+    'immutable' version dir). A missing or empty pointer now falls
+    back to scanning the complete version dirs; the next publish
+    continues the sequence and repairs the pointer."""
+    import shutil
+
+    from scotustician_spark.operators.ann_index import (
+        _latest_version,
+        publish_ivfpq_version,
+        read_latest_ivfpq,
+    )
+
+    root = str(tmp_path / "torn")
+    idx = build_ivfpq_index(
+        corpus.filter(F.col("vec_id") < 40), DIM, n_cells=4, m=4, n_codes=4
+    )
+    assert publish_ivfpq_version(idx, root) == 1
+    assert publish_ivfpq_version(idx, root) == 2
+
+    # simulate the torn flip: pointer gone, version dirs intact
+    shutil.rmtree(f"{root}/LATEST")
+    assert _latest_version(spark, root) == 2  # healed from the scan
+    assert read_latest_ivfpq(spark, root).vectors.count() == 40
+    assert publish_ivfpq_version(idx, root) == 3  # continues, not v1
+    assert _latest_version(spark, root) == 3
+
+    # empty pointer dir (crash mid-write) heals the same way
+    shutil.rmtree(f"{root}/LATEST")
+    import os
+
+    os.makedirs(f"{root}/LATEST")
+    assert _latest_version(spark, root) == 3
+
+
+def test_index_writes_reject_lossy_column_types(spark, tmp_path):
+    """Round-7 review: persisting an index with non-integral ids
+    silently cast every cid to NULL (probes then return NULL
+    neighbors); ivf-flat persistence of float64 vectors silently
+    truncated 29 mantissa bits vs the in-memory index. Both now fail
+    fast with the remedy in the message."""
+    import pytest
+
+    from scotustician_spark.operators.ann_index import (
+        build_ivfflat_index,
+        write_ivfflat_index,
+        write_ivfpq_index,
+        write_tombstones,
+    )
+
+    str_ids = spark.createDataFrame(
+        [(f"doc_{i}", [float(i)] * DIM) for i in range(8)],
+        f"vec_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        write_tombstones(str_ids.select("vec_id"), str(tmp_path / "t"))
+
+    idx = build_ivfpq_index(
+        spark.createDataFrame(
+            [(f"d{i}", [float(i)] * DIM) for i in range(8)],
+            "vec_id string, embedding array<double>",
+        ),
+        DIM,
+        n_cells=2,
+        m=4,
+        n_codes=2,
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        write_ivfpq_index(idx, str(tmp_path / "pq"))
+
+    # ivf-flat: float64 vectors now round-trip LOSSLESSLY (the former
+    # unconditional float32 cast truncated them silently)
+    from scotustician_spark.operators.ann_index import read_ivfflat_index
+
+    flat = build_ivfflat_index(
+        spark.createDataFrame(
+            [(i, [float(i) + 1e-12] * DIM) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        ),
+        n_cells=2,
+    )
+    write_ivfflat_index(flat, str(tmp_path / "flat"))
+    back = read_ivfflat_index(spark, str(tmp_path / "flat"))
+    assert back.vectors.schema["c_vec"].dataType.simpleString() == "array<double>"
+    assert sorted(
+        tuple(r["c_vec"]) for r in back.vectors.collect()
+    ) == sorted(tuple(r["c_vec"]) for r in flat.vectors.collect())

@@ -339,6 +339,17 @@ def test_run_cdc_apply_two_batches(spark, tmp_path):
     rows2 = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(table).collect()}
     assert rows2 == rows
 
+    # batch 3: an at-least-once source REDELIVERS stale changes in a
+    # later batch — the seq=1 insert for k=1 (now at seq=3) and the
+    # seq=2 insert for the DELETED k=2 (tombstone at seq=4). Both must
+    # be row-level no-ops (round-7 review: the old in-place merge
+    # dropped seq from the table and regressed k=1 to the stale row,
+    # and resurrected the deleted k=2)
+    feed([(1, "a", 10, "I", 1), (2, "b", 20, "I", 2)])
+    run_cdc_apply(stream(), table, ckpt, ["k"], seq_col="seq")
+    rows3 = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert rows3 == rows  # still {1: ('a2', 11), 3: ('c', 30)}
+
 
 def test_stream_interval_join_left_outer_emits_on_watermark(spark, tmp_path):
     """leftOuter stream-stream join: an unmatched left row emits with
