@@ -68,7 +68,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents)
     SELECT split, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM s GROUP BY split, lang
     """,
     doc="Deterministic 80/10/10 train/val/test assignment by md5 "
@@ -121,7 +121,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s)
     SELECT shard, bef // 4000 AS seq_id,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM c GROUP BY shard, seq_id
     """,
     doc="Concat-and-chunk sequence packing: hash-shard the corpus, "

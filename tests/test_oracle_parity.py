@@ -43,6 +43,26 @@ def test_registry_oracle_coverage_does_not_drift():
     )
 
 
+def test_no_oracle_emits_hugeint(duck):
+    """Guard for the round-7 driver regression: an untyped sum() over an
+    integer column is typed HUGEINT by DuckDB, and the driver's value
+    hash renders HUGEINT differently from BIGINT even when the Python
+    ints are identical (dataset_splits / pack_sequences were driver-red
+    for exactly this in r07). DESCRIBE every registered oracle and
+    reject any 128-bit output column — wrap integer sums as
+    CAST(sum(...) AS BIGINT), per the repo's float-parity ladder."""
+    offenders = {}
+    for name in ALL:
+        q = QUERY_REGISTRY[name]
+        if q.oracle is None:
+            continue
+        cols = duck.execute(f"DESCRIBE {q.oracle}").fetchall()
+        bad = [(c[0], c[1]) for c in cols if c[1].upper() in ("HUGEINT", "UHUGEINT")]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles with 128-bit output columns: {offenders}"
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = QUERY_REGISTRY[name]
