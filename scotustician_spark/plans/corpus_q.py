@@ -1737,8 +1737,8 @@ _SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)
            LEFT JOIN inter i USING (id_a, id_b)
            JOIN sizes sa ON sa.doc_id = p.id_a
            JOIN sizes sb ON sb.doc_id = p.id_b),
-    th AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
-               AS threshold),
+    th AS (SELECT CAST(unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
+               AS DOUBLE) AS threshold),
     x AS (SELECT t.threshold, p.id_a, p.id_b
           FROM pj p JOIN th t ON p.n_inter >= t.threshold * p.uni),
     pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs

@@ -57,10 +57,15 @@ def test_no_oracle_emits_hugeint(duck):
         if q.oracle is None:
             continue
         cols = duck.execute(f"DESCRIBE {q.oracle}").fetchall()
-        bad = [(c[0], c[1]) for c in cols if c[1].upper() in ("HUGEINT", "UHUGEINT")]
+        bad = [
+            (c[0], c[1])
+            for c in cols
+            if c[1].upper() in ("HUGEINT", "UHUGEINT")
+            or c[1].upper().startswith("DECIMAL")
+        ]
         if bad:
             offenders[name] = bad
-    assert not offenders, f"oracles with 128-bit output columns: {offenders}"
+    assert not offenders, f"oracles with 128-bit/DECIMAL output columns: {offenders}"
 
 
 @pytest.mark.parametrize("name", ALL)
