@@ -482,10 +482,14 @@ def source_overlap_sketch(
     )
 
 
-#: Exact source-overlap postings stay affordable while the corpus text
-#: is below this plan-size estimate; above it the sketch arm's
-#: bounded-pass estimate is the plan you'd launch at 100 TB.
-OVERLAP_EXACT_THRESHOLD_BYTES = 1 << 28  # 256 MiB of corpus text
+#: Measured crossover (round-8, x10 tier ≈5 MB compressed corpus): the
+#: exact arm's (source, shingle) postings shuffle is already 4.5× the
+#: single-node oracle engine there, while the sketch arm — whose only
+#: shuffle is 128 signature rows per doc — holds 1.0×. Exact is kept
+#: below this plan-size estimate (where it is sub-second and serves as
+#: the value oracle); everything larger takes the sketch, the plan
+#: you'd launch at 100 TB.
+OVERLAP_EXACT_THRESHOLD_BYTES = 1 << 21  # 2 MiB compressed corpus text
 
 
 def choose_overlap_strategy(

@@ -323,8 +323,9 @@ _SRC_SHINGLES = """
     "gate ('how much of source B is already in A?'). Shingling is "
     "in-row; posting lists are bounded by the source count, so the "
     "pair expansion is quadratic in #sources, never in documents; the "
-    "corpus text shuffles once as (source, shingle) postings.",
-    bench=True,
+    "corpus text shuffles once as (source, shingle) postings. Kept as "
+    "the value oracle / sub-threshold arm; the REGISTERED production "
+    "surface is source_overlap_auto (bench runs that).",
 )
 def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.source_overlap(
@@ -384,6 +385,42 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         n=3,
         num_hashes=128,
+    )
+
+
+@register(
+    "source_overlap_auto",
+    f"""
+    WITH sh AS (SELECT DISTINCT source, shingle FROM ({_SRC_SHINGLES})),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b,
+           round(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    doc="THE registered source-overlap surface (VERDICT r7 #3): "
+    "operators/corpus.py::source_overlap_auto dispatches on the "
+    "Catalyst plan-size estimate of the corpus input — the exact "
+    "postings Jaccard below OVERLAP_EXACT_THRESHOLD_BYTES (the "
+    "measured x10 crossover where exact hits 4.5x the oracle engine "
+    "while the sketch holds 1.0x), the per-source MinHash(128) "
+    "estimate above, where only 128 signature rows per doc shuffle. "
+    "The oracle is the exact arm: every correctness tier (sf0.001 / "
+    "sf0.01 / sf0.1 corpora, all <2 MiB) sits below the threshold — "
+    "test_source_overlap_auto_oracle_arm pins that assumption so "
+    "testdata growth cannot silently flip the compared arm.",
+    bench=True,
+)
+def source_overlap_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.source_overlap_auto(
+        _t(spark, sf_dir, "documents"), group_col="source", text_col="text", n=3
     )
 
 

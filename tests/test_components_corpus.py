@@ -1133,6 +1133,30 @@ def test_source_overlap_auto_dispatch(spark):
     assert hi_v.get(("s2", "s3"), 0.0) <= 0.1
 
 
+def test_source_overlap_auto_oracle_arm(spark, sf_dir):
+    """The registered source_overlap_auto query's DuckDB oracle is the
+    EXACT arm, which is only valid while every correctness-tier corpus
+    sits below OVERLAP_EXACT_THRESHOLD_BYTES. Pin that assumption for
+    all three gate SFs so testdata growth flips this test, not the
+    driver's hash compare. (The x10+ tiers are above the threshold by
+    design — the sketch arm is the measured ≤2x scale path there.)"""
+    from scotustician_spark.operators.bloom import plan_size_bytes
+    from scotustician_spark.operators.corpus import (
+        OVERLAP_EXACT_THRESHOLD_BYTES,
+        choose_overlap_strategy,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        size = plan_size_bytes(docs)
+        assert choose_overlap_strategy(size) == "exact", (
+            f"{sf}: corpus plan size {size} crossed "
+            f"OVERLAP_EXACT_THRESHOLD_BYTES={OVERLAP_EXACT_THRESHOLD_BYTES}; "
+            "the source_overlap_auto oracle no longer matches the "
+            "dispatched arm — re-derive the threshold or switch oracle"
+        )
+
+
 def test_dsir_weights_favor_target_like_docs(spark):
     """DSIR log-weights must rank docs sharing the target's vocabulary
     above docs that don't, score empty/NULL text exactly 0.0 (no

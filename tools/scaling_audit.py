@@ -79,6 +79,7 @@ X1000_QUERIES = [
     "vocab_growth",
     "source_overlap_minhash",  # round-7 sketch arm: the ≤2x scale path
     "dsir_importance_weights",  # round-7: two-pass, zero per-doc shuffle
+    "source_overlap_auto",  # round-8 registered surface: dispatches to sketch here
 ]
 
 
