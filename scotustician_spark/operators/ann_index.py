@@ -575,9 +575,12 @@ def ivfpq_tombstone_sink(
 
 def _scan_complete_versions(spark: SparkSession, root: str) -> int | None:
     """Highest COMPLETE version dir under ``root`` (``v<N>`` whose
-    ``vectors/_SUCCESS`` exists — vectors is the LAST table
-    write_ivfpq_index commits, so its marker implies the whole
-    version). The recovery source of truth when the LATEST pointer is
+    ``meta/_SUCCESS`` exists — meta is the LAST dir both
+    write_ivfpq_index and write_ivfflat_index commit, and writes are
+    sequential, so its marker implies every other table landed; a
+    crash between vectors and meta leaves a version this scan
+    correctly skips — round-8 review finding). The recovery source of
+    truth when the LATEST pointer is
     missing or torn."""
     import re
 
@@ -592,7 +595,7 @@ def _scan_complete_versions(spark: SparkSession, root: str) -> int | None:
     for st in fs.listStatus(rp):
         m = re.fullmatch(r"v(\d+)", st.getPath().getName())
         if m and _fs_exists(
-            spark, f"{root}/v{m.group(1)}/vectors/_SUCCESS"
+            spark, f"{root}/v{m.group(1)}/meta/_SUCCESS"
         ):
             best = max(best or 0, int(m.group(1)))
     return best
@@ -646,7 +649,18 @@ def publish_ivfpq_version(index: IvfPqIndex, root: str) -> int:
     dst = jvm.org.apache.hadoop.fs.Path(f"{root}/LATEST")
     if fs.exists(dst):
         fs.delete(dst, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+    # Hadoop rename signals failure by RETURNING false, not raising;
+    # swallowing it would leave LATEST deleted and the tmp dir
+    # lingering while readers silently depend on the scan fallback
+    # (round-8 review finding). The version dir itself is committed
+    # either way, so the raise is safe to retry: the next publish
+    # continues from the scan.
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+        raise IOError(
+            f"failed to flip LATEST -> v{nxt} under {root}: "
+            f"rename({tmp}) returned false; the version dir is "
+            "committed and recoverable via the version scan"
+        )
     return nxt
 
 

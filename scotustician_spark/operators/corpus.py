@@ -972,7 +972,17 @@ def dsir_score_from_counts(
 def _dsir_feats_py(text: str | None) -> list[str]:
     """Python twin of the expression arm's feature builder: whitespace
     tokens of the lowercased text (ASCII regex classes — Java ``\\s``
-    semantics, the minhash kernel recipe) plus adjacent bigrams."""
+    semantics, the minhash kernel recipe) plus adjacent bigrams.
+
+    Locale assumption (round-8 review): Python ``str.lower()`` is
+    locale-independent, but Spark's ``lower()`` delegates non-ASCII
+    code points to JDK ``String.toLowerCase()`` under the JVM DEFAULT
+    locale — a tr/az default locale maps 'I' → 'ı' (dotless) while
+    Python yields 'i', silently breaking the arms' bit-equality. Run
+    the JVM under a ROOT/en locale (``-Duser.language=en`` or
+    ``user.country``/``LANG`` at cluster level); the arm-parity
+    property test includes 'İ' and 'I' so a locale-sensitive
+    environment fails loudly there rather than corrupting weights."""
     import re as _re
 
     if text is None:

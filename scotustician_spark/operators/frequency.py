@@ -206,8 +206,19 @@ def token_heavy_hitters(
     caught here. When the derived k exceeds ``mg_max_k`` the MG
     counters no longer fit a sane task heap, and an UNSOUND summary is
     worse than a shuffle, so the call falls back to the exact groupby
-    arm. Pass ``k`` explicitly only when you know n's order of
-    magnitude and accept the k > n/min_freq obligation yourself.
+    arm.
+
+    Cost of the derived default, stated plainly (round-8 review): n
+    must be EXACT-OR-OVER for the recall guarantee, and the only
+    sound source is counting — compressed plan-size stats can
+    under-estimate raw token counts and would silently void the
+    guarantee. So k=None on the MG arm is a THREE-scan plan (count →
+    summarize → recount; only the count's partial sums and the
+    candidate sliver ever shuffle, but each scan re-reads and
+    re-tokenizes the corpus), and the over-budget fallback still pays
+    the counting scan before the groupby's. Pass ``k`` explicitly to
+    make the MG arm the designed two-scan plan — you then own the
+    k > n/min_freq obligation.
     """
     from ..functions.text import tokens
     from .bloom import plan_size_bytes
@@ -218,7 +229,10 @@ def token_heavy_hitters(
     if strategy == "auto":
         strategy = choose_heavy_hitter_strategy(plan_size_bytes(df))
     if strategy == "misra_gries" and k is None:
-        n = toks.count()  # map-only pass: nothing shuffles
+        # full corpus scan+tokenize whose only exchange is the partial
+        # counts — a real third read of the data, accepted for the
+        # soundness of k (see docstring); explicit k skips it
+        n = toks.count()
         k = max(16, n // max(min_freq, 1) + 1)
         if k > mg_max_k:
             strategy = "groupby"

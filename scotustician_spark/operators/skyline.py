@@ -72,13 +72,33 @@ def skyline_2d(
     # for the join-back (measured: un-hinted, Catalyst shuffled both
     # sides). But that cardinality is NOT bounded by construction (a
     # continuous max_col can leave ~one level per row), so the hint is
-    # gated on the planner's own size estimate, the choose_semi_strategy
-    # discipline — an oversized frontier falls back to a shuffle join
-    # instead of collecting the driver to death.
+    # gated on an estimate of the LEVEL count. The estimate must not
+    # come from plan stats of the windowed survivors relation: without
+    # CBO, Catalyst's default aggregate/window sizeInBytes propagates
+    # the child SCAN size, so on any large fact the gate would never
+    # fire — silently degrading to a two-sided shuffle in exactly the
+    # cases the hint exists for (round-8 review finding). Instead:
+    # a small input (by plan stats) broadcasts outright with no extra
+    # job; a large one pays ONE column-pruned approx-distinct pass over
+    # (group, max) — partial-aggregated, bytes moved = one HLL sketch —
+    # to bound the true frontier cardinality before hinting.
     from .bloom import BROADCAST_THRESHOLD_BYTES, plan_size_bytes
 
-    if plan_size_bytes(survivors) <= BROADCAST_THRESHOLD_BYTES:
+    if plan_size_bytes(df) <= BROADCAST_THRESHOLD_BYTES:
         survivors = F.broadcast(survivors)
+    else:
+        n_levels = (
+            df.agg(
+                F.approx_count_distinct(
+                    F.struct(*group_cols, max_col)
+                ).alias("n")
+            ).collect()[0]["n"]
+        )
+        # conservative serialized width: 24 B/column covers numerics,
+        # dates, and Spark's 20-B default string estimate
+        level_bytes = n_levels * 24 * (len(group_cols) + 2)
+        if level_bytes <= BROADCAST_THRESHOLD_BYTES:
+            survivors = F.broadcast(survivors)
     return (
         df.join(survivors, [*group_cols, max_col])
         .filter(F.col(min_col) == F.col("_lvl_best"))

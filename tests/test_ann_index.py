@@ -547,6 +547,46 @@ def test_torn_latest_pointer_recovers_from_version_scan(spark, corpus, tmp_path)
     assert _latest_version(spark, root) == 3
 
 
+def test_partial_version_dir_is_not_recovered_to(spark, corpus, tmp_path):
+    """Round-8 review: a crash BETWEEN the vectors and meta writes
+    leaves a version dir with vectors/_SUCCESS but no meta — the old
+    scan called that complete, so torn-pointer recovery resolved to a
+    version whose read then failed on the missing meta. The scan now
+    probes meta/_SUCCESS (the truly-last commit of both index
+    writers), so recovery skips the partial dir, reads the previous
+    complete version, and the next publish OVERWRITES the partial v3
+    rather than orphaning it."""
+    import os
+    import shutil
+
+    from scotustician_spark.operators.ann_index import (
+        _latest_version,
+        publish_ivfpq_version,
+        read_latest_ivfpq,
+    )
+
+    root = str(tmp_path / "partial")
+    idx = build_ivfpq_index(
+        corpus.filter(F.col("vec_id") < 40), DIM, n_cells=4, m=4, n_codes=4
+    )
+    assert publish_ivfpq_version(idx, root) == 1
+    assert publish_ivfpq_version(idx, root) == 2
+
+    # simulate the mid-publish crash: v3 has everything BUT meta, and
+    # the LATEST pointer was already deleted for the flip
+    shutil.copytree(f"{root}/v2", f"{root}/v3")
+    shutil.rmtree(f"{root}/v3/meta")
+    shutil.rmtree(f"{root}/LATEST")
+    assert os.path.exists(f"{root}/v3/vectors/_SUCCESS")
+
+    assert _latest_version(spark, root) == 2  # v3 is torn: skipped
+    assert read_latest_ivfpq(spark, root).vectors.count() == 40  # readable
+    # the next publish retries v3 in place and repairs the pointer
+    assert publish_ivfpq_version(idx, root) == 3
+    assert _latest_version(spark, root) == 3
+    assert read_latest_ivfpq(spark, root).vectors.count() == 40
+
+
 def test_index_writes_reject_lossy_column_types(spark, tmp_path):
     """Round-7 review: persisting an index with non-integral ids
     silently cast every cid to NULL (probes then return NULL

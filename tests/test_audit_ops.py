@@ -139,6 +139,32 @@ def test_skyline_two_phase_plan_no_fact_grain_window(spark, sf_dir):
     assert w >= 0 and a > w, plan
 
 
+def test_skyline_broadcasts_tiny_frontier_despite_huge_plan_stats(spark):
+    """Round-8 review: the broadcast gate formerly read plan stats of
+    the windowed survivors relation, which (no CBO) propagate the
+    child scan size — so any large fact silently degraded to a
+    two-sided shuffle even when the true frontier was a handful of
+    levels. The gate now bounds the LEVEL cardinality (approx-distinct
+    pass when the input's own stats exceed the threshold). An
+    in-memory LocalRelation carries Catalyst's conservative huge size
+    estimate, so it exercises exactly the counting path — and with 3
+    distinct levels the join-back must come out broadcast."""
+    rows = [(i, "g", float(i % 3), float(i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, price double, size double")
+    from scotustician_spark.operators.bloom import plan_size_bytes
+
+    assert plan_size_bytes(df) > (10 << 20)  # the premise: stats look huge
+    out = skyline_2d(df, ["grp"], "price", "size")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # (0,0),(1,1),(2,2) trade price against size monotonically, so all
+    # three levels are mutually undominated — the whole diagonal is the
+    # frontier (and every duplicate row at each level survives)
+    got = {(r.price, r.size) for r in out.collect()}
+    assert got == {(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)}, got
+    assert out.count() == 200
+
+
 def _naive_pps(rows, n):
     total = sum(w for _, w in rows)
     stride = max(1, total // n)

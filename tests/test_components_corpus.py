@@ -1309,7 +1309,12 @@ def test_dsir_arms_bit_equal_hypothesis(spark):
     from scotustician_spark.operators.corpus import dsir_log_weights
 
     token = st.text(
-        alphabet="abZ9._é",  # incl. a non-ASCII letter
+        # 'İ'/'I' are the locale-divergent pair: under a tr/az JVM
+        # default locale Spark's lower() maps them to dotless 'ı'
+        # while Python str.lower() does not — included so a
+        # locale-sensitive environment fails THIS test loudly instead
+        # of silently corrupting weights (round-8 review)
+        alphabet="abZ9._éİI",
         min_size=1,
         max_size=5,
     )
