@@ -61,10 +61,19 @@ _PRIOR_DRIVER_SAMPLED = frozenset({
     "stratified_sample", "token_heavy_hitters", "ts_gapfill", "window_ranks",
 })
 
-# Driver-RED in round 7 (oracle typed sum(n_chars) as HUGEINT; fixed in
-# round 8 by CAST ... AS BIGINT). Pinned to the very front of the window so
-# CORRECTNESS_r08.json re-verifies the fix at the hard signal.
-_MUST_RESAMPLE = ("dataset_splits", "pack_sequences")
+# Pinned to the very front of the window so CORRECTNESS_r08.json verifies
+# them at the hard signal: the first two were driver-RED in round 7 (oracle
+# typed sum(n_chars) as HUGEINT; fixed in round 8 by CAST ... AS BIGINT);
+# the last three were sampled in r1/r2 under the weak rows-only check
+# BEFORE their value oracles existed (rounds 5-6 added deterministic
+# twins) and have never had a driver hash row since.
+_MUST_RESAMPLE = (
+    "dataset_splits",
+    "pack_sequences",
+    "kmeans_cluster_sizes",
+    "pca_projection",
+    "cluster_report",
+)
 
 
 def _rotate_registry() -> None:
