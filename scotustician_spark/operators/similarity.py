@@ -588,7 +588,12 @@ def ivfpq_build(
         .localCheckpoint(eager=False)
     )
 
-    rsub = _pq_subvecs(resid, ["cid"], "r_vec", m, sub)
+    # cell rides through the subvector explode and both argmin
+    # aggregates (it is functionally dependent on cid, so the extra
+    # group key changes no result) — the former select("cid","j",...)
+    # needed a join back to resid for the cell, a SortMergeJoin whose
+    # two exchanges were the round-8 plan-depth target
+    rsub = _pq_subvecs(resid, ["cid", "cell"], "r_vec", m, sub)
     # codebook seeds: residual subvectors of the n_codes lowest-id vectors
     seeds = _pq_subvecs(
         resid.orderBy("cid").limit(n_codes), ["cid"], "r_vec", m, sub
@@ -606,10 +611,11 @@ def ivfpq_build(
         return (
             sv.join(F.broadcast(cb), "j")
             .withColumn("d2r", _pq_d2("sv", "cw", d2_round))
-            .groupBy("cid", "j")
+            .groupBy("cid", "cell", "j")
             .agg(F.min(F.struct("d2r", "code", "sv")).alias("__m"))
             .select(
                 "cid",
+                "cell",
                 "j",
                 F.col("__m.code").alias("code"),
                 F.col("__m.sv").alias("sv"),
@@ -631,11 +637,7 @@ def ivfpq_build(
     # cents1 (the codebook-training chain is 3 exchanges deep, the
     # single most expensive replay in the round-6 ann_build plan).
     cb1 = cb1.localCheckpoint(eager=False)
-    codes = (
-        _assign_codes(rsub, cb1)
-        .select("cid", "j", "code")
-        .join(resid.select("cid", "cell"), "cid")
-    )
+    codes = _assign_codes(rsub, cb1).select("cid", "cell", "j", "code")
     return cents1, cb1, codes
 
 

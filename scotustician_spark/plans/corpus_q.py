@@ -139,6 +139,90 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "packing_efficiency",
+    f"""
+    WITH s AS (
+        SELECT doc_id, n_chars, {_bucket_sql(16, hex_off=9)} AS shard
+        FROM documents),
+    c AS (
+        SELECT shard, n_chars,
+               CAST(coalesce(sum(n_chars) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS bef
+        FROM s),
+    q AS (
+        SELECT shard, bef // 4000 AS seq_id,
+               CAST(sum(n_chars) AS BIGINT) AS seq_chars
+        FROM c GROUP BY 1, 2)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           round(CAST(sum(least(seq_chars, 4000)) AS BIGINT)
+                 / (count(*) * 4000.0), 6) AS avg_fill,
+           CAST(sum(greatest(seq_chars - 4000, 0)) AS BIGINT)
+               AS overflow_chars
+    FROM q GROUP BY shard
+    """,
+    doc="Training-batch efficiency of the pack_sequences layout: per "
+    "shard, how full the packed sequences actually are (avg_fill = "
+    "in-budget chars / capacity, computed as exact integer sums with "
+    "ONE final division — both engines divide the same two integers, "
+    "so the double is bit-identical) and how many chars spill past "
+    "the budget boundary (the doc that crosses it). The measurement "
+    "that justifies a budget/shard-count choice before an expensive "
+    "export; same per-shard windows as the packer — no global sort.",
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = CP.pack_by_budget(
+        _t(spark, sf_dir, "documents"), "n_chars", budget=4000, n_shards=16
+    )
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_chars").cast("long").alias("seq_chars")
+    )
+    cap = F.lit(4000)
+    return per_seq.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.round(
+            F.sum(F.least(F.col("seq_chars"), cap)).cast("long")
+            / (F.count("*") * 4000.0),
+            6,
+        ).alias("avg_fill"),
+        F.sum(F.greatest(F.col("seq_chars") - cap, F.lit(0)))
+        .cast("long")
+        .alias("overflow_chars"),
+    )
+
+
+@register(
+    "epoch_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(concat('ep1:', CAST(doc_id AS VARCHAR))), doc_id
+           ) - 1 AS BIGINT) AS epoch_pos
+    FROM documents
+    """,
+    doc="Reproducible training-order export: every epoch's global "
+    "document order is md5('ep1:' || doc_id) — re-run-stable, "
+    "resumable from any position, no RNG state to persist, and a new "
+    "epoch is just a new seed string. The contiguous 0-based position "
+    "comes from operators/corpus.py::stable_global_index "
+    "(range-repartition + per-partition numbering + broadcast "
+    "offsets), never a single-partition global window; the oracle IS "
+    "that naive window — identical indexes, incomparable scaling.",
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))).alias(
+            "__k"
+        ),
+    )
+    out = CP.stable_global_index(d, ["__k", "doc_id"], name="epoch_pos")
+    return out.select("doc_id", "epoch_pos")
+
+
 _FP_SQL = (
     "md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), "
     "'\\s+', ' ', 'g'))"

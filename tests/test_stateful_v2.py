@@ -16,11 +16,16 @@ pytest.importorskip(
     "google.protobuf.descriptor",
     reason="transformWithStateInPandas needs the `protobuf` wheel "
     "(pyspark 4.x's pyspark/sql/streaming/proto uses protobuf>=4.25 "
-    "runtime messages for the state-server wire protocol). Round-7 "
-    "un-gate attempt: no protobuf wheel or sdist exists anywhere on "
-    "this container's disk and pip has no network, so vendoring is "
-    "impossible here — `pip install 'protobuf>=4.25,<6'` un-gates "
-    "this file unchanged.",
+    "runtime messages for the state-server wire protocol). Round-8 "
+    "un-gate attempt, exact blocker: `pip download protobuf` fails at "
+    "DNS resolution ([Errno -2] Name or service not known — the "
+    "sandbox has no network egress at all), and a filesystem sweep "
+    "finds no protobuf wheel/sdist/package anywhere on disk (only "
+    "typeshed stubs and JVM-shaded jars, neither importable). A "
+    "hand-written google.protobuf shim would have to fake the whole "
+    "descriptor/message runtime pyspark's generated pb2 modules use — "
+    "a fake worse than the skip. `pip install 'protobuf>=4.25,<6'` "
+    "un-gates this file unchanged.",
 )
 
 from scotustician_spark.streaming.stateful_v2 import (

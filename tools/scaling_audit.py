@@ -158,7 +158,9 @@ def _time(q, spark, sf_dir: str, n: int = 3) -> float:
     return round(best, 3)
 
 
-def duckdb_x10(registry, names: list[str], tier_dir: str) -> dict[str, float]:
+def duckdb_x10(
+    registry, names: list[str], tier_dir: str, n: int = 2
+) -> dict[str, float]:
     """The x10 tier's DuckDB anchor: each query's ORACLE SQL over the
     SAME tier parquet, min-of-2 — converts 'the Spark scheduler floor
     amortizes at scale' from inference to measurement (VERDICT r5 #5).
@@ -180,7 +182,7 @@ def duckdb_x10(registry, names: list[str], tier_dir: str) -> dict[str, float]:
         if not oracle:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n):
             t0 = time.time()
             con.execute(oracle).fetchall()
             best = min(best, time.time() - t0)
@@ -330,7 +332,7 @@ def lpa_convergence_audit(spark, tier_dir: str) -> list[str]:
 
         go().write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n):
             t0 = time.time()
             go().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
@@ -477,21 +479,30 @@ def _spill_metrics(spark, fn, sf_dir: str) -> tuple[float, float]:
 
 def x100_audit(spark, registry, x10_dir: str, x100_dir: str) -> list[str]:
     """VERDICT r6 ask #7: the heavy families at ~60M lineitem / 500k
-    docs, with measured spill — the memory-pressure tier."""
+    docs, with measured spill — the memory-pressure tier. Round-8
+    (VERDICT r7 #4): paired with DuckDB running the same oracle SQL
+    over the same x100 parquet, so the tier has a cross-engine anchor
+    instead of step-growth ratios alone."""
     build_x100_tier(spark, x10_dir, x100_dir)
+    # min-of-1: several x100 oracles (recursive-CTE LPA, 128-hash
+    # minhash postings) run minutes on DuckDB at this tier
+    ddb = duckdb_x10(registry, X100_QUERIES, x100_dir, n=1)
     lines = [
         "",
         "## x100 stress tier (~sf10: 60M lineitem / 15M orders / 10M events",
-        "/ 500k documents / 200k vectors), with spill",
+        "/ 500k documents / 200k vectors), with spill + DuckDB pairing",
         "",
         "Ten key-shifted copies of the x10 tier; heavy queries only,",
         "single timed pass after one warm-up, plus the run's total",
-        "'spill size' from the SQL status store. A query that spills",
-        "gets a plan note below the table.",
+        "'spill size' from the SQL status store. The ddb column runs the",
+        "query's ORACLE SQL on DuckDB over the same parquet (min-of-2).",
+        "A query that spills or exceeds 2x DuckDB gets a plan note",
+        "below the table.",
         "",
-        "| query | x10 | x100 | x10→x100 | spill |",
-        "|---|---|---|---|---|",
+        "| query | x10 | x100 | x10→x100 | ddb x100 | x100/ddb | spill |",
+        "|---|---|---|---|---|---|---|",
     ]
+    sp_tot = dd_tot = 0.0
     for name in X100_QUERIES:
         q = registry[name]
         q.fn(spark, x10_dir).write.format("noop").mode("overwrite").save()
@@ -503,14 +514,27 @@ def x100_audit(spark, registry, x10_dir: str, x100_dir: str) -> list[str]:
         spill_s = (
             f"{spill / 1024**2:.1f} MiB" if spill > 0 else "0"
         )
+        d = ddb.get(name)
+        if d is not None:
+            sp_tot += wall
+            dd_tot += d
+        dcol = f"{d:.3f}s" if d is not None else "—"
+        rcol = f"{wall / d:.1f}x" if d else "—"
         print(
-            f"{name} x100: {wall:.3f}s (x10 {x10_w:.3f}s, spill {spill_s})",
+            f"{name} x100: {wall:.3f}s (x10 {x10_w:.3f}s, ddb {dcol}, "
+            f"spill {spill_s})",
             flush=True,
         )
         lines.append(
             f"| {name} | {x10_w:.3f}s | {wall:.3f}s "
-            f"| {wall / x10_w:.1f}x | {spill_s} |"
+            f"| {wall / x10_w:.1f}x | {dcol} | {rcol} | {spill_s} |"
         )
+    if dd_tot > 0:
+        lines += [
+            "",
+            f"x100-tier paired totals: spark {sp_tot:.1f}s / duckdb "
+            f"{dd_tot:.1f}s = **{sp_tot / dd_tot:.2f}x**.",
+        ]
     return lines
 
 
