@@ -89,7 +89,13 @@ def test_probe_plan_contains_no_build(spark, corpus, index_dir):
     )._jdf.queryExecution().executedPlan().toString()
     # the persisted probe reads parquet index tables
     assert "parquet" in probe_plan.lower()
-    assert probe_plan.count("Exchange") < oneshot_plan.count("Exchange")
+    # <=, not <: the round-8 encode change (cell rides through the
+    # code-assignment aggregate, killing the SMJ join-back) made the
+    # one-shot's VISIBLE plan as shallow as the probe's — its real
+    # extra cost (Lloyd re-centering, seed window) hides in the
+    # checkpoint jobs this string can't show; the build-signature
+    # asserts below are the discriminating check
+    assert probe_plan.count("Exchange") <= oneshot_plan.count("Exchange")
     # build signature: since the round-7 plan pass, the trained
     # centroid/codebook relations are lazily checkpointed inside
     # ivfpq_build (the posexplode-avg re-centering runs in the
