@@ -332,7 +332,7 @@ def lpa_convergence_audit(spark, tier_dir: str) -> list[str]:
 
         go().write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
-        for _ in range(n):
+        for _ in range(2):
             t0 = time.time()
             go().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
