@@ -168,6 +168,11 @@ def duckdb_x10(
     import duckdb
 
     con = duckdb.connect()
+    # bound the pairing so one pathological oracle cannot fill the
+    # disk: the copurchase_triangles pair join at x100 spilled >78 GB
+    # of temp before dying with ENOSPC (round-8). A DNF under a sane
+    # budget IS the measurement — record it as None and report it.
+    con.execute("SET max_temp_directory_size='24GiB'")
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
@@ -176,18 +181,25 @@ def duckdb_x10(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{tier_dir}/{t}.parquet/*.parquet')"
         )
-    out: dict[str, float] = {}
+    out: dict[str, float | None] = {}
+    tier = os.path.basename(tier_dir.rstrip("/"))
     for name in names:
         oracle = registry[name].oracle
         if not oracle:
             continue
         best = float("inf")
-        for _ in range(n):
-            t0 = time.time()
-            con.execute(oracle).fetchall()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(n):
+                t0 = time.time()
+                con.execute(oracle).fetchall()
+                best = min(best, time.time() - t0)
+        except Exception as e:
+            out[name] = None
+            print(f"{name} duckdb[{tier}]: DNF ({type(e).__name__}: "
+                  f"{str(e)[:100]})", flush=True)
+            continue
         out[name] = round(best, 3)
-        print(f"{name} x10-duckdb: {out[name]:.3f}s", flush=True)
+        print(f"{name} duckdb[{tier}]: {out[name]:.3f}s", flush=True)
     con.close()
     return out
 
@@ -622,7 +634,20 @@ def x100_audit(spark, registry, x10_dir: str, x100_dir: str) -> list[str]:
         lines += [
             "",
             f"x100-tier paired totals: spark {sp_tot:.1f}s / duckdb "
-            f"{dd_tot:.1f}s = **{sp_tot / dd_tot:.2f}x**.",
+            f"{dd_tot:.1f}s = **{sp_tot / dd_tot:.2f}x** "
+            "(DNF rows excluded from both sides).",
+        ]
+    if any(ddb.get(n) is None for n in X100_QUERIES):
+        dnf = [n for n in X100_QUERIES if ddb.get(n) is None]
+        lines += [
+            "",
+            f"DNF ({', '.join(dnf)}): DuckDB exceeded the 24 GiB temp-spill "
+            "budget replaying the oracle at this tier (first observed "
+            "unbounded: >78 GB spilled before ENOSPC on "
+            "copurchase_triangles' pair join). The Spark side completed "
+            "with zero spill — at x100 the oracle engine cannot run the "
+            "naive formulation at all, which is the point of the "
+            "degree-ordered / banded plans.",
         ]
     return lines
 
