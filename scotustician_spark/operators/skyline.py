@@ -39,6 +39,7 @@ def skyline_2d(
     group_cols: list[str],
     min_col: str,
     max_col: str,
+    broadcast: bool | str = "auto",
 ) -> DataFrame:
     """Rows of ``df`` on the per-group Pareto frontier: no other row in
     the same group has ``min_col`` <= and ``max_col`` >= with at least
@@ -51,7 +52,16 @@ def skyline_2d(
     dominance query, which would vacuously KEEP null-attributed rows
     (no dominator is provable against NULL) — an undominated-by-
     ignorance row is not a frontier point. Filter or impute NULLs
-    first if they must participate."""
+    first if they must participate.
+
+    ``broadcast``: ``"auto"`` (default) gates the join-back broadcast
+    hint on an estimate of the frontier size. When ``df``'s own plan
+    stats exceed the broadcast threshold, that estimate costs ONE
+    EAGER column-pruned aggregation job over ``df`` at call time —
+    measured level count × measured avg key widths. For an input with
+    heavy upstream lineage (the probe replays it) or when you already
+    know the frontier's size, pin ``broadcast=True``/``False`` and no
+    probe job runs."""
     levels = df.groupBy(*group_cols, max_col).agg(
         F.min(min_col).alias("_lvl_best")
     )
@@ -79,26 +89,39 @@ def skyline_2d(
     # fire — silently degrading to a two-sided shuffle in exactly the
     # cases the hint exists for (round-8 review finding). Instead:
     # a small input (by plan stats) broadcasts outright with no extra
-    # job; a large one pays ONE column-pruned approx-distinct pass over
-    # (group, max) — partial-aggregated, bytes moved = one HLL sketch —
-    # to bound the true frontier cardinality before hinting.
+    # job; a large one pays ONE column-pruned pass over (group, max) —
+    # an HLL count-distinct PLUS measured avg byte widths of the key
+    # columns (a fixed per-column constant under-counts wide-string
+    # keys and would force-broadcast a 100 MB frontier), with a 1.25
+    # margin absorbing the HLL's ~5% under-count.
+    from pyspark.sql.types import StringType
+
     from .bloom import BROADCAST_THRESHOLD_BYTES, plan_size_bytes
 
-    if plan_size_bytes(df) <= BROADCAST_THRESHOLD_BYTES:
+    if broadcast is True:
         survivors = F.broadcast(survivors)
-    else:
-        n_levels = (
-            df.agg(
-                F.approx_count_distinct(
-                    F.struct(*group_cols, max_col)
-                ).alias("n")
-            ).collect()[0]["n"]
-        )
-        # conservative serialized width: 24 B/column covers numerics,
-        # dates, and Spark's 20-B default string estimate
-        level_bytes = n_levels * 24 * (len(group_cols) + 2)
-        if level_bytes <= BROADCAST_THRESHOLD_BYTES:
+    elif broadcast == "auto":
+        if plan_size_bytes(df) <= BROADCAST_THRESHOLD_BYTES:
             survivors = F.broadcast(survivors)
+        else:
+            key_cols = [*group_cols, max_col]
+            dtypes = dict(zip(df.schema.names, df.schema.fields))
+            width_aggs = [
+                F.avg(F.octet_length(F.col(c).cast("string"))).alias(f"__w{i}")
+                if isinstance(dtypes[c].dataType, StringType)
+                else F.lit(8.0).alias(f"__w{i}")
+                for i, c in enumerate(key_cols)
+            ]
+            probe = df.agg(
+                F.approx_count_distinct(F.struct(*key_cols)).alias("n"),
+                *width_aggs,
+            ).collect()[0]
+            row_bytes = sum(
+                (probe[f"__w{i}"] or 0.0) + 16.0 for i in range(len(key_cols))
+            ) + 8.0  # + _lvl_best
+            level_bytes = 1.25 * (probe["n"] or 0) * row_bytes
+            if level_bytes <= BROADCAST_THRESHOLD_BYTES:
+                survivors = F.broadcast(survivors)
     return (
         df.join(survivors, [*group_cols, max_col])
         .filter(F.col(min_col) == F.col("_lvl_best"))

@@ -14,9 +14,11 @@ from . import quality_q  # noqa: E402,F401
 from . import analytics_q  # noqa: E402,F401
 from . import audit_q  # noqa: E402,F401
 
-# Names that already have a green row in some CORRECTNESS_r{1..7}.json.
-# The driver's correctness gate samples the FIRST 50 registry entries each
-# round; across seven rounds its cumulative union is exactly this set, so we
+# Names with a DRIVER-SAMPLED row in some CORRECTNESS_r{1..7}.json — almost
+# all hash-green; the exceptions are pulled back out via _MUST_RESAMPLE below
+# (the r7 hash-RED pair, plus three r1/r2 rows sampled under the weak
+# rows-only check before their value oracles existed). The driver's
+# correctness gate samples the FIRST 50 registry entries each round, so we
 # rotate the never-sampled queries to the front (round-robin across query
 # modules for family diversity: graph, evaluation/recall, statistics,
 # composition) so the round-8 sample verifies fresh families.
