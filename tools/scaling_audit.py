@@ -468,8 +468,14 @@ def case_summaries_profile(spark, registry, x100_dir: str) -> list[str]:
         f"{t_agg:.1f}s ({100 * t_agg / t_full:.0f}% of wall) — the "
         "bottleneck stage is the 60M-row collect_set aggregation, not "
         "the orders join.",
-        f"- AQE: {aqe_reads} AQEShuffleRead node(s), "
-        f"{coalesced} coalesced — partition sizing is adaptive-managed.",
+        (
+            f"- AQE: {aqe_reads} AQEShuffleRead node(s), "
+            f"{coalesced} coalesced."
+            if aqe_reads
+            else "- AQE inserted no AQEShuffleRead into the finalized plan: "
+            "every shuffle partition already exceeds the advisory size "
+            "at this tier — nothing to coalesce."
+        ),
         f"- ObjectHashAggregate sort-fallback A/B (default 128 keys vs "
         f"4M): sort-based {t_agg:.1f}s vs hash {t_agg_hash:.1f}s — "
         f"{verdict}.",
