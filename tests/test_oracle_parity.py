@@ -43,6 +43,23 @@ def test_registry_oracle_coverage_does_not_drift():
     )
 
 
+def test_driver_window_contains_resample_pins():
+    """The driver hash-verifies the FIRST 50 registry entries. Two
+    invariants keep the rotation honest: every _MUST_RESAMPLE pin
+    (prior driver-RED or rows-only-era rows) is inside that window,
+    and pins resolve to real registered queries — a rename or a
+    rotation edit that silently drops a pin would leave a known-weak
+    row unverified for another round."""
+    from scotustician_spark.plans import _MUST_RESAMPLE
+
+    names = list(QUERY_REGISTRY)
+    window = set(names[:50])
+    missing = [n for n in _MUST_RESAMPLE if n not in QUERY_REGISTRY]
+    assert not missing, f"_MUST_RESAMPLE names not in registry: {missing}"
+    out = [n for n in _MUST_RESAMPLE if n not in window]
+    assert not out, f"_MUST_RESAMPLE pins outside the first-50 window: {out}"
+
+
 def test_no_oracle_emits_hugeint(duck):
     """Guard for the round-7 driver regression: an untyped sum() over an
     integer column is typed HUGEINT by DuckDB, and the driver's value
