@@ -367,47 +367,48 @@ def source_overlap(
     # text-sized relation crosses the wire exactly ONCE; array_sort
     # fixes the a < b orientation by construction
     gs = F.array_sort(F.collect_set("grp"))
-    # both consumers share the identical scan→explode→agg subtree, so
-    # Spark's ReusedExchange computes it once — no lineage cut needed
     post = sh.groupBy("shingle").agg(gs.alias("gs"))
-    # per-source distinct-shingle counts fall out of the posting lists:
-    # the explode re-emits each (shingle, grp) once, and the groupBy
-    # partial-aggregates to #sources rows per partition before its
-    # (metadata-sized) exchange
-    sizes = (
-        post.select(F.explode("gs").alias("grp"))
-        .groupBy("grp")
-        .agg(F.count("*").alias("n_sh"))
-    )
+    # The postings aggregate feeds the pair intersections AND the
+    # per-source sizes. Expressed as separate consumers (inter +
+    # two size joins) the corpus was scanned and shingled THREE times
+    # — ReusedExchange does not fire across broadcast-side subqueries
+    # (round-8 EXPLAINS finding: three byte-identical
+    # FileScan→explode→agg subtrees). Instead, post is consumed
+    # exactly ONCE: the in-row expansion emits the self-pair (x, x)
+    # alongside every ordered pair (x, y), x < y — slice from i+1
+    # instead of i+2 — so after the pair aggregate the (a, a) rows
+    # ARE the per-source distinct-shingle counts. n_a/n_b then come
+    # from two window maxes over that ≤ |sources|² relation (tiny
+    # exchanges), not from joins that would re-derive the postings.
+    # One corpus scan, one postings shuffle — fully linear plan.
     pairs_expr = F.flatten(
         F.transform(
             F.col("gs"),
             lambda x, i: F.transform(
-                F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
+                F.slice(F.col("gs"), i + 1, F.size(F.col("gs"))),
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    inter = (
-        post.filter(F.size("gs") > 1)
-        .select(F.explode(pairs_expr).alias("p"))
+    counts = (
+        post.select(F.explode(pairs_expr).alias("p"))
         .groupBy("p.a", "p.b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("n"))
     )
-    sa = sizes.select(F.col("grp").alias("a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("grp").alias("b"), F.col("n_sh").alias("n_b"))
+    self_n = F.max(F.when(F.col("a") == F.col("b"), F.col("n")))
     return (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        counts.withColumn("n_a", self_n.over(W.partitionBy("a")))
+        .withColumn("n_b", self_n.over(W.partitionBy("b")))
+        .filter(F.col("a") < F.col("b"))
         .select(
             F.col("a").alias("source_a"),
             F.col("b").alias("source_b"),
-            "n_inter",
+            F.col("n").alias("n_inter"),
             "n_a",
             "n_b",
             F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                F.col("n")
+                / (F.col("n_a") + F.col("n_b") - F.col("n")).cast("double"),
                 6,
             ).alias("jaccard"),
         )

@@ -29,9 +29,21 @@ incomparable scaling.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+# session -> {(plan semantic hash, key cols): measured level_bytes}.
+# The auto-gate's sizing probe is an eager job over df; composing
+# skyline_2d repeatedly over the same input (or explain-only paths
+# that re-construct the DataFrame) must not pay it per call (round-8
+# advice). semanticHash keys on the ANALYZED plan, so two DataFrames
+# reading the same relation share the probe; the estimate is advisory
+# sizing only, so a (vanishingly unlikely) hash collision risks a
+# mis-hint, never wrong rows.
+_PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def skyline_2d(
@@ -94,7 +106,7 @@ def skyline_2d(
     # columns (a fixed per-column constant under-counts wide-string
     # keys and would force-broadcast a 100 MB frontier), with a 1.25
     # margin absorbing the HLL's ~5% under-count.
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import ArrayType, MapType, StringType, StructType
 
     from .bloom import BROADCAST_THRESHOLD_BYTES, plan_size_bytes
 
@@ -105,21 +117,39 @@ def skyline_2d(
             survivors = F.broadcast(survivors)
         else:
             key_cols = [*group_cols, max_col]
-            dtypes = dict(zip(df.schema.names, df.schema.fields))
-            width_aggs = [
-                F.avg(F.octet_length(F.col(c).cast("string"))).alias(f"__w{i}")
-                if isinstance(dtypes[c].dataType, StringType)
-                else F.lit(8.0).alias(f"__w{i}")
-                for i, c in enumerate(key_cols)
-            ]
-            probe = df.agg(
-                F.approx_count_distinct(F.struct(*key_cols)).alias("n"),
-                *width_aggs,
-            ).collect()[0]
-            row_bytes = sum(
-                (probe[f"__w{i}"] or 0.0) + 16.0 for i in range(len(key_cols))
-            ) + 8.0  # + _lvl_best
-            level_bytes = 1.25 * (probe["n"] or 0) * row_bytes
+            cache = _PROBE_CACHE.setdefault(df.sparkSession, {})
+            cache_key = (df.semanticHash(), tuple(key_cols))
+            level_bytes = cache.get(cache_key)
+            if level_bytes is None:
+                dtypes = dict(zip(df.schema.names, df.schema.fields))
+
+                def _width(c: str, i: int):
+                    t = dtypes[c].dataType
+                    if isinstance(t, StringType):
+                        return F.avg(F.octet_length(F.col(c))).alias(f"__w{i}")
+                    if isinstance(t, (ArrayType, StructType, MapType)):
+                        # a flat constant wildly under-counts composite
+                        # keys (an embedding-array group key is KBs per
+                        # row) and would force-broadcast an oversized
+                        # frontier — the driver-OOM case the gate
+                        # exists to prevent (round-8 advice). Measure
+                        # the real serialized width instead.
+                        return F.avg(
+                            F.octet_length(F.to_json(F.struct(F.col(c))))
+                        ).alias(f"__w{i}")
+                    return F.lit(8.0).alias(f"__w{i}")
+
+                width_aggs = [_width(c, i) for i, c in enumerate(key_cols)]
+                probe = df.agg(
+                    F.approx_count_distinct(F.struct(*key_cols)).alias("n"),
+                    *width_aggs,
+                ).collect()[0]
+                row_bytes = sum(
+                    (probe[f"__w{i}"] or 0.0) + 16.0
+                    for i in range(len(key_cols))
+                ) + 8.0  # + _lvl_best
+                level_bytes = 1.25 * (probe["n"] or 0) * row_bytes
+                cache[cache_key] = level_bytes
             if level_bytes <= BROADCAST_THRESHOLD_BYTES:
                 survivors = F.broadcast(survivors)
     return (

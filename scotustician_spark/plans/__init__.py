@@ -61,20 +61,40 @@ _PRIOR_DRIVER_SAMPLED = frozenset({
     "pmi_cooccurrence", "pq_ann_topk", "scd2_user_state",
     "session_path_pairs", "session_paths", "snapshot_reconcile",
     "stratified_sample", "token_heavy_hitters", "ts_gapfill", "window_ranks",
+    # round-8 additions (the 50 hash-green rows of CORRECTNESS_r08.json)
+    "dataset_splits", "pack_sequences", "kmeans_cluster_sizes",
+    "pca_projection", "cluster_report", "mmr_diversify_topk",
+    "ann_rerank_topk", "packing_efficiency", "funnel_conversion",
+    "incremental_quantiles", "linear_attribution", "matryoshka_recall",
+    "ivf_kmeans_topk", "epoch_shuffle", "funnel_deadline",
+    "orders_histogram", "sliding_active_users", "sq8_quantization_recall",
+    "semantic_dedup", "source_overlap_jaccard", "corpus_quality_report",
+    "event_value_outliers", "pps_sample_orders", "minhash_estimate_error",
+    "incremental_topk_sim", "source_overlap_minhash", "text_normalize",
+    "session_funnel_match", "key_skew_profile", "token_burstiness",
+    "ann_recall_at_k", "source_overlap_auto", "doc_token_entropy",
+    "part_flag_setops", "integrity_audit", "bpe_vocab_table",
+    "knn_label_accuracy", "doc_stride_chunks", "dedup_keep_best",
+    "entity_resolution", "kcore_copurchase", "ndcg_label_relevance",
+    "domain_profile", "winnowing_pairs", "frequent_item_pairs",
+    "label_propagation_communities", "label_silhouette",
+    "incremental_components_delta", "psi_drift", "lpa_modularity",
 })
 
-# Pinned to the very front of the window so CORRECTNESS_r08.json verifies
-# them at the hard signal: the first two were driver-RED in round 7 (oracle
-# typed sum(n_chars) as HUGEINT; fixed in round 8 by CAST ... AS BIGINT);
-# the last three were sampled in r1/r2 under the weak rows-only check
-# BEFORE their value oracles existed (rounds 5-6 added deterministic
-# twins) and have never had a driver hash row since.
+# Pinned to the very front of the window so CORRECTNESS_r09.json re-verifies
+# the queries whose code paths changed in round 9: the ANN serving family
+# (probe-path latency fix + per-path index memoization) and the
+# source_overlap_auto exact arm (rebuilt as a single postings pass). The 38
+# never-driver-sampled names follow these pins; 7 + 38 = 45 fits the 50-slot
+# window, completing 200/200 cumulative driver verification.
 _MUST_RESAMPLE = (
-    "dataset_splits",
-    "pack_sequences",
-    "kmeans_cluster_sizes",
-    "pca_projection",
-    "cluster_report",
+    "ann_probe_only",
+    "ann_append_probe",
+    "ann_delete_probe",
+    "ann_rerank_topk",
+    "lsh_ann_topk",
+    "ivfflat_probe_only",
+    "source_overlap_auto",
 )
 
 

@@ -1408,21 +1408,42 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks.alias("l"),
         )
     )
-    fb = (
-        d.select("bucket", F.explode("l").alias("token"))
-        .groupBy("token")
-        .agg(F.min("bucket").alias("first_bucket"))
+    # ONE linear chain (round-9 plan audit: the former fb/tot split
+    # consumed d twice — corpus scanned+tokenized twice, 7 exchanges).
+    # (bucket, token) occurrence counts aggregate once (the map-side
+    # combine: the occurrence stream shrinks to ≤ vocab × 10 rows
+    # before anything else moves); first occurrence is a min window
+    # over the token partition of THAT bounded relation; the bucket
+    # rollup then reads each token's first-bucket row (exactly one
+    # row per token has bucket == first_bucket) — no join, no second
+    # scan. Exchanges: input widening (small-file only, no-op at
+    # scale) + (bucket,token) agg + token window + 10-row rollup +
+    # 10-row cumulative window. The token-window exchange is the
+    # load-bearing one: first-occurrence is inherently a global
+    # per-token question.
+    # explode_outer + count(token): a bucket whose documents are all
+    # token-less still emits a (bucket, NULL, cnt=0) row, so it
+    # appears with bucket_tokens=0 exactly like the oracle's LEFT
+    # JOIN shape; the NULL-token rows never count as new types.
+    occ = (
+        d.select("bucket", F.explode_outer("l").alias("token"))
+        .groupBy("bucket", "token")
+        .agg(F.count("token").alias("cnt"))
     )
-    newt = fb.groupBy(F.col("first_bucket").alias("bucket")).agg(
-        F.count("*").cast("long").alias("new_types")
+    f = occ.withColumn(
+        "first_bucket", F.min("bucket").over(W.partitionBy("token"))
     )
-    tot = d.groupBy("bucket").agg(
-        F.sum(F.size("l")).cast("long").alias("bucket_tokens")
-    )
-    m = tot.join(newt, "bucket", "left").select(
-        "bucket",
-        "bucket_tokens",
-        F.coalesce("new_types", F.lit(0).cast("long")).alias("new_types"),
+    m = f.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("bucket_tokens"),
+        F.sum(
+            F.when(
+                F.col("token").isNotNull()
+                & (F.col("bucket") == F.col("first_bucket")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_types"),
     )
     w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
     c = m.select(

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import math
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -587,13 +588,27 @@ def _embeddings_fingerprint(sf_dir: str, extra: str = "") -> str:
     return hashlib.md5(repr(st).encode()).hexdigest()[:16]
 
 
+# session -> {(kind, path): opened index}. A server opens its index
+# once and probes many times; re-opening per probe call paid ~0.7 s at
+# sf0.1 — a 1-row meta .collect() job plus three parquet footer reads
+# (measured round 9, tools/ab_probe.py). The path embeds the dataset
+# fingerprint AND the build params, so a regenerated dataset or a
+# parameter change re-keys and the stale entry is simply never looked
+# up again; weak keys drop a stopped session's entries (the
+# tables._CACHE discipline).
+_OPEN_INDEX_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _served_ivfpq_index(
     spark: SparkSession, sf_dir: str, base_pred: str | None = None
 ) -> ANN.IvfPqIndex:
     """Open (building if absent) the persisted index for ``sf_dir``.
     ``base_pred`` restricts the indexed population (the append query
     trains on a base slice and appends the rest); it participates in
-    the cache key."""
+    the cache key. Opened indexes memoize per (session, path) —
+    build once, OPEN once, probe many."""
     from .tables import _prune_stale
 
     fp = _embeddings_fingerprint(sf_dir, base_pred or "")
@@ -604,6 +619,10 @@ def _served_ivfpq_index(
     # build
     tag = hashlib.md5(f"{sf_dir}|{base_pred or ''}".encode()).hexdigest()[:8]
     path = os.path.join(_INDEX_ROOT, f"ivfpq_{tag}_{fp}")
+    per_session = _OPEN_INDEX_CACHE.setdefault(spark, {})
+    cached = per_session.get(("ivfpq", path))
+    if cached is not None:
+        return cached
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
         if base_pred:
@@ -611,7 +630,9 @@ def _served_ivfpq_index(
         idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
         ANN.write_ivfpq_index(idx, path)
         _prune_stale(_INDEX_ROOT, f"ivfpq_{tag}_", keep=f"ivfpq_{tag}_{fp}")
-    return ANN.read_ivfpq_index(spark, path)
+    opened = ANN.read_ivfpq_index(spark, path)
+    per_session[("ivfpq", path)] = opened
+    return opened
 
 
 @register(
@@ -643,13 +664,19 @@ def _served_ivfflat_index(spark: SparkSession, sf_dir: str) -> ANN.IvfFlatIndex:
     fp = _embeddings_fingerprint(sf_dir, "flat")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(_INDEX_ROOT, f"ivfflat_{tag}_{fp}")
+    per_session = _OPEN_INDEX_CACHE.setdefault(spark, {})
+    cached = per_session.get(("ivfflat", path))
+    if cached is not None:
+        return cached
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
         ANN.write_ivfflat_index(
             ANN.build_ivfflat_index(e, n_cells=8, d2_round=6), path
         )
         _prune_stale(_INDEX_ROOT, f"ivfflat_{tag}_", keep=f"ivfflat_{tag}_{fp}")
-    return ANN.read_ivfflat_index(spark, path)
+    opened = ANN.read_ivfflat_index(spark, path)
+    per_session[("ivfflat", path)] = opened
+    return opened
 
 
 @register(

@@ -162,12 +162,21 @@ def persisted_relation(
     stamp = [_path_stamp(p, spark) for p in sorted(source_paths)] + [params]
     key = _hashlib.md5(repr(stamp).encode()).hexdigest()[:8]
     path = os.path.join(_REL_CACHE_ROOT, f"{name}_{ident}_{key}")
+    # serve repeat opens from the session memo (the load_table
+    # discipline): the path embeds source stamp + params, so a
+    # regenerated dataset re-keys and never hits a stale entry
+    per_session = _CACHE.setdefault(spark, {})
+    cached = per_session.get(("rel", path))
+    if cached is not None:
+        return cached
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build().write.mode("overwrite").parquet(path)
         _prune_stale(
             _REL_CACHE_ROOT, f"{name}_{ident}_", keep=f"{name}_{ident}_{key}"
         )
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    per_session[("rel", path)] = df
+    return df
 
 
 def _prune_stale(root: str, prefix: str, keep: str) -> None:

@@ -96,6 +96,13 @@ def test_probe_plan_contains_no_build(spark, corpus, index_dir):
     # checkpoint jobs this string can't show; the build-signature
     # asserts below are the discriminating check
     assert probe_plan.count("Exchange") <= oneshot_plan.count("Exchange")
+    # absolute pin (round-8 advice): the relative <= above stops
+    # discriminating if a regression deepens BOTH plans, so probe-plan
+    # growth must fail on its own. Pin the data-bearing SHUFFLE
+    # exchanges (broadcasts are KiB-scale LUT/centroid sends and don't
+    # gate serving latency): probes window + LUT subvec agg +
+    # candidate aggregate + top-k window — 4 is the ceiling.
+    assert probe_plan.count("Exchange hashpartitioning") <= 4, probe_plan
     # build signature: since the round-7 plan pass, the trained
     # centroid/codebook relations are lazily checkpointed inside
     # ivfpq_build (the posexplode-avg re-centering runs in the

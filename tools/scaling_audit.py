@@ -160,7 +160,7 @@ def _time(q, spark, sf_dir: str, n: int = 3) -> float:
 
 def duckdb_x10(
     registry, names: list[str], tier_dir: str, n: int = 2
-) -> dict[str, float]:
+) -> "dict[str, float | None]":
     """The x10 tier's DuckDB anchor: each query's ORACLE SQL over the
     SAME tier parquet, min-of-2 — converts 'the Spark scheduler floor
     amortizes at scale' from inference to measurement (VERDICT r5 #5).
@@ -450,9 +450,13 @@ def case_summaries_profile(spark, registry, x100_dir: str) -> list[str]:
     coalesced = plan.count("coalesced")
     conf_key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     prev = spark.conf.get(conf_key)
+    # try/finally: if the timed A/B throws, the non-default threshold
+    # must not leak into the rest of the audit session (round-8 advice)
     spark.conf.set(conf_key, 1 << 22)
-    t_agg_hash = timed(agg_only)
-    spark.conf.set(conf_key, prev)
+    try:
+        t_agg_hash = timed(agg_only)
+    finally:
+        spark.conf.set(conf_key, prev)
     verdict = (
         "the in-memory ObjectAggregationMap LOSES (boxed per-key set "
         "buffers at millions of groups: GC + cache misses) — the "
@@ -634,7 +638,9 @@ def x100_audit(spark, registry, x10_dir: str, x100_dir: str) -> list[str]:
             sp_tot += wall
             dd_tot += d
         dcol = f"{d:.3f}s" if d is not None else "—"
-        rcol = f"{wall / d:.1f}x" if d else "—"
+        # `is not None` (not truthiness): a rounded-to-0.0 DuckDB time
+        # is a measurement, not a DNF — guard the division instead
+        rcol = f"{wall / max(d, 1e-3):.1f}x" if d is not None else "—"
         print(
             f"{name} x100: {wall:.3f}s (x10 {x10_w:.3f}s, ddb {dcol}, "
             f"spill {spill_s})",
@@ -767,7 +773,7 @@ def main() -> None:
             sp_tot += big
             dd_tot += d
         dcol = f"{d:.3f}s" if d is not None else "—"
-        rcol = f"{big / d:.1f}x" if d else "—"
+        rcol = f"{big / max(d, 1e-3):.1f}x" if d is not None else "—"
         lines.append(
             f"| {name} | {base:.3f}s | {big:.3f}s | {big / base:.1f}x "
             f"| {dcol} | {rcol} |"
