@@ -39,10 +39,12 @@ from pyspark.sql.window import Window as W
 # The auto-gate's sizing probe is an eager job over df; composing
 # skyline_2d repeatedly over the same input (or explain-only paths
 # that re-construct the DataFrame) must not pay it per call (round-8
-# advice). semanticHash keys on the ANALYZED plan, so two DataFrames
-# reading the same relation share the probe; the estimate is advisory
-# sizing only, so a (vanishingly unlikely) hash collision risks a
-# mis-hint, never wrong rows.
+# advice). semanticHash keys on the ANALYZED plan: repeat calls on the
+# same DataFrame hit (incl. every load_table-memoized relation — one
+# object per path), while a from-scratch rebuild of an in-memory
+# relation re-probes (its relation identity differs). The estimate is
+# advisory sizing only, so a (vanishingly unlikely) hash collision
+# risks a mis-hint, never wrong rows.
 _PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 

@@ -563,11 +563,11 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the local filesystem — swap for a catalog/manifest check on an
 # object store.)
 
-_INDEX_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "ann_index",
-)
+# shares the overridable cache root with tables.py so test runs keep
+# their one-shot tmp-dataset index builds out of the repo warehouse
+from .tables import _CACHE_ROOT
+
+_INDEX_ROOT = os.path.join(_CACHE_ROOT, "ann_index")
 _IVFPQ_DIM = 64
 _IVFPQ_PARAMS = {"n_cells": 8, "m": 4, "n_codes": 8, "d2_round": 6}
 

@@ -135,11 +135,22 @@ def load_table(
 # dataset's manifest content hash on object-store paths — see
 # _catalog_stamp.)
 
-_REL_CACHE_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "rel_cache",
+# Overridable root so test runs point their build-once caches at a
+# throwaway dir: every tmp-path dataset a test sweeps (empty/singleton
+# fixtures) mints a fresh identity tag, and stale-sibling pruning is
+# per-tag by design — under the repo warehouse those one-shot builds
+# accumulated without bound (105 dirs by round 8; conftest.py now sets
+# SPARK_GRAFT_CACHE_ROOT).
+_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_CACHE_ROOT",
+    os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+    ),
 )
+_REL_CACHE_ROOT = os.path.join(_CACHE_ROOT, "rel_cache")
 
 
 def persisted_relation(

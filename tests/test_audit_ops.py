@@ -165,6 +165,60 @@ def test_skyline_broadcasts_tiny_frontier_despite_huge_plan_stats(spark):
     assert out.count() == 200
 
 
+def test_skyline_probe_memoized_per_plan(spark):
+    """Round-8 advice: the auto-gate's sizing probe is an eager job;
+    composing skyline_2d repeatedly over the same input must pay it
+    once. The cache keys on the analyzed plan's semanticHash — the
+    same DataFrame (incl. every load_table-memoized relation, which
+    hands back one object per path) hits; a from-scratch LocalRelation
+    rebuild does not (its relation identity differs)."""
+    from scotustician_spark.operators import skyline as SK
+
+    rows = [(i, "g", float(i % 3), float(i % 3)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "id long, grp string, price double, size double"
+    )
+    from scotustician_spark.operators.bloom import plan_size_bytes
+
+    assert plan_size_bytes(df) > (10 << 20)  # premise: probe path taken
+    SK._PROBE_CACHE.pop(spark, None)
+    skyline_2d(df, ["grp"], "price", "size")
+    cache = SK._PROBE_CACHE[spark]
+    assert len(cache) == 1
+    key, first_val = next(iter(cache.items()))
+    # poison the cached value: a second call that recomputes the probe
+    # would overwrite it, a memoized call returns with it intact
+    cache[key] = sentinel = 123456.789
+    skyline_2d(df, ["grp"], "price", "size")
+    assert cache[key] == sentinel and len(cache) == 1
+
+
+def test_skyline_composite_key_width_measured(spark):
+    """Round-8 advice: an array-typed group key was estimated at a
+    flat 8 bytes, so an embedding-array key could force-broadcast an
+    oversized frontier. The probe now measures the real JSON-serialized
+    width for composite types."""
+    from scotustician_spark.operators import skyline as SK
+
+    rows = [
+        (i, [float(j) for j in range(64)], float(i % 3), float(i % 3))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, key array<double>, price double, size double"
+    )
+    from scotustician_spark.operators.bloom import plan_size_bytes
+
+    assert plan_size_bytes(df) > (10 << 20)
+    SK._PROBE_CACHE.pop(spark, None)
+    skyline_2d(df, ["key"], "price", "size")
+    (level_bytes,) = SK._PROBE_CACHE[spark].values()
+    # a 64-double array serializes to ~300+ bytes/row; the old flat
+    # estimate would have said (8 + 16 + 8 + 16) + 8 ≈ 56 per level
+    n_levels = 3
+    assert level_bytes > n_levels * 200, level_bytes
+
+
 def _naive_pps(rows, n):
     total = sum(w for _, w in rows)
     stride = max(1, total // n)

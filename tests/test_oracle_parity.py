@@ -60,7 +60,7 @@ def test_driver_window_contains_resample_pins():
     assert not out, f"_MUST_RESAMPLE pins outside the first-50 window: {out}"
 
 
-def test_no_oracle_emits_hugeint(duck):
+def test_no_oracle_emits_hugeint(duck, spark, sf_dir):
     """Guard for the round-7 driver regression: an untyped sum() over an
     integer column is typed HUGEINT by DuckDB, and the driver's value
     hash renders HUGEINT differently from BIGINT even when the Python
@@ -68,6 +68,13 @@ def test_no_oracle_emits_hugeint(duck):
     for exactly this in r07). DESCRIBE every registered oracle and
     reject any 128-bit output column — wrap integer sums as
     CAST(sum(...) AS BIGINT), per the repo's float-parity ladder."""
+    # The ALS oracle reads the PERSISTED factor tables (rel_cache glob);
+    # with the per-run test cache root (conftest) nothing has built them
+    # yet when this sweep runs before the parity loop — run the Spark
+    # side once so every oracle is DESCRIBE-able.
+    QUERY_REGISTRY["als_recommendations"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
     offenders = {}
     for name in ALL:
         q = QUERY_REGISTRY[name]

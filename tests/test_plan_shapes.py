@@ -290,12 +290,19 @@ def test_stride_chunks_no_hash_shuffle(spark, sf_dir):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
 
 
-def test_source_overlap_sizes_broadcast_no_pair_cartesian(spark, sf_dir):
+def test_source_overlap_single_scan_no_joins(spark, sf_dir):
     plan = _final_plan(QUERY_REGISTRY["source_overlap_jaccard"].fn(spark, sf_dir))
-    # the per-source size relations attach via broadcast joins; pair
-    # generation is the in-row expansion, never a join of postings
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # round-9 single-pass rewrite: the postings aggregate is consumed
+    # exactly once (self-pairs carry the per-source sizes; n_a/n_b are
+    # window maxes over the tiny pair relation) — so the plan has ONE
+    # corpus scan and NO join of any kind; the former shape (size
+    # relations re-derived through broadcast joins) scanned and
+    # shingled the corpus three times
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # pair generation is the in-row expansion over posting lists
+    assert "explode" in plan.lower(), plan
 
 
 def test_ivfpq_assignment_partial_combines_map_side(spark, sf_dir):

@@ -25,7 +25,10 @@ pytest.importorskip(
     "hand-written google.protobuf shim would have to fake the whole "
     "descriptor/message runtime pyspark's generated pb2 modules use — "
     "a fake worse than the skip. `pip install 'protobuf>=4.25,<6'` "
-    "un-gates this file unchanged.",
+    "un-gates this file unchanged. Round-9 re-verification "
+    "(2026-08-16): unchanged — DNS still fails ([Errno -2]), pip's "
+    "index unreachable, and the filesystem sweep still finds no "
+    "protobuf or Pillow wheel anywhere on disk.",
 )
 
 from scotustician_spark.streaming.stateful_v2 import (
