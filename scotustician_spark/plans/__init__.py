@@ -84,9 +84,10 @@ _PRIOR_DRIVER_SAMPLED = frozenset({
 # Pinned to the very front of the window so CORRECTNESS_r09.json re-verifies
 # the queries whose code paths changed in round 9: the ANN serving family
 # (probe-path latency fix + per-path index memoization) and the
-# source_overlap_auto exact arm (rebuilt as a single postings pass). The 38
-# never-driver-sampled names follow these pins; 7 + 38 = 45 fits the 50-slot
-# window, completing 200/200 cumulative driver verification.
+# source_overlap_auto exact arm (rebuilt as a single postings pass). The
+# never-driver-sampled names follow these pins (the 38 carried from r8 plus
+# round 9's new ann_compact_probe); 7 + 39 = 46 fits the 50-slot window,
+# completing 201/201 cumulative driver verification.
 _MUST_RESAMPLE = (
     "ann_probe_only",
     "ann_append_probe",

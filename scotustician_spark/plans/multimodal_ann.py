@@ -762,6 +762,73 @@ def ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _served_compacted_index(spark: SparkSession, sf_dir: str) -> ANN.IvfPqIndex:
+    """A dedicated persisted copy of the full-corpus index whose
+    ~10% doomed slice has been tombstoned on disk and FOLDED IN by
+    ``compact_ivfpq_index`` — the post-maintenance serving state, as
+    opposed to ``ann_delete_probe``'s between-compactions anti-join
+    state. Dedicated copy because compaction mutates the layout in
+    place; the build is deterministic, so the copy equals the shared
+    index byte-for-semantics. One-time per dataset fingerprint:
+    build → tombstone → compact; after that, opens memoize per
+    (session, path) like every served index."""
+    from .tables import _prune_stale
+
+    fp = _embeddings_fingerprint(sf_dir, "compact")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(_INDEX_ROOT, f"ivfpqc_{tag}_{fp}")
+    per_session = _OPEN_INDEX_CACHE.setdefault(spark, {})
+    cached = per_session.get(("ivfpq", path))
+    if cached is not None:
+        return cached
+    e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
+        ANN.write_ivfpq_index(idx, path)
+        ANN.write_tombstones(
+            e.filter(F.expr(_DELETE_PRED)).select("vec_id"), path
+        )
+        _prune_stale(_INDEX_ROOT, f"ivfpqc_{tag}_", keep=f"ivfpqc_{tag}_{fp}")
+    # fold in any tombstones not yet compacted — also heals a crash
+    # between the tombstone write and the compaction (meta/_SUCCESS
+    # already exists then, so the build branch won't rerun)
+    if ANN.read_tombstones(spark, path).take(1):
+        ANN.compact_ivfpq_index(spark, path)
+    # read_..._live: belt-and-braces — after compaction the tombstone
+    # set is empty, so the anti-join is against an empty broadcast
+    opened = ANN.read_ivfpq_index_live(spark, path)
+    per_session[("ivfpq", path)] = opened
+    return opened
+
+
+@register(
+    "ann_compact_probe",
+    _ivfpq_oracle(exclude_pred=_DELETE_PRED),
+    bench=True,
+    doc="Index compaction (operators/ann_index.py::compact_ivfpq_index "
+    "— the RocksDB-compaction analog for the parquet index layout): "
+    "the same ~10% doomed slice as ann_delete_probe is tombstoned ON "
+    "DISK and folded in, rewriting ONLY the affected cell partitions "
+    "(dynamic partition overwrite; untouched inverted lists' files "
+    "never move — at 100 TB compaction cost is proportional to the "
+    "affected lists, not the corpus), then the probe runs over the "
+    "compacted index with an EMPTY tombstone set. Oracle: identical "
+    "to ann_delete_probe's — compaction is result-invariant by "
+    "contract, so the same exclusion oracle pins the tombstone-"
+    "serving path and the post-compaction path to the same answer. "
+    "Completes the driver-verified index lifecycle: build → append → "
+    "delete → compact → probe.",
+)
+def ann_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _served_compacted_index(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings", normalize_ntz=False).filter(
+        F.col("vec_id") < 10
+    )
+    return ANN.probe_ivfpq_index(idx, q, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "approx_d2", "rnk"
+    )
+
+
 def _rerank_oracle(k: int = 5, n_candidates: int = 50, r: int = 6) -> str:
     # stage 1 = the IVFPQ oracle at k=n_candidates, nested as a CTE
     # (its own WITH chain scopes inside the parentheses); stage 2 =

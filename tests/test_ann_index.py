@@ -652,3 +652,52 @@ def test_index_writes_reject_lossy_column_types(spark, tmp_path):
     assert sorted(
         tuple(r["c_vec"]) for r in back.vectors.collect()
     ) == sorted(tuple(r["c_vec"]) for r in flat.vectors.collect())
+
+
+def test_compact_probe_heals_unfolded_tombstones(spark):
+    """ann_compact_probe's served helper: a crash between the
+    tombstone write and the compaction leaves meta/_SUCCESS present
+    with a non-empty tombstone set — the reopen path must fold the
+    stragglers in (and read the live view), not serve doomed ids.
+    Simulated by re-appending the doomed set to the compacted index
+    and dropping the session memo so the next call takes the
+    open-from-disk branch."""
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators import ann_index as ANN
+    from scotustician_spark.plans import multimodal_ann as MA
+    from scotustician_spark.plans.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = MA._served_compacted_index(spark, sf)
+    q = load_table(spark, sf, "embeddings", normalize_ntz=False).filter(
+        F.col("vec_id") < 10
+    )
+    before = sorted(
+        tuple(r)
+        for r in ANN.probe_ivfpq_index(idx, q, k=5, n_probe=2)
+        .select("query_id", "neighbor_id", "approx_d2", "rnk")
+        .collect()
+    )
+    # locate the on-disk path via the session memo key
+    per_session = MA._OPEN_INDEX_CACHE[spark]
+    path = next(
+        p for (kind, p) in per_session if kind == "ivfpq" and "ivfpqc_" in p
+    )
+    e = load_table(spark, sf, "embeddings", normalize_ntz=False)
+    ANN.write_tombstones(
+        e.filter(F.expr(MA._DELETE_PRED)).select("vec_id"), path
+    )
+    assert ANN.read_tombstones(spark, path).count() > 0
+    per_session.pop(("ivfpq", path))
+
+    healed = MA._served_compacted_index(spark, sf)
+    after = sorted(
+        tuple(r)
+        for r in ANN.probe_ivfpq_index(healed, q, k=5, n_probe=2)
+        .select("query_id", "neighbor_id", "approx_d2", "rnk")
+        .collect()
+    )
+    assert after == before
+    # the heal folded the stragglers: tombstone set is empty again
+    assert ANN.read_tombstones(spark, path).count() == 0
