@@ -626,12 +626,14 @@ def distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # revenue pre-projects BEFORE the fact-fact join: one double (not
     # two) rides the orderkey shuffle and the three broadcast joins,
-    # and the multiply runs in the scan stage — measured 22% faster at
-    # the x10 tier (1.50 s → 1.16 s, round-9 A/B in SCALING.md). The
-    # deeper rewrite (pre-aggregate by orderkey before the join, 0.99 s)
-    # was rejected: re-grouping the double sum changes float summation
-    # order enough to flip the 2dp-rounded total at a rounding boundary
-    # (observed 0.01 delta at x10) — an oracle-parity hazard.
+    # and the multiply runs in the scan stage — measured ~36% faster at
+    # the x10 tier (1.13 s → 0.73 s; the live formulation A/B is
+    # regenerated into SCALING.md each audit run). The deeper rewrite
+    # (pre-aggregate by orderkey before the join) measured NO win there
+    # (1.13 s) and was rejected besides: re-grouping the double sum
+    # changes float summation order enough to flip the 2dp-rounded
+    # total at rounding boundaries (5 groups flipped at x10) — an
+    # oracle-parity hazard.
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
