@@ -1303,7 +1303,12 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c CROSS JOIN b)
     SELECT CAST(r * 100 + f * 10 + m AS INTEGER) AS segment,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(mon) / (count(*) * 100.0), 2) AS avg_monetary
+           -- exact HALF_UP average in integer cents, then one exact
+           -- /100.0: (2*sum + n) // (2*n) is round-half-up(sum/n) for
+           -- positive operands — no float division anywhere, so both
+           -- engines see bit-identical doubles even at .xx5 boundaries
+           CAST((2 * sum(mon) + count(*)) // (2 * count(*)) AS BIGINT)
+               / 100.0 AS avg_monetary
     FROM scored GROUP BY 1
     """,
     doc="RFM customer segmentation (recency / frequency / monetary "
@@ -1316,7 +1321,12 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact; boundaries round to 6 on both engines before comparing "
     "(an integer can only straddle a rounded boundary if they differ "
     "by >= 1e-6's neighborhood — interpolation noise is 1e-10). "
-    "avg_monetary divides the exact BIGINT cent sum once at the end.",
+    "avg_monetary stays exact to the last step: half-up rounding of "
+    "the cent average is done with the integer identity "
+    "(2*sum + n) div (2*n), then one /100.0 — a float division of "
+    "exact integers that is bit-identical on both engines (the r9 "
+    "driver red was Spark/DuckDB disagreeing on a .885 boundary when "
+    "the rounding input was itself a float quotient).",
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1355,7 +1365,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("segment")
     ).agg(
         F.count("*").cast("long").alias("n_customers"),
-        F.round(F.sum("mon") / (F.count("*") * 100.0), 2).alias("avg_monetary"),
+        F.sum("mon").cast("long").alias("_sum_mon"),
+    ).select(
+        "segment",
+        "n_customers",
+        # round-half-up(sum/n) in pure integer arithmetic (positive
+        # operands), then a single exact /100.0 — see oracle comment
+        (
+            F.expr(
+                "(2 * _sum_mon + n_customers) div (2 * n_customers)"
+            ).cast("long")
+            / F.lit(100.0)
+        ).alias("avg_monetary"),
     )
 
 

@@ -770,8 +770,9 @@ def _served_compacted_index(spark: SparkSession, sf_dir: str) -> ANN.IvfPqIndex:
     state. Dedicated copy because compaction mutates the layout in
     place; the build is deterministic, so the copy equals the shared
     index byte-for-semantics. One-time per dataset fingerprint:
-    build → tombstone → compact; after that, opens memoize per
-    (session, path) like every served index."""
+    tombstone → build → compact (tombstones commit first so the
+    index's meta/_SUCCESS implies they are persisted); after that,
+    opens memoize per (session, path) like every served index."""
     from .tables import _prune_stale
 
     fp = _embeddings_fingerprint(sf_dir, "compact")
@@ -783,14 +784,23 @@ def _served_compacted_index(spark: SparkSession, sf_dir: str) -> ANN.IvfPqIndex:
         return cached
     e = load_table(spark, sf_dir, "embeddings", normalize_ntz=False)
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
-        idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
-        ANN.write_ivfpq_index(idx, path)
+        # tombstones BEFORE the index build commit: meta/_SUCCESS is
+        # write_ivfpq_index's last artifact, so committing tombstones
+        # first makes _SUCCESS imply the tombstone set is on disk — a
+        # crash between the two re-enters this branch (no _SUCCESS) and
+        # the append-mode tombstone write is idempotent-in-effect
+        # (read_tombstones collapses duplicates). The old order left a
+        # completed-looking index with no tombstones: every later open
+        # skipped the build, read an empty tombstone set, never
+        # compacted, and served the doomed slice permanently.
         ANN.write_tombstones(
             e.filter(F.expr(_DELETE_PRED)).select("vec_id"), path
         )
+        idx = ANN.build_ivfpq_index(e, dim=_IVFPQ_DIM, **_IVFPQ_PARAMS)
+        ANN.write_ivfpq_index(idx, path)
         _prune_stale(_INDEX_ROOT, f"ivfpqc_{tag}_", keep=f"ivfpqc_{tag}_{fp}")
     # fold in any tombstones not yet compacted — also heals a crash
-    # between the tombstone write and the compaction (meta/_SUCCESS
+    # between the index commit and the compaction (meta/_SUCCESS
     # already exists then, so the build branch won't rerun)
     if ANN.read_tombstones(spark, path).take(1):
         ANN.compact_ivfpq_index(spark, path)

@@ -662,13 +662,19 @@ def test_compact_probe_heals_unfolded_tombstones(spark):
     Simulated by re-appending the doomed set to the compacted index
     and dropping the session memo so the next call takes the
     open-from-disk branch."""
+    import hashlib
+    import os
+
     from pyspark.sql import functions as F
 
     from scotustician_spark.operators import ann_index as ANN
     from scotustician_spark.plans import multimodal_ann as MA
     from scotustician_spark.plans.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    # honor the same env override every other dataset-driven test does
+    # (conftest.SF_DIR; tests/ is not a package, so read it directly)
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
     idx = MA._served_compacted_index(spark, sf)
     q = load_table(spark, sf, "embeddings", normalize_ntz=False).filter(
         F.col("vec_id") < 10
@@ -679,11 +685,14 @@ def test_compact_probe_heals_unfolded_tombstones(spark):
         .select("query_id", "neighbor_id", "approx_d2", "rnk")
         .collect()
     )
-    # locate the on-disk path via the session memo key
+    # derive the on-disk path deterministically (a scan of the session
+    # memo could match a DIFFERENT dataset's compacted index memoized
+    # by an earlier test in the same session — order-dependent)
+    fp = MA._embeddings_fingerprint(sf, "compact")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = os.path.join(MA._INDEX_ROOT, f"ivfpqc_{tag}_{fp}")
     per_session = MA._OPEN_INDEX_CACHE[spark]
-    path = next(
-        p for (kind, p) in per_session if kind == "ivfpq" and "ivfpqc_" in p
-    )
+    assert ("ivfpq", path) in per_session
     e = load_table(spark, sf, "embeddings", normalize_ntz=False)
     ANN.write_tombstones(
         e.filter(F.expr(MA._DELETE_PRED)).select("vec_id"), path
@@ -700,4 +709,51 @@ def test_compact_probe_heals_unfolded_tombstones(spark):
     )
     assert after == before
     # the heal folded the stragglers: tombstone set is empty again
+    assert ANN.read_tombstones(spark, path).count() == 0
+
+
+def test_compact_build_crash_window_rebuilds(spark):
+    """The OTHER crash window (round-9 advice, medium): tombstones
+    commit BEFORE write_ivfpq_index, so a crash mid-build leaves
+    tombstones on disk with no meta/_SUCCESS. The reopen must take the
+    build branch again (duplicate tombstone appends collapse at read
+    time) and still never serve the doomed slice. Simulated by
+    deleting meta/_SUCCESS from a healthy compacted index and dropping
+    the session memo."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scotustician_spark.operators import ann_index as ANN
+    from scotustician_spark.plans import multimodal_ann as MA
+    from scotustician_spark.plans.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    idx = MA._served_compacted_index(spark, sf)
+    q = load_table(spark, sf, "embeddings", normalize_ntz=False).filter(
+        F.col("vec_id") < 10
+    )
+    cols = ["query_id", "neighbor_id", "approx_d2", "rnk"]
+    before = sorted(
+        tuple(r)
+        for r in ANN.probe_ivfpq_index(idx, q, k=5, n_probe=2)
+        .select(*cols)
+        .collect()
+    )
+    fp = MA._embeddings_fingerprint(sf, "compact")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = os.path.join(MA._INDEX_ROOT, f"ivfpqc_{tag}_{fp}")
+    os.remove(os.path.join(path, "meta", "_SUCCESS"))
+    MA._OPEN_INDEX_CACHE[spark].pop(("ivfpq", path))
+
+    rebuilt = MA._served_compacted_index(spark, sf)
+    assert os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
+    after = sorted(
+        tuple(r)
+        for r in ANN.probe_ivfpq_index(rebuilt, q, k=5, n_probe=2)
+        .select(*cols)
+        .collect()
+    )
+    assert after == before
     assert ANN.read_tombstones(spark, path).count() == 0

@@ -27,7 +27,14 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        # Fixed-point, not %g: six *significant* digits collapsed
+        # 2121381.89 and 2121381.88 to the same token and hid the r9
+        # rfm_segments driver red from every CI run. Fixed 6-decimal
+        # normalization keeps absolute sub-cent diffs visible at any
+        # magnitude, which is at least as strict as the driver's hash.
+        return f"{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)

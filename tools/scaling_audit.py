@@ -463,7 +463,19 @@ def case_summaries_profile(spark, registry, x100_dir: str) -> list[str]:
         t_agg_hash = None
         hash_fail = f"{type(e).__name__}"
     finally:
-        spark.conf.set(conf_key, prev)
+        # a java.lang.OutOfMemoryError can leave the single local JVM
+        # unusable — if even the conf restore throws, log and continue
+        # so the recorded DNF verdict still makes it into the report
+        # instead of the restore masking it 80 minutes into the audit
+        try:
+            spark.conf.set(conf_key, prev)
+        except Exception as restore_err:  # noqa: BLE001
+            print(
+                f"WARNING: conf restore failed after forced-hash arm "
+                f"({type(restore_err).__name__}) — session may be "
+                "unhealthy; continuing to record the DNF verdict",
+                flush=True,
+            )
     if t_agg_hash is None:
         verdict = (
             f"the forced-hash arm DIED ({hash_fail}: boxed per-key set "
