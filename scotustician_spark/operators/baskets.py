@@ -55,19 +55,34 @@ def frequent_pairs(
     → in-row pair expansion (quadratic only in the FREQUENT items per
     basket) → pair support count.
 
-    Why two fact-grain shuffles and not one: folding the distinct into
-    the basket collect_set and filtering in-row against a broadcast
+    Why the row-grain semi-join: filtering in-row against a broadcast
     frequent-item ARRAY (array_intersect) saves one exchange but costs
     O(|frequent set|) CPU per basket — measured unrunnable (>7 min at
     sf0.1) when a low support threshold keeps most of a 20k-item
     vocabulary frequent. The row-grain semi-join against the broadcast
     RELATION is a hash probe per row, robust to any frequent-set size.
+
+    Two r10 plan notes. (1) No pre-distinct on (basket, item): the
+    per-basket collect_set dedups in-row, so the former
+    ``.distinct()`` was a whole extra exchange + aggregation pass of
+    the fact grain for nothing. (2) The basket grouping shuffles via
+    an EXPLICIT ``repartition(n, basket)`` that also satisfies the
+    aggregate's distribution (one shuffle total): an
+    ENSURE_REQUIREMENTS exchange here gets AQE-coalesced by BYTES
+    (~1 MB/partition), but the downstream pair expansion is QUADRATIC
+    per basket in CPU — the r10 stage profile measured the expansion
+    squeezed onto 4 tasks (9.7 s CPU) with 28 cores idle. Explicit
+    repartitions are exempt from AQE coalescing; n tracks the
+    session's shuffle parallelism, so on a cluster it scales with
+    spark.sql.shuffle.partitions rather than a local constant.
     """
     fi = frequent_items(baskets, basket_col, item_col, min_support)
     bi = (
         baskets.select(basket_col, item_col)
-        .distinct()
         .join(F.broadcast(fi.select(item_col)), item_col, "left_semi")
+    )
+    n_part = int(
+        baskets.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     items = F.array_sort(F.collect_set(item_col))
     pairs_expr = F.flatten(
@@ -80,7 +95,8 @@ def frequent_pairs(
         )
     )
     return (
-        bi.groupBy(basket_col)
+        bi.repartition(n_part, basket_col)
+        .groupBy(basket_col)
         .agg(items.alias("items"))
         .filter(F.size("items") > 1)
         .select(F.explode(pairs_expr).alias("p"))

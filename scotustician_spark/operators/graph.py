@@ -63,8 +63,7 @@ def triangle_counts(
         checkpoint_dir,
     )
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
+        e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
@@ -100,11 +99,28 @@ def triangle_counts(
 
 
 def symmetrize(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
-    """Undirected pair list → directed edge relation (u, v), deduped."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    return sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    """Undirected pair list → directed edge relation (u, v), deduped.
+
+    In-row doubling (explode over the two orientations) rather than a
+    self-union: a union reads the upstream relation TWICE — when the
+    edge list is the output of an expensive aggregation (the
+    frequent-pairs mining), ReusedExchange dedups only the map side
+    and the final aggregation re-runs per consumer (r10 stage profile:
+    the pair-count reduce read its 12.3 MB shuffle twice). The explode
+    evaluates the upstream once and emits both directions in-row.
+    """
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
 
 
 def pagerank(
@@ -219,8 +235,16 @@ def kcore_peel(
     """
     from pyspark.sql import functions as F
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # in-row doubling, not a self-union: one read of the (possibly
+    # expensive) upstream edge relation instead of two
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     # surviving-edge count observed on the per-round checkpoint job
     # (cut_lineage_observed) instead of a separate count() action
     _n = F.count(F.lit(1)).alias("n")

@@ -153,9 +153,20 @@ def winnowing_pairs(
             lambda i: F.array_min(F.slice("fps", i + 1, w)),
         )
     )
-    sel = staged.select("doc_id", F.explode(sel_fp).alias("fp"))
-    a = sel.select(F.col("doc_id").alias("id_a"), "fp").distinct()
-    b = sel.select(F.col("doc_id").alias("id_b"), "fp").distinct()
+    # distinct (doc, fp) materializes ONCE for both join sides: the
+    # a/b branches each re-ran the whole shingle-hash + window-min
+    # selection pass (the pushed-down id_a/id_b renames defeat
+    # ReusedExchange — r10 plan audit: 2 scans, 7 exchanges), exactly
+    # the duplicate_spans double-eval this checkpoint already fixes
+    # there. ~2/(w+1) of the shingle stream, the same relation either
+    # formulation shuffles anyway.
+    sel = (
+        staged.select("doc_id", F.explode(sel_fp).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = sel.select(F.col("doc_id").alias("id_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("id_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))

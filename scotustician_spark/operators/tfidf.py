@@ -176,18 +176,35 @@ def pmi_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = repartition_for_compute(df).select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    # ONE tokenize + explode + aggregation pass for BOTH count tables:
+    # tokens and window-pairs explode together under a kind tag and
+    # aggregate in a single (kind, key) count, then the tiny count
+    # relation is checkpointed and filtered per consumer. The former
+    # two-table formulation re-tokenized the corpus once per consumer
+    # subtree — the r10 plan audit counted FIVE scan+tokenize+agg
+    # copies (pair counts for top + N_pairs, unigrams for tok_a,
+    # tok_b, N_toks) because the pushed-down per-branch projections
+    # defeated exchange reuse.
+    base = repartition_for_compute(df.select(F.col(text_col))).select(
+        toks.alias("__toks")
     )
-    pair_counts = (
-        base.select(F.explode(pairs_arr).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count("*").alias("n_pair"))
+    uni_tagged = F.transform(
+        t, lambda x: F.struct(F.lit(0).alias("k"), x.alias("key"))
     )
-    uni = (
-        base.select(F.explode(t).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("n_tok"))
+    pair_tagged = F.transform(
+        pairs_arr, lambda p: F.struct(F.lit(1).alias("k"), p.alias("key"))
+    )
+    counts = (
+        base.select(F.explode(F.concat(uni_tagged, pair_tagged)).alias("e"))
+        .groupBy(F.col("e.k").alias("k"), F.col("e.key").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    pair_counts = counts.filter(F.col("k") == 1).select(
+        F.col("key").alias("pair"), F.col("n").alias("n_pair")
+    )
+    uni = counts.filter(F.col("k") == 0).select(
+        F.col("key").alias("tok"), F.col("n").alias("n_tok")
     )
     totals = pair_counts.agg(F.sum("n_pair").alias("N_pairs")).crossJoin(
         F.broadcast(uni.agg(F.sum("n_tok").alias("N_toks")))

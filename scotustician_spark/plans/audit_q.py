@@ -765,8 +765,7 @@ def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("e_in"))
     )
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
+        e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

@@ -1212,12 +1212,20 @@ _QC_W_SQL = (
 )
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
+    from ..session import repartition_for_compute
 
     docs = _t(spark, sf_dir, "documents")
     toks = F.coalesce(
         TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
     )
-    base = docs.select("doc_id", toks.alias("l"))
+    # widen before the per-feature md5 fold: a single-file scan is ONE
+    # partition, which ran the whole tokenize+hash pass serially
+    # (r10: 1.57 s on one core while DuckDB used 32 — the plan was
+    # already zero-exchange in-row, the missing piece was parallelism;
+    # at 100 TB the scan has many splits and this is a no-op)
+    base = repartition_for_compute(docs.select("doc_id", "text")).select(
+        "doc_id", toks.alias("l")
+    )
     bigrams = F.when(
         F.size("l") >= 2,
         F.transform(

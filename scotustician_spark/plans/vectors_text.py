@@ -1126,11 +1126,18 @@ _BPE_K = 12  # merges applied; bounded so the oracle recursion is too
     bench=True,
 )
 def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import repartition_for_compute
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.coalesce(
         TX.tokens(F.lower(F.col("text"))), F.array().cast("array<string>")
     )
-    base = docs.select("doc_id", toks.alias("l"))
+    # widen before tokenize/explode/replace: a single-file scan is one
+    # partition, which ran both the merge mining and the apply chain
+    # serially (r10 profile: 3.3 s CPU on one task)
+    base = repartition_for_compute(docs.select("doc_id", "text")).select(
+        "doc_id", toks.alias("l")
+    )
     pairs = F.when(
         F.size("l") >= 2,
         F.transform(
@@ -1146,42 +1153,38 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("pair"))
         .limit(_BPE_K)
     )
-    lr = F.split(F.col("pair"), " ")
-    merges = top.select(
-        F.row_number()
-        .over(W.orderBy(F.desc("c"), F.asc("pair")))
-        .alias("merge_rank"),
-        F.concat(F.lit(" "), lr[0], F.lit("  "), lr[1], F.lit(" ")).alias("pat"),
-        F.concat(F.lit(" "), lr[0], F.lit("~"), lr[1], F.lit(" ")).alias("rep"),
-    ).localCheckpoint(eager=False)  # {_BPE_K} tiny rows, {_BPE_K} consumers
-
-    cur = base.select(
-        "doc_id",
-        F.size("l").cast("long").alias("n_tokens"),
-        F.when(F.size("l") == 0, F.lit("")).otherwise(
-            F.concat(F.lit(" "), F.array_join("l", "  "), F.lit(" "))
-        ).alias("seq"),
+    # Bounded driver merge table (≤ _BPE_K tiny rows — the documented
+    # ≤K-row collect pattern): the former formulation applied each
+    # merge through a single-row broadcast LEFT join, which planned as
+    # _BPE_K BroadcastNestedLoopJoins and paid _BPE_K broadcast-build
+    # jobs per run (r10 stage profile: ~0.5 s of pure job overhead at
+    # sf0.1). With the ranks in hand the whole apply chain folds into
+    # ONE codegen'd projection of nested literal replace()s — the
+    # corpus still never shuffles, and missing ranks (tiny corpora)
+    # no-op by simply not appearing in the chain, exactly like the
+    # coalesce no-op did.
+    merge_rows = sorted(
+        top.collect(), key=lambda r: (-r["c"], r["pair"])
     )
-    for i in range(1, _BPE_K + 1):
-        mi = merges.filter(F.col("merge_rank") == i).select("pat", "rep")
-        cur = (
-            cur.join(F.broadcast(mi), F.lit(True), "left")
-            .withColumn(
-                # missing rank (corpus has < K distinct pairs) → no-op
-                "seq",
-                F.coalesce(F.replace("seq", F.col("pat"), F.col("rep")),
-                           F.col("seq")),
-            )
-            .drop("pat", "rep")
+    seq = F.when(F.size("l") == 0, F.lit("")).otherwise(
+        F.concat(F.lit(" "), F.array_join("l", "  "), F.lit(" "))
+    )
+    for row in merge_rows:
+        l_tok, r_tok = row["pair"].split(" ")
+        seq = F.replace(
+            seq,
+            F.lit(f" {l_tok}  {r_tok} "),
+            F.lit(f" {l_tok}~{r_tok} "),
         )
-    n_after = F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long")
+    n_tokens = F.size("l").cast("long")
+    n_after = F.when(n_tokens == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(F.trim(seq), "  ")).cast("long")
     )
-    return cur.select(
+    return base.select(
         "doc_id",
-        "n_tokens",
+        n_tokens.alias("n_tokens"),
         n_after.alias("n_bpe_tokens"),
-        (F.col("n_tokens") - n_after).alias("n_merges_applied"),
+        (n_tokens - n_after).alias("n_merges_applied"),
     )
 
 

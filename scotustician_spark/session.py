@@ -75,8 +75,21 @@ def repartition_for_compute(df, min_partitions: int | None = None):
     core — measured 5× on shingling. At 100 TB scans produce plenty of
     splits and this is a no-op; the repartition only fires when the
     scan is narrower than the session's parallelism.
+
+    If the lineage already contains an explicit repartition, return the
+    frame untouched WITHOUT probing: the upstream operator pinned its
+    width (repartition(n) shuffles are exempt from AQE coalescing) and
+    — the load-bearing part — ``df.rdd.getNumPartitions()`` on a
+    post-shuffle frame under AQE EXECUTES the upstream stages to
+    resolve the runtime partition count, so composed operators
+    (chunk → embed) were paying a full extra materialization of their
+    input pipeline per probe (r10 stage profile: the chunk exchange
+    built twice, jobs 102+103).
     """
     target = min_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "Repartition" in plan:  # Repartition / RepartitionByExpression
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
