@@ -219,8 +219,12 @@ def power_pca_2d(
     }
     v2 = _power_py(g2)
 
-    basis = df.sparkSession.createDataFrame(
-        [(i, v1[i], v2[i]) for i in range(d)], "pos int, w1 double, w2 double"
+    from ..session import local_relation
+
+    basis = local_relation(
+        df.sparkSession,
+        [(i, v1[i], v2[i]) for i in range(d)],
+        "pos int, w1 double, w2 double",
     )
     return (
         z.join(F.broadcast(basis), "pos")

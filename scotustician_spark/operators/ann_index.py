@@ -728,8 +728,20 @@ def probe_ivfpq_index(
     broadcast codebooks build the per-(query, cell) lookup table, the
     codes relation joins on (cell, j, code). With a persisted index
     the codes scan touches only probed cell partitions; nothing here
-    depends on corpus size or on the build."""
+    depends on corpus size or on the build.
+
+    The parameter-bounded quantizer tables (n_cells centroids,
+    m×n_codes codewords) collect once per opened index and cache on
+    the handle — the serving reality (FAISS keeps them in RAM), and
+    the same open-once discipline as the r9 open-memoization."""
     p = index.params
+    if getattr(index, "_cents_rows", None) is None:
+        index._cents_rows = sorted(
+            (int(r[0]), list(r[1])) for r in index.centroids.collect()
+        )
+        index._cb_rows = sorted(
+            (int(r[0]), int(r[1]), list(r[2])) for r in index.codebooks.collect()
+        )
     return ivfpq_probe(
         index.centroids,
         index.codebooks,
@@ -742,6 +754,8 @@ def probe_ivfpq_index(
         n_probe,
         p["m"],
         p["d2_round"],
+        _cents_rows=index._cents_rows,
+        _cb_rows=index._cb_rows,
     )
 
 

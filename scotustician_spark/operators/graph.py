@@ -378,7 +378,18 @@ def label_propagation(
                 break
             prev2_sum, prev_sum = prev_sum, cur_sum
         else:
-            labels = cut_lineage(nxt, False, checkpoint_dir)
+            # fixed-round replay: NO per-round cut. Each round references
+            # the previous labels exactly once and ``sym`` (a checkpointed
+            # leaf) once, so the un-cut plan grows LINEARLY with rounds —
+            # and planning the whole recurrence as one query lets
+            # ReusedExchange collapse the per-round ``sym`` shuffles to
+            # one and drops the per-round query-execution boundaries
+            # (r10: 16 jobs → one AQE chain). The convergence arm keeps
+            # its per-round cut: the Observation probe needs a
+            # materialization to ride on. (kcore_peel keeps cuts in BOTH
+            # arms — its rounds reference the previous relation three
+            # times, so an un-cut plan grows 3^rounds.)
+            labels = nxt
     if stats is not None:
         stats["rounds_run"] = rounds_run
     # label rides in its NATIVE type — vertex ids may be strings

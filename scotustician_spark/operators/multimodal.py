@@ -812,15 +812,23 @@ def phash_near_pairs(
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                F.shiftright(F.col(hash_col), j * width)
+                F.shiftright(F.col("h"), j * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("bv"),
             )
             for j in range(n_bands)
         ]
     )
+    # both self-join sides consume the hash relation; without a cut
+    # each re-runs the WHOLE upstream hash computation — for callers
+    # like image_phash_pairs that is a second full Python
+    # (mapInPandas) decode pass over the blobs (r10 audit). Lazy cut:
+    # the first side materializes the (id, hash) rows once.
+    hashes = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).localCheckpoint(eager=False)
     ex = hashes.select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("h"), F.explode(bands).alias("b")
+        "id", "h", F.explode(bands).alias("b")
     ).select("id", "h", F.col("b.j").alias("j"), F.col("b.bv").alias("bv"))
     a = ex.alias("a")
     b = ex.alias("b")

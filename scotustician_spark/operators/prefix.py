@@ -38,9 +38,15 @@ def bucketed_running_sum(
     value get an engine-dependent mutual order — aggregate to distinct
     keys first (as the sweep operator does) or use a unique key (as
     PPS requires) when exactness under ties matters."""
+    # both consumers below (the in-bucket window and the bucket-total
+    # aggregate) read this relation; without a cut each re-runs the
+    # whole upstream pipeline — pushed-down projections make the
+    # subtrees non-canonical, so ReusedExchange never fires (the r10
+    # plan audit measured the sweep operator scanning its source 4×).
+    # Lazy: the first consumer materializes it inside its own job.
     b = df.withColumn(
         "__pfx_bucket", F.col(order_col) - (F.col(order_col) % bucket_width)
-    )
+    ).localCheckpoint(eager=False)
     in_w = (
         W.partitionBy("__pfx_bucket")
         .orderBy(order_col)

@@ -96,11 +96,18 @@ def lsh_bucket_relation(
     bucket relation (build once) and pay only the query-side bucketing
     per call — at 100 TB the corpus bucketing is a full map pass you
     run once, not per query batch."""
+    from ..session import local_relation
+
     spark = df.sparkSession
     planes = [
         [math.sin(seed + p * dim + i) for i in range(dim)] for p in range(n_planes)
     ]
-    pdf = spark.createDataFrame([(planes,)], "__planes array<array<double>>")
+    # Arrow-native local relation: the former Python-list createDataFrame
+    # planned as a pickled-RDD scan whose broadcast build launched a
+    # 32-task Python-worker job PER QUERY CALL (~0.3 s wall / 6 s CPU
+    # measured on lsh_ann_topk at sf0.1) — session.local_relation ships
+    # the same bits through Arrow instead (guide §4).
+    pdf = local_relation(spark, [(planes,)], "__planes array<array<double>>")
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
@@ -530,6 +537,259 @@ def _pq_d2(a: str, b: str, d2_round: int) -> F.Column:
     )
 
 
+def _one_row_relation(spark, cols: dict[str, tuple[object, str]]) -> DataFrame:
+    """One-row broadcast-able relation of named (value, ddl-type) pairs,
+    built Arrow-native (session.local_relation) — the hyperplane-table
+    pattern: constants ride as a broadcast column reference instead of
+    hundreds of literal nodes (plan analysis stays O(1) in table size)
+    and instead of a pickled-Python-RDD scan (no Python workers)."""
+    from ..session import local_relation
+
+    names = list(cols)
+    schema = ", ".join(f"{n} {cols[n][1]}" for n in names)
+    return local_relation(spark, [tuple(cols[n][0] for n in names)], schema)
+
+
+def _ivfpq_build_tables(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    m: int,
+    n_codes: int,
+    d2_round: int,
+) -> tuple[list, list, DataFrame]:
+    """IVFPQ build with the quantizer tables COLLECTED (bounded: n_cells
+    centroids + m×n_codes codewords — parameter-sized, corpus-size-
+    independent; the same bounded-collect discipline as the BPE merge
+    table and the power-PCA basis) and every corpus pass expressed as an
+    IN-ROW argmin against a one-row broadcast array relation.
+
+    The r9 plan paid ~5 corpus-grain exchanges (crossJoin→groupBy(cid)
+    struct-min per assignment pass) and 24 AQE/checkpoint jobs at sf0.1;
+    this shape has ZERO corpus-grain exchanges — the only aggregations
+    left are the two re-center means, whose map-side partials collapse
+    to ≤ n_cells×dim rows per task (guide §2.4 "remove shuffles
+    outright", §1.2 "the distributed algorithm").
+
+    Numeric equivalence with the former relational formulation is
+    preserved expression-by-expression: the seed-assignment pass keeps
+    FLOAT arithmetic (seed centroids are raw float32 corpus vectors,
+    exactly as ``seeds`` selected them), the refined pass is double, all
+    distances round to ``d2_round`` before every argmin with (d2, index)
+    tie-breaks — verified value-identical against the DuckDB oracle at
+    sf0.001/0.01/0.1.
+
+    Returns (cents1 rows [(cell, [double])], cb1 rows [(j, code,
+    [double])], codes DataFrame (cid, cell, j, code) — a map-only plan).
+    """
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    spark = corpus.sparkSession
+    from ..session import repartition_for_compute
+
+    # the in-row argmins are interpreted HOF evaluation — CPU-heavy per
+    # row; a small corpus scans as ONE split and serializes them onto a
+    # single core (measured 0.4-0.7 s/pass at sf0.1). Widen before the
+    # compute; no-op at 100 TB where the scan has plenty of splits
+    # (guide §2.5 input parallelism).
+    c = repartition_for_compute(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    )
+
+    def _argmin_cell(vec: F.Column, cents_vecs: F.Column, cells=None):
+        # in-row struct-min: lexicographic min over (d2r, cell) is the
+        # (d2r asc, cell asc) tie-break of the former aggregate argmin.
+        # ``cells`` None = dense indexing (seed pass: cell == rank).
+        return F.array_min(
+            F.transform(
+                cents_vecs,
+                lambda cv, i: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(vec, cv, lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0),
+                            lambda acc, d: acc + d,
+                        ),
+                        d2_round,
+                    ).alias("d2r"),
+                    (i if cells is None else F.element_at(cells, i + 1)).alias(
+                        "cell"
+                    ),
+                    cv.alias("centroid"),
+                ),
+            )
+        )
+
+    # --- ACTION 1: one-step re-center. The seed table (the n_cells
+    # lowest-id vectors, FLOAT arithmetic exactly as the former float32
+    # seed relation) derives IN-PLAN as a one-row broadcast subtree, so
+    # the whole pass — seed TakeOrdered, in-row assignment, re-center
+    # mean — is a single collect action with only the tiny partial-agg
+    # shuffle (map-side partials collapse to ≤ n_cells×dim rows/task).
+    seed0 = (
+        c.orderBy("cid")
+        .limit(n_cells)
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "c_vec"))).alias("s"))
+        .select(F.col("s.c_vec").alias("__c0v"))
+    )
+    cents1_rows = (
+        c.crossJoin(F.broadcast(seed0))
+        .select(
+            _argmin_cell(F.col("c_vec"), F.col("__c0v"))["cell"].alias("cell"),
+            "c_vec",
+        )
+        .select("cell", F.posexplode("c_vec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.col("pm.m").alias("centroid"))
+        .collect()
+    )
+    cents1 = sorted((int(r[0]), list(r[1])) for r in cents1_rows)
+
+    cents1_b = _one_row_relation(
+        spark,
+        {
+            "__c1v": ([v for _, v in cents1], "array<array<double>>"),
+            "__c1i": ([i for i, _ in cents1], "array<int>"),
+        },
+    )
+
+    def _resid_assigned(cents_rel: DataFrame) -> DataFrame:
+        # map-only: (cid, cell, r_vec) with the refined-centroid argmin
+        best = _argmin_cell(F.col("c_vec"), F.col("__c1v"), F.col("__c1i"))
+        return c.crossJoin(F.broadcast(cents_rel)).select(
+            "cid",
+            best["cell"].alias("cell"),
+            F.zip_with("c_vec", best["centroid"], lambda x, ce: x - ce).alias(
+                "r_vec"
+            ),
+        )
+
+    def _argmin_codes(cb_codes, cb_ws: F.Column) -> F.Column:
+        # per subspace j: in-row struct-min over (d2r, code); returns
+        # array over j of struct(j, best(code), sv). ``cb_codes`` None =
+        # dense indexing (seed codebook: code == rank by id asc).
+        return F.transform(
+            cb_ws,
+            lambda cws, j: F.struct(
+                j.alias("j"),
+                F.array_min(
+                    F.transform(
+                        cws,
+                        lambda cw, ci: F.struct(
+                            F.round(
+                                F.aggregate(
+                                    F.zip_with(
+                                        F.slice(
+                                            F.col("r_vec"), j * sub + 1, sub
+                                        ).cast("array<double>"),
+                                        cw,
+                                        lambda x, y: (x - y) * (x - y),
+                                    ),
+                                    F.lit(0.0),
+                                    lambda acc, d: acc + d,
+                                ),
+                                d2_round,
+                            ).alias("d2r"),
+                            (
+                                ci
+                                if cb_codes is None
+                                else F.element_at(cb_codes, j + 1)[ci]
+                            ).alias("code"),
+                        ),
+                    )
+                ).alias("best"),
+                F.slice(F.col("r_vec"), j * sub + 1, sub)
+                .cast("array<double>")
+                .alias("sv"),
+            ),
+        )
+
+    def _cb_relation(cb_rows_by_j: list, dtype: str) -> DataFrame:
+        # [j] -> (codes present, codewords) parallel arrays
+        return _one_row_relation(
+            spark,
+            {
+                "__cbc": ([[cd for cd, _ in per_j] for per_j in cb_rows_by_j],
+                          "array<array<int>>"),
+                "__cbw": ([[cw for _, cw in per_j] for per_j in cb_rows_by_j],
+                          f"array<array<array<{dtype}>>>"),
+            },
+        )
+
+    # --- ACTION 2: one Lloyd step per subspace over residuals. The PQ
+    # seed codebook (residual slices of the n_codes lowest-id vectors,
+    # code = rank by id asc) again derives IN-PLAN as a one-row
+    # broadcast subtree of the same action.
+    cb0 = (
+        c.orderBy("cid")
+        .limit(n_codes)
+        .crossJoin(F.broadcast(cents1_b))
+        .select(
+            "cid",
+            F.zip_with(
+                "c_vec",
+                _argmin_cell(F.col("c_vec"), F.col("__c1v"), F.col("__c1i"))[
+                    "centroid"
+                ],
+                lambda x, ce: x - ce,
+            ).alias("r_vec"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "r_vec"))).alias("s"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.transform(
+                    F.col("s.r_vec"), lambda rv: F.slice(rv, j * sub + 1, sub)
+                ),
+            ).alias("__cbw")
+        )
+    )
+    cb1_rows = (
+        _resid_assigned(cents1_b)
+        .crossJoin(F.broadcast(cb0))
+        .select(
+            F.explode(_argmin_codes(None, F.col("__cbw"))).alias("a")
+        )
+        .select(
+            F.col("a.j").alias("j"),
+            F.col("a.best.code").alias("code"),
+            F.posexplode("a.sv").alias("spos", "v"),
+        )
+        .groupBy("j", "code", "spos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("j", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("spos", "mv"))).alias("pm"))
+        .select("j", "code", F.col("pm.mv").alias("cw"))
+        .collect()
+    )
+    cb1 = sorted((int(r[0]), int(r[1]), list(r[2])) for r in cb1_rows)
+
+    cb1_by_j: list[list] = [[] for _ in range(m)]
+    for j, code, cw in cb1:
+        cb1_by_j[j].append((code, cw))
+    cb1_b = _cb_relation(cb1_by_j, "double")
+
+    # --- final encoding: map-only over the corpus (cid, cell, j, code)
+    codes = (
+        _resid_assigned(cents1_b)
+        .crossJoin(F.broadcast(cb1_b))
+        .select(
+            "cid",
+            "cell",
+            F.explode(_argmin_codes(F.col("__cbc"), F.col("__cbw"))).alias("a"),
+        )
+        .select(
+            "cid", "cell", F.col("a.j").alias("j"), F.col("a.best.code").alias("code")
+        )
+    )
+    return cents1, cb1, codes
+
+
 def ivfpq_build(
     corpus: DataFrame,
     dim: int,
@@ -556,89 +816,21 @@ def ivfpq_build(
     makes the persisted index reproducible: rebuilding from the same
     corpus yields byte-identical tables.
 
-    Plan shape: centroids and codebooks are tiny and broadcast;
-    corpus passes are map-side (assignment, residual, encoding); the
-    corpus never shuffles on anything wider than (id, cell, j, code).
+    Plan shape (r10): the quantizer tables are bounded collects and the
+    corpus passes are in-row argmins against one-row broadcast arrays —
+    see ``_ivfpq_build_tables``. The returned centroid/codebook
+    DataFrames are Arrow-native local relations holding exactly the
+    collected values; ``codes`` is a map-only plan over the corpus.
     """
-    sub = dim // m
-    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    from ..session import local_relation
 
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    assigned, cents1 = onestep_cell_assignments(c, n_cells, d2_round)
-    # n_cells rows; consumed by the residual join AND (in the one-shot
-    # build+probe composition) the query-side cell assignment — without
-    # the cut the whole corpus-scan→argmin→re-center chain replays per
-    # consumer (expression ids differ across the branches, so
-    # ReusedExchange never fires). Lazy: first consumer materializes.
-    cents1 = cents1.localCheckpoint(eager=False)
-
-    # residual per corpus vector: v − centroid(cell), in float64.
-    # Lineage cut HERE, not at `assigned`: resid is the relation with
-    # four consumers (both codebook-assignment passes, the seed slice,
-    # the cell join-back) while assigned feeds only resid — and a LAZY
-    # checkpoint lets the first consumer materialize it inside its own
-    # job instead of blocking the driver (measured ~20% off the build).
-    resid = (
-        assigned.join(F.broadcast(cents1), "cell")
-        .select(
-            "cid",
-            "cell",
-            F.zip_with("c_vec", "centroid", lambda x, ce: x - ce).alias("r_vec"),
-        )
-        .localCheckpoint(eager=False)
+    spark = corpus.sparkSession
+    cents1, cb1, codes = _ivfpq_build_tables(
+        corpus, dim, id_col, vec_col, n_cells, m, n_codes, d2_round
     )
-
-    # cell rides through the subvector explode and both argmin
-    # aggregates (it is functionally dependent on cid, so the extra
-    # group key changes no result) — the former select("cid","j",...)
-    # needed a join back to resid for the cell, a SortMergeJoin whose
-    # two exchanges were the round-8 plan-depth target
-    rsub = _pq_subvecs(resid, ["cid", "cell"], "r_vec", m, sub)
-    # codebook seeds: residual subvectors of the n_codes lowest-id vectors
-    seeds = _pq_subvecs(
-        resid.orderBy("cid").limit(n_codes), ["cid"], "r_vec", m, sub
-    ).select(
-        "j",
-        (F.row_number().over(W.partitionBy("j").orderBy("cid")) - 1)
-        .cast("int")
-        .alias("code"),
-        F.col("sv").alias("cw"),
-    )
-
-    def _assign_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
-        # struct-min argmin (see onestep_cell_assignments): hash agg
-        # with map-side partials instead of a sort window
-        return (
-            sv.join(F.broadcast(cb), "j")
-            .withColumn("d2r", _pq_d2("sv", "cw", d2_round))
-            .groupBy("cid", "cell", "j")
-            .agg(F.min(F.struct("d2r", "code", "sv")).alias("__m"))
-            .select(
-                "cid",
-                "cell",
-                "j",
-                F.col("__m.code").alias("code"),
-                F.col("__m.sv").alias("sv"),
-            )
-        )
-
-    # one Lloyd step per subspace over residuals (element-mean re-center)
-    a0 = _assign_codes(rsub, seeds)
-    cb1 = (
-        a0.select("j", "code", F.posexplode("sv").alias("spos", "v"))
-        .groupBy("j", "code", "spos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("j", "code")
-        .agg(F.array_sort(F.collect_list(F.struct("spos", "mv"))).alias("pm"))
-        .select("j", "code", F.col("pm.mv").alias("cw"))
-    )
-    # m × n_codes rows; consumed by the corpus encoding here AND the
-    # probe's ADC lookup tables — same duplicated-subtree argument as
-    # cents1 (the codebook-training chain is 3 exchanges deep, the
-    # single most expensive replay in the round-6 ann_build plan).
-    cb1 = cb1.localCheckpoint(eager=False)
-    codes = _assign_codes(rsub, cb1).select("cid", "cell", "j", "code")
-    return cents1, cb1, codes
+    cents_df = local_relation(spark, cents1, "cell int, centroid array<double>")
+    cb_df = local_relation(spark, cb1, "j int, code int, cw array<double>")
+    return cents_df, cb_df, codes
 
 
 def ivfpq_probe(
@@ -653,6 +845,8 @@ def ivfpq_probe(
     n_probe: int = 2,
     m: int = 4,
     d2_round: int = 6,
+    _cents_rows: list | None = None,
+    _cb_rows: list | None = None,
 ) -> DataFrame:
     """The PROBE half of IVFPQ: rank each query's candidates in its
     ``n_probe`` nearest cells by asymmetric distance — a per-(query,
@@ -662,31 +856,118 @@ def ivfpq_probe(
     the serving-path cost is therefore |probed lists| × m codes,
     independent of corpus size, embedding width, and (crucially) of
     the index BUILD cost, which is paid once, not per query.
+
+    r10 shape: centroids and codebooks are parameter-bounded (n_cells /
+    m×n_codes rows) — collect them once and express the probe-cell
+    selection and the ADC lookup table as IN-ROW expressions over
+    one-row broadcast arrays. The former plan paid a broadcast build +
+    row_number window exchange for the cell choice and a further
+    broadcast join for the LUT; now both are a map over the (tiny)
+    query relation, and the only remaining join is the codes-side ADC
+    equi-join on (cell, j, code) — which keeps its partition-pruning
+    behavior on persisted indexes. Callers that already hold the
+    collected tables pass them via ``_cents_rows`` / ``_cb_rows``.
     """
     sub = dim // m
     assert sub * m == dim, "dim must divide evenly into m subspaces"
+    spark = queries.sparkSession
+
+    cents_rows = (
+        _cents_rows
+        if _cents_rows is not None
+        else sorted((int(r[0]), list(r[1])) for r in centroids.collect())
+    )
+    cb_rows = (
+        _cb_rows
+        if _cb_rows is not None
+        else sorted((int(r[0]), int(r[1]), list(r[2])) for r in codebooks.collect())
+    )
+    cb_by_j: list[list] = [[] for _ in range(m)]
+    for j, code, cw in cb_rows:
+        cb_by_j[j].append((code, cw))
+
+    tables_b = _one_row_relation(
+        spark,
+        {
+            "__c1v": ([v for _, v in cents_rows], "array<array<double>>"),
+            "__c1i": ([i for i, _ in cents_rows], "array<int>"),
+            "__cbc": ([[cd for cd, _ in per_j] for per_j in cb_by_j],
+                      "array<array<int>>"),
+            "__cbw": ([[cw for _, cw in per_j] for per_j in cb_by_j],
+                      "array<array<array<double>>>"),
+        },
+    )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    wp = W.partitionBy("query_id").orderBy(F.asc("d2r"), F.asc("cell"))
+    # in-row probe-cell selection: sort (d2r asc, cell asc), keep n_probe
+    best_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__c1v"),
+                lambda cv, i: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("q_vec"), cv, lambda x, y: (x - y) * (x - y)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, d: acc + d,
+                        ),
+                        d2_round,
+                    ).alias("d2r"),
+                    F.element_at(F.col("__c1i"), i + 1).alias("cell"),
+                    cv.alias("centroid"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
     probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("d2r", F.round(_sq_l2("q_vec", "centroid"), d2_round))
-        .withColumn("p_rnk", F.row_number().over(wp))
-        .filter(F.col("p_rnk") <= n_probe)
-        .select(
-            "query_id",
-            "cell",
-            F.zip_with("q_vec", "centroid", lambda x, ce: x - ce).alias("qr_vec"),
+        q.crossJoin(F.broadcast(tables_b))
+        .select("query_id", F.explode(best_cells).alias("b"), "__cbc", "__cbw",
+                F.zip_with("q_vec", F.col("b.centroid"),
+                           lambda x, ce: x - ce).alias("qr_vec"))
+        .select("query_id", F.col("b.cell").alias("cell"), "qr_vec",
+                "__cbc", "__cbw")
+    )
+    # per-(query, probed cell) ADC lookup table, in-row:
+    # queries×n_probe×m×n_codes rows after the explode
+    lut_entries = F.flatten(
+        F.transform(
+            F.col("__cbw"),
+            lambda cws, j: F.zip_with(
+                F.element_at(F.col("__cbc"), j + 1),
+                cws,
+                lambda code, cw: F.struct(
+                    j.alias("j"),
+                    code.alias("code"),
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(F.col("qr_vec"), j * sub + 1, sub).cast(
+                                    "array<double>"
+                                ),
+                                cw,
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, d: acc + d,
+                        ),
+                        d2_round,
+                    ).alias("lut_d2"),
+                ),
+            ),
         )
     )
-    # per-(query, probed cell) ADC lookup table: queries×n_probe×m×n_codes
-    lut = (
-        _pq_subvecs(probes, ["query_id", "cell"], "qr_vec", m, sub)
-        .join(F.broadcast(codebooks), "j")
-        .select(
-            "query_id", "cell", "j", "code",
-            _pq_d2("sv", "cw", d2_round).alias("lut_d2"),
-        )
+    lut = probes.select(
+        "query_id", "cell", F.explode(lut_entries).alias("e")
+    ).select(
+        "query_id",
+        "cell",
+        F.col("e.j").alias("j"),
+        F.col("e.code").alias("code"),
+        F.col("e.lut_d2").alias("lut_d2"),
     )
     approx = (
         codes.select(F.col("cid").alias("neighbor_id"), "cell", "j", "code")
@@ -734,11 +1015,23 @@ def ivfpq_topk_onestep(
     Deterministic end-to-end, so a SQL oracle replays the whole
     index build + search bit-for-bit.
     """
-    cents1, cb1, codes = ivfpq_build(
+    cents1, cb1, codes = _ivfpq_build_tables(
         corpus, dim, id_col, vec_col, n_cells, m, n_codes, d2_round
     )
     return ivfpq_probe(
-        cents1, cb1, codes, queries, dim, id_col, vec_col, k, n_probe, m, d2_round
+        None,
+        None,
+        codes,
+        queries,
+        dim,
+        id_col,
+        vec_col,
+        k,
+        n_probe,
+        m,
+        d2_round,
+        _cents_rows=cents1,
+        _cb_rows=cb1,
     )
 
 
@@ -886,8 +1179,11 @@ def ivf_topk(
         F.col("__cell").alias("cell"),
     )
 
+    from ..session import local_relation
+
     spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    centroids = local_relation(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )

@@ -91,8 +91,10 @@ def salted_join(
     """
     spark = left.sparkSession
     if isinstance(hot_keys, list):
-        hot_keys = spark.createDataFrame(
-            [(k,) for k in hot_keys], f"{key} {dict(left.dtypes)[key]}"
+        from ..session import local_relation
+
+        hot_keys = local_relation(
+            spark, [(k,) for k in hot_keys], f"{key} {dict(left.dtypes)[key]}"
         )
     hot = F.broadcast(hot_keys.select(key).distinct().withColumn("__hot", F.lit(True)))
 

@@ -73,10 +73,21 @@ def interval_concurrency(
     iv = df.filter(
         F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
     )
-    starts = iv.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
-    ends = iv.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    # in-row boundary doubling (the symmetrize discipline): a
+    # starts/ends self-union read the interval source TWICE — the r10
+    # plan audit showed 4 scans of the events parquet for this one
+    # operator (2 per union × 2 prefix-sum consumers). The explode
+    # emits both deltas from one evaluation.
     per_ts = (
-        starts.unionByName(ends)
+        iv.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(start_col).alias("t"), F.lit(1).alias("d")),
+                    F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+                )
+            ).alias("b")
+        )
+        .select("b.t", "b.d")
         .groupBy("t")
         .agg(
             F.sum("d").alias("net"),

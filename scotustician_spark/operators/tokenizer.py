@@ -151,8 +151,10 @@ def train_bpe_merges(
     freq_col: str = "freq",
 ) -> DataFrame:
     """``train_bpe`` with the learned merge table as a DataFrame."""
+    from ..session import local_relation
+
     rows = train_bpe(words, n_merges, max_words, word_col, freq_col)
-    return words.sparkSession.createDataFrame(rows, MERGE_SCHEMA)
+    return local_relation(words.sparkSession, rows, MERGE_SCHEMA)
 
 
 def write_bpe(spark, merges: list[tuple], path: str, params: dict | None = None) -> None:
@@ -162,7 +164,9 @@ def write_bpe(spark, merges: list[tuple], path: str, params: dict | None = None)
     a tokenizer is metadata, not data."""
     from pyspark.sql import Row
 
-    df = spark.createDataFrame(merges, MERGE_SCHEMA)
+    from ..session import local_relation
+
+    df = local_relation(spark, merges, MERGE_SCHEMA)
     df.coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
     spark.createDataFrame([Row(**(params or {"n_merges": len(merges)}))]).coalesce(
         1

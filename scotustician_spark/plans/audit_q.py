@@ -549,41 +549,64 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 bench=True,
 )
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 single-pass shape (guide §2.3 "aggregate before you shuffle",
+    # §2.4): the three lineitem checks share ONE scan + ONE (orderkey,
+    # linenumber) pre-aggregation — dup surplus and the domain count
+    # fold into it directly, and the orphan check anti-joins the
+    # GROUPED relation (each surviving group contributes its row count
+    # c, so sum(c) over orphan groups == the former per-row anti-join
+    # count). The former plan scanned lineitem three times and unioned
+    # four single-row subplans; now it is 2 scans total (li + orders)
+    # + an in-row unpivot of one 4-column row.
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    dup = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("v"))
+    g = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("c"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("np"),
+    )
+    a = g.agg(
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("dup_v"),
+        F.coalesce(F.sum("np"), F.lit(0)).cast("bigint").alias("nonpos_v"),
     )
     orphan_li = (
-        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
-        .agg(F.count("*").cast("bigint").alias("v"))
+        g.join(o.select("o_orderkey"), g["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("orphan_li_v"))
     )
     orphan_o = (
         o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
-        .agg(F.count("*").cast("bigint").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("orphan_o_v"))
     )
-    nonpos = li.filter(F.col("l_quantity") <= 0).agg(
-        F.count("*").cast("bigint").alias("v")
+    checks = F.array(
+        F.struct(
+            F.lit(0).cast("int").alias("check_idx"),
+            F.lit("dup_lineitem_pk").alias("check_name"),
+            F.col("dup_v").alias("n_violations"),
+        ),
+        F.struct(
+            F.lit(1).cast("int").alias("check_idx"),
+            F.lit("orphan_lineitem_order").alias("check_name"),
+            F.col("orphan_li_v").alias("n_violations"),
+        ),
+        F.struct(
+            F.lit(2).cast("int").alias("check_idx"),
+            F.lit("orphan_order_customer").alias("check_name"),
+            F.col("orphan_o_v").alias("n_violations"),
+        ),
+        F.struct(
+            F.lit(3).cast("int").alias("check_idx"),
+            F.lit("nonpositive_quantity").alias("check_name"),
+            F.col("nonpos_v").alias("n_violations"),
+        ),
     )
-    checks = [
-        (0, "dup_lineitem_pk", dup),
-        (1, "orphan_lineitem_order", orphan_li),
-        (2, "orphan_order_customer", orphan_o),
-        (3, "nonpositive_quantity", nonpos),
-    ]
-    out = None
-    for idx, name, df in checks:
-        row = df.select(
-            F.lit(idx).cast("int").alias("check_idx"),
-            F.lit(name).alias("check_name"),
-            F.col("v").alias("n_violations"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return (
+        a.crossJoin(F.broadcast(orphan_li))
+        .crossJoin(F.broadcast(orphan_o))
+        .select(F.explode(checks).alias("k"))
+        .select("k.check_idx", "k.check_name", "k.n_violations")
+    )
 
 
 def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import components as CC
 from ..operators import corpus as CP
 from ..operators import dedup as DD
+from ..session import local_relation
 from .registry import register
 from .vectors_text import _SHINGLES, _TOKS_G, _minhash_oracle, _t
 
@@ -1957,8 +1958,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uni", (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("long")
         )
     )
-    th = docs.sparkSession.createDataFrame(
-        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    th = local_relation(
+        docs.sparkSession, [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
     )
     x = pj.crossJoin(F.broadcast(th)).filter(
         F.col("n_inter") >= F.col("threshold") * F.col("uni")

@@ -66,6 +66,53 @@ def get_spark(
     return spark
 
 
+def local_relation(spark: SparkSession, rows, schema):
+    """Small driver-built relation WITHOUT the Python-RDD path.
+
+    ``spark.createDataFrame(list, schema)`` plans as
+    ``applySchemaToPythonRDD`` — a pickled Python RDD whose every
+    downstream evaluation (broadcast builds included) launches
+    defaultParallelism tasks that each spin up a Python worker.
+    Measured r10: a ONE-ROW hyperplane relation cost a 32-task /
+    ~6 s-CPU job per lsh query call; routing the same rows through
+    pandas+Arrow plans as a JVM-native scan and costs ~no task time
+    (guide §4: the Python boundary is the tax — don't pay it for
+    driver-literal metadata). Values round-trip bit-exact through
+    Arrow (asserted for doubles in tests). Falls back to the plain
+    path if the Arrow conversion rejects the type.
+    """
+    from pyspark.sql.types import StructType
+
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else _parse_datatype_string_cached(spark, schema)
+    )
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame.from_records(
+            [tuple(r) for r in rows], columns=st.fieldNames()
+        )
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, schema=st)
+
+
+def _parse_datatype_string_cached(spark: SparkSession, s: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    cache = getattr(spark, "_sg_ddl_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sg_ddl_cache = cache
+    st = cache.get(s)
+    if st is None:
+        st = _parse_datatype_string(s)
+        cache[s] = st
+    return st
+
+
 def repartition_for_compute(df, min_partitions: int | None = None):
     """Widen coarse input partitioning before compute-heavy per-row
     stages (shingling, hashing, model inference).

@@ -103,14 +103,12 @@ def test_probe_plan_contains_no_build(spark, corpus, index_dir):
     # gate serving latency): probes window + LUT subvec agg +
     # candidate aggregate + top-k window — 4 is the ceiling.
     assert probe_plan.count("Exchange hashpartitioning") <= 4, probe_plan
-    # build signature: since the round-7 plan pass, the trained
-    # centroid/codebook relations are lazily checkpointed inside
-    # ivfpq_build (the posexplode-avg re-centering runs in the
-    # checkpoint's own job), so the one-shot plan shows their
-    # materialized scans — present, where the persisted probe reads
-    # only parquet index tables
-    assert "Scan ExistingRDD" in oneshot_plan
-    assert "Scan ExistingRDD" not in probe_plan
+    # build signature (r10 shape): the Lloyd re-centering is the one
+    # aggregation the BUILD owns — since the r10 in-row rewrite it runs
+    # in the build's own bounded-collect jobs, so NEITHER final plan may
+    # contain an avg() re-centering aggregate; if one re-appears in the
+    # probe plan, the probe is rebuilding the quantizer per call.
+    assert "avg(" not in probe_plan
     codes_scans = probe_plan.lower().count("partitionfilters")
     assert codes_scans >= 1  # cell-partitioned codes scan is prunable
 
