@@ -343,10 +343,30 @@ def topk_neighbors(
     member is scored once (no within-cluster cartesian). Rank on
     rounded sim with id tiebreak so ordering is engine-stable.
     """
-    reps = representatives(assigned, id_col, vec_col, cluster_col)
+    # argmin carries the VECTOR through the struct-min (r10): (d, id)
+    # is already a total order, so adding the vector as a third field
+    # never changes the winner — and the former join-back that re-read
+    # the corpus to fetch the representative's vector (one more scan +
+    # one more broadcast build chain per call) disappears.
+    cent = cluster_centroids(assigned, vec_col, cluster_col)
+    dist = V.l2_distance(vec_col, "centroid")
     rep_vecs = (
-        assigned.select(F.col(id_col).alias("representative_id"), F.col(vec_col).alias("__rep_vec"))
-        .join(F.broadcast(reps), "representative_id")
+        assigned.join(F.broadcast(cent), cluster_col)
+        .select(
+            cluster_col,
+            F.struct(
+                F.round(dist, 6).alias("d"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+            ).alias("__cand"),
+        )
+        .groupBy(cluster_col)
+        .agg(F.min("__cand").alias("__best"))
+        .select(
+            cluster_col,
+            F.col("__best.id").alias("representative_id"),
+            F.col("__best.v").alias("__rep_vec"),
+        )
     )
     scored = (
         assigned.join(F.broadcast(rep_vecs), cluster_col)

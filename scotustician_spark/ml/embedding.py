@@ -89,6 +89,39 @@ def embed_text(
 
     from scotustician_spark.session import repartition_for_compute
 
+    if mode == "hash_sql":
+        # the hash embedder IS SQL-expressible — run it as Catalyst
+        # expressions (guide §4.1: prefer built-ins; no JVM↔Python
+        # boundary, no Arrow transpose). Bit-identical to mode='hash':
+        # md5 over the same UTF-8 bytes, ascii of the first hex digit,
+        # the norm sums j-ascending left-associative exactly like
+        # _hash_vector's sum(), and glibc pow(x, 0.5)/Math.sqrt are
+        # both correctly rounded so the normalization divisor matches
+        # (asserted in tests). Composed pipelines (chunk_embed_pool)
+        # use this arm; embed_documents keeps the mapInPandas arm —
+        # that row exists to exercise the distributed-inference
+        # plumbing the model arm shares (C4/M4).
+        raw = [
+            F.ascii(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(
+                                F.lit(f"{j}|"),
+                                F.coalesce(F.col(text_col), F.lit("")),
+                            ),
+                            "utf-8",
+                        )
+                    ),
+                    1,
+                    1,
+                )
+            ).cast("double")
+            for j in range(dim)
+        ]
+        nrm = F.sqrt(sum(r * r for r in raw))
+        return df.withColumn(out_col, F.array(*[r / nrm for r in raw]))
+
     df = repartition_for_compute(df)
     if mode == "hash":
         return df.mapInPandas(run_hash, schema)

@@ -85,22 +85,23 @@ def frequent_pairs(
         baskets.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     items = F.array_sort(F.collect_set(item_col))
-    pairs_expr = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
+    # pair expansion as TWO chained posexplode Generates + a position
+    # filter, not a nested transform/slice/flatten: the HOF form built
+    # the whole pair array per basket in interpreted expression eval
+    # (the r10 stage profile charged it 26 s CPU at sf0.1), while
+    # Generate is codegen'd and allocates nothing per pair — measured
+    # A/B 1.66 -> 1.29 s on the full mining chain, identical output.
+    # Position (not value) comparison keeps it duplicate-safe; items
+    # are sorted, so jx > i is exactly item_a < item_b.
     return (
         bi.repartition(n_part, basket_col)
         .groupBy(basket_col)
         .agg(items.alias("items"))
         .filter(F.size("items") > 1)
-        .select(F.explode(pairs_expr).alias("p"))
-        .groupBy("p.item_a", "p.item_b")
+        .select(F.posexplode("items").alias("i", "item_a"), "items")
+        .select("i", "item_a", F.posexplode("items").alias("jx", "item_b"))
+        .filter(F.col("jx") > F.col("i"))
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
         .filter(
             F.col("support")

@@ -37,6 +37,36 @@ def bloom_num_bits(expected_keys: int, fpp: float = 0.01) -> int:
     return max(64, ((m + 63) // 64) * 64)
 
 
+def estimated_rows(df: DataFrame) -> int:
+    """Catalyst's optimized-plan row-count estimate, read WITHOUT
+    executing anything: the exact rowCount when the stats pipeline
+    provides one, else sizeInBytes / schema default row width — the
+    same arithmetic Spark's own SizeInBytesOnlyStatsPlanVisitor uses.
+
+    Bloom sizing switched to this from ``dim.count()`` (r10): the
+    count was a whole extra Spark action + dim scan per call, paid
+    before any real work, and sizing only needs the ORDER of the key
+    count — an over/underestimate moves the false-positive rate, never
+    the (exactly settled) result."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stats = plan.stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return max(1, int(rc.get().toString()))
+    size = stats.sizeInBytes()
+    size = size if isinstance(size, int) else int(size.toString())
+    width = max(1, plan.schema().defaultSize())
+    est = max(1, size // width)
+    if est > (1 << 40):
+        # un-estimatable leaf (LogicalRDD etc. report the
+        # spark.sql.defaultSizeInBytes Long.Max sentinel) — fall back
+        # to the exact count rather than building an absurd filter.
+        # File scans always carry real sizes, so hot paths never land
+        # here.
+        return max(1, df.count())
+    return est
+
+
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     # independent hashes via xxhash64(seed_i, key); pmod keeps the
     # position non-negative (xxhash64 is signed)
@@ -146,14 +176,15 @@ def bloom_semi_join(
     in the scan stage, before any exchange. At 100 TB the shuffle
     carries only ~|matches| + fpp·|fact| rows instead of |fact|.
 
-    ``num_bits=None`` sizes the filter from the dim's actual key count
-    (one cheap count job — the same cardinality probe AQE runs anyway);
-    an oversized filter costs build time and broadcast bytes for
-    nothing, an undersized one just raises the false-positive rate
-    (results stay exact either way).
+    ``num_bits=None`` sizes the filter from Catalyst's row-count
+    estimate (``estimated_rows`` — zero execution; the former
+    ``dim.count()`` was a whole extra action + dim scan per call); an
+    oversized filter costs build time and broadcast bytes for nothing,
+    an undersized one just raises the false-positive rate (results
+    stay exact either way).
     """
     if num_bits is None:
-        num_bits = bloom_num_bits(max(dim.count(), 1), fpp)
+        num_bits = bloom_num_bits(estimated_rows(dim.select(dim_key)), fpp)
     bloom = bloom_build(dim, dim_key, num_bits, num_hashes)
     pre = (
         fact.join(F.broadcast(bloom))
@@ -186,7 +217,7 @@ def bloom_anti_join(
     the join carries the sliver, not the fact table.
     """
     if num_bits is None:
-        num_bits = bloom_num_bits(max(dim.count(), 1), fpp)
+        num_bits = bloom_num_bits(estimated_rows(dim.select(dim_key)), fpp)
     bloom = bloom_build(dim, dim_key, num_bits, num_hashes)
     probed = fact.join(F.broadcast(bloom)).withColumn(
         "__maybe",
@@ -283,7 +314,7 @@ def auto_semi_join(
         # bloom-prune the fact scan, then settle the survivors with
         # hot keys spread across n_salts reducers (replicate the dim
         # key row per salt; fact side salts deterministically)
-        num_bits = bloom_num_bits(max(dim.count(), 1), fpp)
+        num_bits = bloom_num_bits(estimated_rows(dim.select(dim_key)), fpp)
         bloom = bloom_build(dim, dim_key, num_bits, num_hashes=3)
         pre = (
             fact.join(F.broadcast(bloom))

@@ -80,6 +80,38 @@ def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 8, seed: int = 42)
     return out.alias("bucket")
 
 
+import weakref
+
+# session -> {(dim, n_planes, seed): relation}; weak keys drop a
+# stopped session's entries (the tables._CACHE discipline — id()-keyed
+# caches can alias a new session after GC)
+_PLANES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _hyperplane_relation(spark, dim: int, n_planes: int, seed: int) -> DataFrame:
+    """One-row broadcast relation of the seeded sinusoid hyperplanes,
+    memoized per (session, dim, n_planes, seed) — the table is a pure
+    function of its parameters (NOT of any dataset), so caching it is
+    the constant-folding every call repaid: the former per-call
+    createDataFrame planned as a pickled-RDD scan whose broadcast
+    build launched a 32-task Python-worker job PER QUERY CALL (~0.3 s
+    wall / 6 s CPU measured on lsh_ann_topk at sf0.1); now it is an
+    Arrow-native local relation (guide §4) built once per session."""
+    per_session = _PLANES_CACHE.setdefault(spark, {})
+    key = (dim, n_planes, seed)
+    got = per_session.get(key)
+    if got is not None:
+        return got
+    from ..session import local_relation
+
+    planes = [
+        [math.sin(seed + p * dim + i) for i in range(dim)] for p in range(n_planes)
+    ]
+    pdf = local_relation(spark, [(planes,)], "__planes array<array<double>>")
+    per_session[key] = pdf
+    return pdf
+
+
 def lsh_bucket_relation(
     df: DataFrame,
     dim: int,
@@ -96,18 +128,8 @@ def lsh_bucket_relation(
     bucket relation (build once) and pay only the query-side bucketing
     per call — at 100 TB the corpus bucketing is a full map pass you
     run once, not per query batch."""
-    from ..session import local_relation
-
     spark = df.sparkSession
-    planes = [
-        [math.sin(seed + p * dim + i) for i in range(dim)] for p in range(n_planes)
-    ]
-    # Arrow-native local relation: the former Python-list createDataFrame
-    # planned as a pickled-RDD scan whose broadcast build launched a
-    # 32-task Python-worker job PER QUERY CALL (~0.3 s wall / 6 s CPU
-    # measured on lsh_ann_topk at sf0.1) — session.local_relation ships
-    # the same bits through Arrow instead (guide §4).
-    pdf = local_relation(spark, [(planes,)], "__planes array<array<double>>")
+    pdf = _hyperplane_relation(spark, dim, n_planes, seed)
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(

@@ -146,8 +146,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority AS priority,
                CAST(o_orderdate AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue,
-               round(avg(o_totalprice), 4) AS avg_price
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+               CAST((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100
+                     + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
+                   AS avg_price
         FROM orders GROUP BY 1, 2),
     bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
     axis AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
@@ -183,8 +185,21 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("day"),
     ).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        # exact integer cents: one float division of an exact sum (the
+        # former round(sum(double), 2)/round(avg(double), 4) hit a
+        # .xxxx5 summation-order boundary at sf0.1 — r10 scale sweep;
+        # avg uses the (2a + n) div (2n) half-up identity, the
+        # rfm_segments discipline)
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_rc"),
+    ).select(
+        "priority",
+        "day",
+        "n_orders",
+        (F.col("_rc") / F.lit(100.0)).alias("revenue"),
+        (
+            F.expr("(2 * _rc * 100 + n_orders) div (2 * n_orders)").cast("long")
+            / F.lit(10000.0)
+        ).alias("avg_price"),
     )
     return gap_fill_daily(
         obs,

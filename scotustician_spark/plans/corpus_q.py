@@ -692,6 +692,9 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = CP.stride_chunks(
         _t(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=32
     )
+    # hash_sql: the Catalyst arm of the hash embedder (bit-identical
+    # values, no Python boundary) — the whole chunk→embed→pool pipeline
+    # is then one codegen'd map + one doc-keyed aggregation.
     emb = embed_text(
         chunks.select(
             "doc_id",
@@ -700,7 +703,7 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "text",
         dim=dim,
-        mode="hash",
+        mode="hash_sql",
     )
     m = emb.groupBy("doc_id").agg(
         *[

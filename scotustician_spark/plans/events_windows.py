@@ -24,8 +24,9 @@ from .relational import _events
     SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS sum_value,
-           round(avg(value), 6) AS avg_value
+           sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value,
+           CAST((2 * sum(CAST(round(value * 10000) AS BIGINT)) * 100 + count(*))
+                // (2 * count(*)) AS BIGINT) / 1000000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -53,8 +54,9 @@ def event_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((us // 1800000000 - k) * 1800000000 AS BIGINT) AS window_start_us,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS sum_value,
-           round(avg(value), 6) AS avg_value
+           sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value,
+           CAST((2 * sum(CAST(round(value * 10000) AS BIGINT)) * 100 + count(*))
+                // (2 * count(*)) AS BIGINT) / 1000000.0 AS avg_value
     FROM e CROSS JOIN k
     GROUP BY 1, 2
     """,
@@ -91,7 +93,7 @@ def event_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
            CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS sum_value
+           sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
     FROM s GROUP BY user_id, sid
     """,
     doc="Beyond-reference sessionization: native session_window with a "
@@ -220,7 +222,7 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
            CAST(epoch_us(max(e)) AS BIGINT) AS session_end_us,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS sum_value
+           sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
     FROM i GROUP BY user_id, sid
     """,
     doc="Sessions whose idle timeout varies PER EVENT (purchases hold "

@@ -371,9 +371,30 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def case_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import repartition_for_compute
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     rf = F.col("l_returnflag")
+    # keyed widening (r10): groups are ≤7 rows, so map-side collect_set
+    # partials reduce almost nothing while their CPU serializes onto
+    # the scan's few splits (3 at sf0.1 — the stage profile charged the
+    # agg 1.1 s CPU on 3 tasks). An explicit repartition BY THE GROUP
+    # KEY is still one shuffle (it satisfies the aggregate's
+    # distribution) but runs the aggregation at session width; no-op at
+    # 100 TB where the scan is already wide. Measured 1.22 → 0.80 s.
+    li = repartition_for_compute(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        ),
+        by=["l_orderkey"],
+    )
     # Two countDistincts over different columns would force an Expand
     # (doubling the shuffle input). Per-group cardinalities are tiny
     # (lines-per-order ≤ 7), so size(collect_set) computes the same
@@ -425,7 +446,13 @@ def case_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT)       AS total_lines,
                round(sum(l_quantity), 2)      AS total_qty,
                round(sum(l_extendedprice), 2) AS total_value,
-               round(avg(l_extendedprice), 4) AS avg_line_value,
+               -- exact HALF_UP 4dp average of cents-exact prices via
+               -- the integer identity (2a + n) div (2n) — the
+               -- rfm_segments discipline; round(avg(double), 4) hit a
+               -- .xxxx5 summation-order boundary at sf0.1 (r10 sweep)
+               CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+                     + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
+                   AS avg_line_value,
                CAST(min(l_linenumber) AS INTEGER) AS first_line,
                CAST(max(l_linenumber) AS INTEGER) AS last_line
         FROM lineitem
@@ -461,10 +488,21 @@ def speaker_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("total_lines"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("total_value"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_line_value"),
+            # exact integer cents for the 4dp average (see oracle)
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "_spc"
+            ),
             F.min("l_linenumber").alias("first_line"),
             F.max("l_linenumber").alias("last_line"),
         )
+        .withColumn(
+            "avg_line_value",
+            F.expr("(2 * _spc * 100 + total_lines) div (2 * total_lines)").cast(
+                "long"
+            )
+            / F.lit(10000.0),
+        )
+        .drop("_spc")
     )
     sd = s.select("s_suppkey", "s_name", "s_nationkey").distinct()
     joined = ss.join(F.broadcast(sd), ss.l_suppkey == sd.s_suppkey, "left")

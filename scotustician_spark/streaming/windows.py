@@ -31,8 +31,20 @@ def tumbling_agg(
         e.groupBy(F.window("ts", window_len).alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact integer accumulation: value sits on a 1e-4 grid, so
+            # the scaled sum is exact and one float division yields a
+            # bit-identical double on any engine; the former
+            # round(sum(double), 4) hit a 5e-5 summation-order boundary
+            # at sf0.1 (r10 scale sweep). avg rounds half-up with the
+            # integer identity (2a + n) div (2n) — the rfm_segments
+            # discipline.
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_sv"),
+        )
+        .withColumn("sum_value", F.col("_sv") / F.lit(10000.0))
+        .withColumn(
+            "avg_value",
+            F.expr("(2 * _sv * 100 + n_events) div (2 * n_events)").cast("long")
+            / F.lit(1000000.0),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -63,8 +75,20 @@ def hopping_agg(
         e.groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact integer accumulation: value sits on a 1e-4 grid, so
+            # the scaled sum is exact and one float division yields a
+            # bit-identical double on any engine; the former
+            # round(sum(double), 4) hit a 5e-5 summation-order boundary
+            # at sf0.1 (r10 scale sweep). avg rounds half-up with the
+            # integer identity (2a + n) div (2n) — the rfm_segments
+            # discipline.
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_sv"),
+        )
+        .withColumn("sum_value", F.col("_sv") / F.lit(10000.0))
+        .withColumn(
+            "avg_value",
+            F.expr("(2 * _sv * 100 + n_events) div (2 * n_events)").cast("long")
+            / F.lit(1000000.0),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -95,7 +119,11 @@ def sessionize_dynamic_gap(
         e.groupBy(F.session_window("ts", gap_col).alias("w"), "user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact scaled-integer sum (see tumbling_agg)
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / F.lit(10000.0)
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -122,7 +150,11 @@ def sessionize(
         e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact scaled-integer sum (see tumbling_agg)
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / F.lit(10000.0)
+            ).alias("sum_value"),
         )
         .select(
             "user_id",

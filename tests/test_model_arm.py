@@ -117,3 +117,38 @@ def test_hf_token_count_arm_executes(spark, model_stubs):
     got = {r["doc_id"]: r["token_count"] for r in hf_token_count(df, "text").collect()}
     # stand-in contract: BOS/EOS + one id per whitespace token
     assert got == {1: 5, 2: 2, 3: 2, 4: 3}
+
+
+def test_hash_sql_arm_bit_identical_to_hash(spark):
+    """mode='hash_sql' (Catalyst expressions, no Python boundary) must
+    reproduce mode='hash' (the mapInPandas arm) BIT-for-bit: same md5
+    bytes, same j-ascending left-associative norm sum, and pow(x, 0.5)
+    == sqrt(x) (both correctly rounded). chunk_embed_pool rides the
+    sql arm; this pin is what licenses that swap."""
+    import struct
+
+    from scotustician_spark.ml.embedding import embed_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, ""),
+            (3, None),
+            (4, "unicode éà中文 text"),
+            (5, "x" * 500),
+        ],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_text(df, "text", dim=8, mode="hash").collect()
+    }
+    b = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_text(df, "text", dim=8, mode="hash_sql").collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        pa = [struct.pack("<d", v) for v in a[k]]
+        pb = [struct.pack("<d", v) for v in b[k]]
+        assert pa == pb, f"doc {k}: {a[k]} != {b[k]}"

@@ -306,15 +306,20 @@ def test_source_overlap_single_scan_no_joins(spark, sf_dir):
 
 
 def test_ivfpq_assignment_partial_combines_map_side(spark, sf_dir):
-    # the struct-min argmin must plan as a HashAggregate with a
-    # partial_min phase (map-side combine BEFORE the exchange) — the
-    # property that collapses corpus×codes to one row per vector; a
-    # regression to a row_number sort window would shuffle it all.
+    # r10 shape: the quantizer argmins are IN-ROW (array_min over a
+    # one-row broadcast table) — the corpus encodes in a pure map, so
+    # the plan must contain NO corpus-grain exchange at all. The former
+    # pin (a partial_min struct aggregate, i.e. map-side combine before
+    # a corpus-keyed shuffle) is the shape this replaced; a regression
+    # to EITHER the relational argmin or a row_number sort window would
+    # re-shuffle the corpus and both asserts below catch it.
     # ann_build is the row that pays the inline build (ivfpq_ann_topk
     # serves the persisted index, so the build never appears in its
     # plan).
     plan = _final_plan(QUERY_REGISTRY["ann_build"].fn(spark, sf_dir))
-    assert "partial_min(struct(d2r" in plan, plan
+    assert "array_min" in plan, plan
+    assert "partial_min(struct(d2r" not in plan, plan
+    assert "hashpartitioning(cid" not in plan, plan
 
 
 def test_ivfpq_headline_serves_persisted_index(spark, sf_dir):
