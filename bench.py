@@ -141,11 +141,17 @@ def main() -> None:
             result["duckdb_total"] = round(dd, 3)
             result["ratio"] = round(sp / dd, 2) if dd > 0 else None
 
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Legacy filename kept byte-for-byte compatible (driver contract);
+    # ADDITIONALLY snapshot per-core-count detail so a later run at a
+    # different $SPARK_GRAFT_CPUS (the driver's scaling pass) no longer
+    # destroys the 32-core per-query numbers — r10's PERF per_query and
+    # scaling tables were empty for exactly this reason (VERDICT r10
+    # item 2: observability only; stdout contract unchanged).
+    detail["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{detail['cpus']}.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            json.dump(detail, fh, indent=1)
 
     # The compact summary MUST be the final stdout line (driver tail
     # capture); detail lives in BENCH_DETAIL.json only.

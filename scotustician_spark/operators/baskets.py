@@ -62,45 +62,50 @@ def frequent_pairs(
     vocabulary frequent. The row-grain semi-join against the broadcast
     RELATION is a hash probe per row, robust to any frequent-set size.
 
-    Two r10 plan notes. (1) No pre-distinct on (basket, item): the
-    per-basket collect_set dedups in-row, so the former
-    ``.distinct()`` was a whole extra exchange + aggregation pass of
-    the fact grain for nothing. (2) The basket grouping shuffles via
-    an EXPLICIT ``repartition(n, basket)`` that also satisfies the
-    aggregate's distribution (one shuffle total): an
-    ENSURE_REQUIREMENTS exchange here gets AQE-coalesced by BYTES
-    (~1 MB/partition), but the downstream pair expansion is QUADRATIC
-    per basket in CPU — the r10 stage profile measured the expansion
-    squeezed onto 4 tasks (9.7 s CPU) with 28 cores idle. Explicit
-    repartitions are exempt from AQE coalescing; n tracks the
-    session's shuffle parallelism, so on a cluster it scales with
-    spark.sql.shuffle.partitions rather than a local constant.
+    Pair expansion (r11): a basket-keyed SELF-JOIN of the deduped,
+    frequent-filtered (basket, item) relation with ``item_a < item_b``
+    — pairs stream out of the join row by row with ZERO per-row array
+    allocation. Every in-row array formulation loses on CPU: the
+    nested transform/slice/flatten HOF charged 26 s CPU at sf0.1 (r10),
+    its double-posexplode replacement still ~20 s (each first-level
+    Generate row copies the whole k-item array, O(k²) array bytes per
+    basket); the self-join runs the identical quadratic enumeration
+    inside the join loop at ~6 s CPU — full-chain A/B 1.38 → 0.51 s,
+    output-identical (asserted, plus the 7 mining-consumer oracles).
+    Plan shape: the dedup runs IN PLACE on the explicit
+    ``repartition(n, basket)`` exchange (hash(basket) satisfies the
+    (basket, item) distinct's clustering — subset rule), the deduped
+    relation materializes ONCE (lazy localCheckpoint — without the cut
+    each join side re-runs the dedup reduce: measured 1.31 s vs
+    0.36 s), and both join sides read the checkpoint co-partitioned on
+    the basket key, so the join itself adds NO exchange. Exchanges
+    total: repartition + pair-count — exactly the two the r10 array
+    form paid. The explicit repartition stays AQE-coalesce-exempt and
+    tracks spark.sql.shuffle.partitions (the expansion is quadratic
+    CPU per basket — bytes are the wrong coalescing proxy, §2.5);
+    per-basket skew in the join is AQE-skew-splittable (§2.5), which
+    the single-task-per-basket array form never was.
     """
     fi = frequent_items(baskets, basket_col, item_col, min_support)
-    bi = (
-        baskets.select(basket_col, item_col)
-        .join(F.broadcast(fi.select(item_col)), item_col, "left_semi")
-    )
     n_part = int(
         baskets.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    items = F.array_sort(F.collect_set(item_col))
-    # pair expansion as TWO chained posexplode Generates + a position
-    # filter, not a nested transform/slice/flatten: the HOF form built
-    # the whole pair array per basket in interpreted expression eval
-    # (the r10 stage profile charged it 26 s CPU at sf0.1), while
-    # Generate is codegen'd and allocates nothing per pair — measured
-    # A/B 1.66 -> 1.29 s on the full mining chain, identical output.
-    # Position (not value) comparison keeps it duplicate-safe; items
-    # are sorted, so jx > i is exactly item_a < item_b.
+    bif = (
+        baskets.select(basket_col, item_col)
+        .join(F.broadcast(fi.select(item_col)), item_col, "left_semi")
+        .repartition(n_part, basket_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = bif.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_a")
+    )
+    b = bif.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_b")
+    )
     return (
-        bi.repartition(n_part, basket_col)
-        .groupBy(basket_col)
-        .agg(items.alias("items"))
-        .filter(F.size("items") > 1)
-        .select(F.posexplode("items").alias("i", "item_a"), "items")
-        .select("i", "item_a", F.posexplode("items").alias("jx", "item_b"))
-        .filter(F.col("jx") > F.col("i"))
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
         .filter(

@@ -37,7 +37,7 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -289,10 +289,28 @@ def extract_media_features(
     unfilter decoder, JPEG/GIF pixels via PIL (import-gated —
     NotImplementedError without it), anything else raises.
     ``mode='fake'`` is the deterministic md5 extractor the SQL
-    oracle replays.
+    oracle replays. ``mode='fake_sql'`` computes the SAME md5-derived
+    rows as pure Catalyst expressions — bit-identical output (md5 over
+    the same bytes, ``ascii(hex char)`` is an exact small-integer
+    double), zero Python in the plan (guide §4.1 "prefer built-ins";
+    the r10 chunk_embed_pool hash_sql discipline). The mapInPandas
+    arms stay for real decodes and the plumbing tests.
     """
+    if mode == "fake_sql":
+        md5c = F.md5(F.col(content_col))
+        return repartition_for_compute(df.select(id_col, content_col)).select(
+            F.col(id_col).cast("long").alias("id"),
+            F.octet_length(F.col(content_col)).cast("long").alias("n_bytes"),
+            md5c.alias("content_md5"),
+            F.array(
+                *[
+                    F.ascii(F.substring(md5c, j + 1, 1)).cast("double")
+                    for j in range(n_dims)
+                ]
+            ).alias("features"),
+        )
     if mode not in ("fake", "real"):
-        raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")
+        raise ValueError(f"mode must be 'fake', 'fake_sql' or 'real', got {mode!r}")
 
     schema = T.StructType(
         [
@@ -741,6 +759,16 @@ def _fake_dhash60(content: bytes) -> int:
     return int(hashlib.md5(content).hexdigest()[:15], 16)
 
 
+#: the md5 stand-in hash as a Catalyst expression — bit-identical to
+#: ``_fake_dhash60`` (15 hex digits = 60 bits, fits a signed long
+#: exactly; ``conv`` is exact below 64 bits)
+def _fake_dhash60_sql(content: Column) -> Column:
+    return F.conv(F.substring(F.md5(content), 1, 15), 16, 10).cast("long")
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def image_dhash(
     df: DataFrame,
     content_col: str = "content",
@@ -754,40 +782,49 @@ def image_dhash(
     anything else falls back to the deterministic md5 stand-in (the
     stub discipline multimodal_features uses, SQL-replayable).
     ``mode='fake'`` forces the stand-in for every row (the
-    oracle-gated arm). Arrow-batched mapInPandas, dispatch resolved
-    once per partition."""
+    oracle-gated arm).
+
+    Boundary discipline (guide §4, r11): the md5 stand-in is pure
+    Catalyst (``conv(substr(md5, 1, 15), 16, 10)`` — bit-identical to
+    ``int(md5hex[:15], 16)``), so ``mode='fake'`` has ZERO Python in
+    the plan, and the auto arm ships ONLY the PNG bytes across the
+    Python boundary: the decode is a vectorized pandas UDF over a
+    column that is NULL for every non-PNG row (nulls cross as a
+    validity bit, not payload), coalesced with the in-row stand-in.
+    The former shape pickled EVERY blob into Python to md5 it there."""
     if mode not in ("auto", "fake"):
         raise ValueError(f"mode must be 'auto' or 'fake', got {mode!r}")
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("dhash", T.LongType()),
-        ]
-    )
-
-    def one(b) -> int:
-        content = bytes(b)
-        if mode == "auto" and sniff_media(content) == "png":
-            w, h = _image_dims(content, "png")
-            return _dhash60_from_gray(_png_gray_pixels(content), w, h)
-        return _fake_dhash60(content)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].astype("int64"),
-                    "dhash": [one(b) for b in pdf[content_col]],
-                }
-            )
 
     from ..session import repartition_for_compute
 
     src = repartition_for_compute(
         df.filter(F.col(content_col).isNotNull()).select(id_col, content_col)
     )
-    return src.mapInPandas(run, schema).withColumnRenamed("id", id_col)
+    fake = _fake_dhash60_sql(F.col(content_col))
+    if mode == "fake":
+        return src.select(
+            F.col(id_col).cast("long").alias(id_col), fake.alias("dhash")
+        )
+
+    @F.pandas_udf("long")
+    def png_dhash(contents: pd.Series) -> pd.Series:
+        out = []
+        for b in contents:
+            if b is None:
+                out.append(None)
+                continue
+            content = bytes(b)
+            w, h = _image_dims(content, "png")
+            out.append(_dhash60_from_gray(_png_gray_pixels(content), w, h))
+        return pd.Series(out, dtype="object")
+
+    is_png = F.substring(F.col(content_col), 1, 8) == F.lit(_PNG_MAGIC)
+    return src.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.coalesce(
+            png_dhash(F.when(is_png, F.col(content_col))), fake
+        ).alias("dhash"),
+    )
 
 
 def phash_near_pairs(
@@ -875,38 +912,39 @@ def audio_dhash(
     WAV content gets the REAL stdlib decode (RMS-envelope difference
     bits); anything else the deterministic md5 stand-in (the SQL-
     replayable stub arm). Near-dup pairs come from the same
-    ``phash_near_pairs`` banded hamming join the image path uses."""
+    ``phash_near_pairs`` banded hamming join the image path uses.
+    Boundary discipline as in ``image_dhash``: the stand-in is pure
+    Catalyst and only WAV bytes cross into Python."""
     if mode not in ("auto", "fake"):
         raise ValueError(f"mode must be 'auto' or 'fake', got {mode!r}")
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("dhash", T.LongType()),
-        ]
-    )
-
-    def one(b) -> int:
-        content = bytes(b)
-        if mode == "auto" and sniff_media(content) == "wav":
-            return _audio_dhash60(content)
-        return _fake_dhash60(content)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].astype("int64"),
-                    "dhash": [one(b) for b in pdf[content_col]],
-                }
-            )
 
     from ..session import repartition_for_compute
 
     src = repartition_for_compute(
         df.filter(F.col(content_col).isNotNull()).select(id_col, content_col)
     )
-    return src.mapInPandas(run, schema).withColumnRenamed("id", id_col)
+    fake = _fake_dhash60_sql(F.col(content_col))
+    if mode == "fake":
+        return src.select(
+            F.col(id_col).cast("long").alias(id_col), fake.alias("dhash")
+        )
+
+    @F.pandas_udf("long")
+    def wav_dhash(contents: pd.Series) -> pd.Series:
+        out = []
+        for b in contents:
+            out.append(None if b is None else _audio_dhash60(bytes(b)))
+        return pd.Series(out, dtype="object")
+
+    is_wav = (
+        F.substring(F.col(content_col), 1, 4) == F.lit(b"RIFF")
+    ) & (F.substring(F.col(content_col), 9, 4) == F.lit(b"WAVE"))
+    return src.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.coalesce(
+            wav_dhash(F.when(is_wav, F.col(content_col))), fake
+        ).alias("dhash"),
+    )
 
 
 def resize_image_gray(

@@ -559,7 +559,16 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four single-row subplans; now it is 2 scans total (li + orders)
     # + an in-row unpivot of one 4-column row.
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    # ONE orders scan feeds both orders-side checks (r11, guide §2.3 /
+    # §6): the 2-column projection materializes lazily once and the
+    # orphan-lineitem probe and the customer anti-join both read it —
+    # the former plan scanned orders separately per consumer (pushed
+    # per-branch projections defeat scan reuse, the winnowing lesson).
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .localCheckpoint(eager=False)
+    )
     c = _t(spark, sf_dir, "customer")
     g = li.groupBy("l_orderkey", "l_linenumber").agg(
         F.count("*").alias("c"),

@@ -68,8 +68,14 @@ _FEAT_COLS = ", ".join(
     bench=True,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fake_sql arm (r11): the deterministic md5 stand-in is Catalyst-
+    # expressible, so the bench query computes it with zero Python in
+    # the plan (bit-identical — pinned by
+    # test_fake_sql_arm_bit_identical_to_fake); the mapInPandas
+    # plumbing stays on the real-decode arms and multimodal_frames
     feats = MM.extract_media_features(
-        _docs_binary(spark, sf_dir), "content", "doc_id", n_dims=_N_DIMS
+        _docs_binary(spark, sf_dir), "content", "doc_id", n_dims=_N_DIMS,
+        mode="fake_sql",
     )
     return feats.select(
         "id",

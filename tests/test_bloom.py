@@ -179,3 +179,29 @@ def test_auto_semi_join_salted_handles_maps_and_duplicate_rows(spark):
     assert sorted(r["s"] for r in s1.collect()) == sorted(
         r["s"] for r in s1.collect()
     )
+
+
+def test_estimated_rows_floor_on_heuristic_estimates(spark):
+    """sizeInBytes-derived estimates (no CBO rowCount) are floored at
+    ESTIMATE_FLOOR_KEYS: a post-filter dim that Catalyst underestimates
+    must never produce a near-zero-bit filter whose FPP→1 silently
+    turns the pre-filter into a no-op at scale (r10 VERDICT item).
+    The floor only ever LOWERS the FPP, so results stay exact."""
+    import pandas as pd
+
+    from scotustician_spark.operators.bloom import (
+        ESTIMATE_FLOOR_KEYS,
+        estimated_rows,
+    )
+
+    # Arrow local relation → LocalRelation leaf: sizeInBytes is tiny
+    # and rowCount is absent through the Filter+Project chain, so this
+    # lands on the byte-heuristic path the floor guards
+    dim = spark.createDataFrame(pd.DataFrame({"k": list(range(100))}))
+    narrowed = dim.filter(F.col("k") % 97 == 0).select("k")
+    plan = narrowed._jdf.queryExecution().optimizedPlan()
+    if plan.stats().rowCount().isDefined():
+        import pytest
+
+        pytest.skip("engine provided an exact rowCount; heuristic path not hit")
+    assert estimated_rows(narrowed) >= ESTIMATE_FLOOR_KEYS

@@ -660,3 +660,42 @@ def test_gif_parse_failures_always_valueerror():
         gif_frame_grays(bad)
     except ValueError:
         pass
+
+
+def test_fake_sql_arm_bit_identical_to_fake(spark, bdf):
+    """extract_media_features(mode='fake_sql') — the zero-Python
+    Catalyst twin of the md5 stand-in arm — must be BIT-identical to
+    the mapInPandas fake arm on every column (the r10 hash_sql
+    discipline: the optimization is only sanctioned because the arms
+    are provably the same function)."""
+    fake = extract_media_features(bdf, "content", "doc_id", n_dims=8).collect()
+    sql = extract_media_features(
+        bdf, "content", "doc_id", n_dims=8, mode="fake_sql"
+    ).collect()
+    by_id_f = {r["id"]: r for r in fake}
+    by_id_s = {r["id"]: r for r in sql}
+    assert set(by_id_f) == set(by_id_s) == {1, 2, 3}
+    for i in by_id_f:
+        rf, rs = by_id_f[i], by_id_s[i]
+        assert rf["n_bytes"] == rs["n_bytes"]
+        assert rf["content_md5"] == rs["content_md5"]
+        # doubles compared by exact bit pattern
+        import struct as _s
+
+        assert [_s.pack("<d", v) for v in rf["features"]] == [
+            _s.pack("<d", v) for v in rs["features"]
+        ]
+
+
+def test_image_dhash_fake_mode_zero_python_and_identical(spark, bdf):
+    """mode='fake' now plans as pure Catalyst (no Batch/ArrowEvalPython
+    node) and matches the Python stand-in value for value."""
+    from scotustician_spark.operators.multimodal import _fake_dhash60, image_dhash
+
+    out = image_dhash(bdf, "content", "doc_id", mode="fake")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    got = {r["doc_id"]: r["dhash"] for r in out.collect()}
+    rows = [(1, b"hello world, this is binary content"), (2, b"tiny"), (3, b"")]
+    for rid, content in rows:
+        assert got[rid] == _fake_dhash60(content)

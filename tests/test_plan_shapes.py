@@ -456,3 +456,22 @@ def test_registry_survives_adversarial_text(spark, tmp_path):
         except Exception as ex:  # noqa: BLE001 — report, don't mask
             fails[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
     assert not fails, f"queries crashed on adversarial text: {fails}"
+
+
+def test_repartition_for_compute_node_match_not_substring(spark):
+    """The lineage probe matches the Repartition NODE, not a bare
+    substring: a column literally named like the node must not make
+    the helper silently skip the widening (r10 VERDICT item 5), and a
+    frame whose lineage really pins a repartition is returned as-is."""
+    from scotustician_spark.session import local_relation, repartition_for_compute
+
+    df = local_relation(
+        spark, [(1, "x"), (2, "y")], "RepartitionFlag long, v string"
+    ).filter("RepartitionFlag > 0")
+    out = repartition_for_compute(df, min_partitions=4)
+    # the decoy column name must NOT suppress the widening
+    assert out is not df
+    assert "Repartition" in out._jdf.queryExecution().analyzed().toString()
+    # a genuinely pinned frame is returned untouched, no probe executed
+    pinned = df.repartition(4)
+    assert repartition_for_compute(pinned, min_partitions=8) is pinned
