@@ -583,85 +583,161 @@ def _ivfpq_build_tables(
     d2_round: int,
 ) -> tuple[list, list, DataFrame]:
     """IVFPQ build with the quantizer tables COLLECTED (bounded: n_cells
-    centroids + m×n_codes codewords — parameter-sized, corpus-size-
-    independent; the same bounded-collect discipline as the BPE merge
-    table and the power-PCA basis) and every corpus pass expressed as an
-    IN-ROW argmin against a one-row broadcast array relation.
+    centroids + m\u00d7n_codes codewords — parameter-sized, corpus-size-
+    independent) and every corpus argmin pass UNROLLED into codegen'd
+    scalar expressions over collected literals.
 
-    The r9 plan paid ~5 corpus-grain exchanges (crossJoin→groupBy(cid)
-    struct-min per assignment pass) and 24 AQE/checkpoint jobs at sf0.1;
-    this shape has ZERO corpus-grain exchanges — the only aggregations
-    left are the two re-center means, whose map-side partials collapse
-    to ≤ n_cells×dim rows per task (guide §2.4 "remove shuffles
-    outright", §1.2 "the distributed algorithm").
+    r10 expressed the argmins as in-row HOFs (transform/zip_with/
+    aggregate over a one-row broadcast array relation). Higher-order
+    functions are CodegenFallback — interpreted per element, with a
+    per-candidate intermediate array allocation — and the r11 stage
+    profile charged the two build passes ~12 s CPU EACH at sf0.1
+    (stages 50/65, 32 tasks, 20k vectors). The quantizer tables are
+    parameter-bounded, so their values can ride as LITERALS: each
+    candidate distance becomes an unrolled left-associative sum of
+    squared differences (WholeStageCodegen compiles it; zero per-row
+    allocation) and each argmin a least() + first-match CASE — the
+    (d2r, index)-ascending tie-break expressed positionally.
 
-    Numeric equivalence with the former relational formulation is
-    preserved expression-by-expression: the seed-assignment pass keeps
-    FLOAT arithmetic (seed centroids are raw float32 corpus vectors,
-    exactly as ``seeds`` selected them), the refined pass is double, all
-    distances round to ``d2_round`` before every argmin with (d2, index)
-    tie-breaks — verified value-identical against the DuckDB oracle at
-    sf0.001/0.01/0.1.
+    Numeric equivalence with the HOF formulation is preserved
+    term-by-term: the seed pass keeps FLOAT32 arithmetic per element
+    with each squared term cast to double before the sum (exactly the
+    old zip_with float ops + double fold), the refined/PQ passes are
+    all-double, sums associate left (the old fold's leading 0.0 + t1
+    equals t1 for the non-negative squares), every distance rounds to
+    ``d2_round`` before every argmin, ties break to the lowest
+    cell/code, and literals round-trip exactly (repr(double) through
+    CAST('…' AS DOUBLE/FLOAT)). Verified value-identical to the r10
+    build output at sf0.001/0.01/0.1 (cents/cb/codes compared cell by
+    cell) and oracle-green for the whole ANN family.
 
     Returns (cents1 rows [(cell, [double])], cb1 rows [(j, code,
     [double])], codes DataFrame (cid, cell, j, code) — a map-only plan).
     """
     sub = dim // m
     assert sub * m == dim, "dim must divide evenly into m subspaces"
-    spark = corpus.sparkSession
     from ..session import repartition_for_compute
 
-    # the in-row argmins are interpreted HOF evaluation — CPU-heavy per
-    # row; a small corpus scans as ONE split and serializes them onto a
-    # single core (measured 0.4-0.7 s/pass at sf0.1). Widen before the
-    # compute; no-op at 100 TB where the scan has plenty of splits
-    # (guide §2.5 input parallelism).
+    # the unrolled scalar maps are cheap, but a small corpus still
+    # scans as ONE split; widen before compute (no-op at 100 TB)
     c = repartition_for_compute(
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
     )
 
-    def _argmin_cell(vec: F.Column, cents_vecs: F.Column, cells=None):
-        # in-row struct-min: lexicographic min over (d2r, cell) is the
-        # (d2r asc, cell asc) tie-break of the former aggregate argmin.
-        # ``cells`` None = dense indexing (seed pass: cell == rank).
-        return F.array_min(
-            F.transform(
-                cents_vecs,
-                lambda cv, i: F.struct(
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(vec, cv, lambda x, y: (x - y) * (x - y)),
-                            F.lit(0.0),
-                            lambda acc, d: acc + d,
-                        ),
-                        d2_round,
-                    ).alias("d2r"),
-                    (i if cells is None else F.element_at(cells, i + 1)).alias(
-                        "cell"
+    def _lit(v: float, t: str) -> str:
+        # repr() is the shortest round-trip decimal; string CAST parses
+        # it back to the identical double (or to the identical float —
+        # every collected value IS f32-representable on the float side)
+        return f"CAST('{float(v)!r}' AS {t})"
+
+    def _raw_d2(df: DataFrame, vecs_by_group: list, vcol: str, float_arith: bool) -> DataFrame:
+        """df + ``__draw`` = array<double> of RAW (unrounded) squared
+        distances to every candidate, concatenated group-major.
+
+        The kernel is a numpy ``mapInArrow`` pass (guide §4.2: hand
+        whole batches to vectorized native code): per candidate it
+        accumulates over the dims IN ORDER — ``acc += (x_i - c_i)^2``
+        one dim at a time across the whole batch — so every row's sum
+        associates left exactly like the former F.aggregate fold (whose
+        leading 0.0 + t1 == t1 for non-negative squares), in float32
+        element arithmetic on the seed pass (term cast to double before
+        the add) and all-double afterwards. Rounding and the
+        (d2r, index)-ascending argmin stay in the JVM (same round()
+        expression as before), so the Python side never rounds.
+        ``vecs_by_group``: list of groups, each a list of (offset,
+        candidate_vec) — offset slices ``vcol`` for PQ subspaces."""
+        import pyarrow as pa
+
+        flat = [
+            (off, [float(x) for x in cv])
+            for group in vecs_by_group
+            for off, cv in group
+        ]
+        in_schema = df.schema
+        out_ddl = (
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+            + ", __draw array<double>"
+        )
+        n_cand = len(flat)
+
+        def kernel(batches):
+            import numpy as np
+
+            for batch in batches:
+                idx = batch.schema.get_field_index(vcol)
+                col = batch.column(idx)
+                n = len(col)
+                vals = col.flatten().to_numpy(zero_copy_only=False)
+                width = len(vals) // n if n else 1
+                X = vals.reshape(n, width) if n else vals.reshape(0, width)
+                X64 = X.astype(np.float64)
+                out = np.empty((n, n_cand), dtype=np.float64)
+                for ci, (off, cv) in enumerate(flat):
+                    acc = np.zeros(n, dtype=np.float64)
+                    if float_arith:
+                        for i, cvi in enumerate(cv):
+                            d = X[:, off + i] - np.float32(cvi)
+                            acc += (d * d).astype(np.float64)
+                    else:
+                        for i, cvi in enumerate(cv):
+                            d = X64[:, off + i] - cvi
+                            acc += d * d
+                    out[:, ci] = acc
+                arr = pa.FixedSizeListArray.from_arrays(
+                    pa.array(out.reshape(-1), type=pa.float64()), n_cand
+                ).cast(pa.list_(pa.float64()))
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(i) for i in range(batch.num_columns)] + [arr],
+                    schema=pa.schema(
+                        list(batch.schema) + [pa.field("__draw", pa.list_(pa.float64()))]
                     ),
-                    cv.alias("centroid"),
-                ),
-            )
+                )
+
+        return df.mapInArrow(kernel, out_ddl)
+
+    def _assign_k(df: DataFrame, vecs: list, float_arith: bool) -> DataFrame:
+        """df + ``__k`` = position of the (d2r asc, position asc)-min
+        candidate: numpy raw distances, JVM round + least + first-match
+        CASE (the positional tie-break)."""
+        n = len(vecs)
+        withd = _raw_d2(
+            df, [[(0, v) for v in vecs]], "c_vec", float_arith
+        ).selectExpr(
+            "*",
+            *[f"round(__draw[{k}], {d2_round}) AS __d{k}" for k in range(n)],
+        )
+        mm = (
+            "least(" + ", ".join(f"__d{k}" for k in range(n)) + ")"
+            if n > 1
+            else "__d0"
+        )
+        case = (
+            "CASE "
+            + " ".join(f"WHEN __d{k} = __m THEN {k}" for k in range(n))
+            + " END"
+        )
+        return (
+            withd.selectExpr("*", f"{mm} AS __m")
+            .selectExpr("*", f"{case} AS __k")
+            .drop("__m", "__draw", *[f"__d{k}" for k in range(n)])
         )
 
-    # --- ACTION 1: one-step re-center. The seed table (the n_cells
-    # lowest-id vectors, FLOAT arithmetic exactly as the former float32
-    # seed relation) derives IN-PLAN as a one-row broadcast subtree, so
-    # the whole pass — seed TakeOrdered, in-row assignment, re-center
-    # mean — is a single collect action with only the tiny partial-agg
-    # shuffle (map-side partials collapse to ≤ n_cells×dim rows/task).
-    seed0 = (
-        c.orderBy("cid")
-        .limit(n_cells)
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "c_vec"))).alias("s"))
-        .select(F.col("s.c_vec").alias("__c0v"))
-    )
+    seed_rows = c.orderBy("cid").limit(n_cells).select("c_vec").collect()
+    seeds = [list(r[0]) for r in seed_rows]  # cid-ascending: cell == rank
+    if not seeds:
+        empty = c.selectExpr(
+            "cid",
+            "CAST(NULL AS INT) AS cell",
+            "CAST(NULL AS INT) AS j",
+            "CAST(NULL AS INT) AS code",
+        ).limit(0)
+        return [], [], empty
+
+    # --- ACTION 1: one-step re-center over the unrolled seed argmin
+    # (seed centroids are raw float32 corpus vectors — FLOAT terms)
     cents1_rows = (
-        c.crossJoin(F.broadcast(seed0))
-        .select(
-            _argmin_cell(F.col("c_vec"), F.col("__c0v"))["cell"].alias("cell"),
-            "c_vec",
-        )
+        _assign_k(c, seeds, float_arith=True)
+        .selectExpr("__k AS cell", "c_vec")
         .select("cell", F.posexplode("c_vec").alias("pos", "v"))
         .groupBy("cell", "pos")
         .agg(F.avg("v").alias("m"))
@@ -671,115 +747,96 @@ def _ivfpq_build_tables(
         .collect()
     )
     cents1 = sorted((int(r[0]), list(r[1])) for r in cents1_rows)
-
-    cents1_b = _one_row_relation(
-        spark,
-        {
-            "__c1v": ([v for _, v in cents1], "array<array<double>>"),
-            "__c1i": ([i for i, _ in cents1], "array<int>"),
-        },
+    cent_ids = [i for i, _ in cents1]
+    cent_vecs = [v for _, v in cents1]
+    cells_lit = "array(" + ", ".join(str(i) for i in cent_ids) + ")"
+    cents_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_lit(x, "DOUBLE") for x in vec) + ")"
+            for vec in cent_vecs
+        )
+        + ")"
     )
 
-    def _resid_assigned(cents_rel: DataFrame) -> DataFrame:
-        # map-only: (cid, cell, r_vec) with the refined-centroid argmin
-        best = _argmin_cell(F.col("c_vec"), F.col("__c1v"), F.col("__c1i"))
-        return c.crossJoin(F.broadcast(cents_rel)).select(
+    def _resid(src: DataFrame) -> DataFrame:
+        # (cid, cell, r_vec): refined-centroid argmin (all-double) +
+        # element-wise residual against the literal centroid table
+        return _assign_k(src, cent_vecs, float_arith=False).selectExpr(
             "cid",
-            best["cell"].alias("cell"),
-            F.zip_with("c_vec", best["centroid"], lambda x, ce: x - ce).alias(
-                "r_vec"
-            ),
+            f"element_at({cells_lit}, __k + 1) AS cell",
+            f"zip_with(c_vec, element_at({cents_lit}, __k + 1),"
+            " (x, y) -> CAST(x AS DOUBLE) - y) AS r_vec",
         )
 
-    def _argmin_codes(cb_codes, cb_ws: F.Column) -> F.Column:
-        # per subspace j: in-row struct-min over (d2r, code); returns
-        # array over j of struct(j, best(code), sv). ``cb_codes`` None =
-        # dense indexing (seed codebook: code == rank by id asc).
-        return F.transform(
-            cb_ws,
-            lambda cws, j: F.struct(
-                j.alias("j"),
-                F.array_min(
-                    F.transform(
-                        cws,
-                        lambda cw, ci: F.struct(
-                            F.round(
-                                F.aggregate(
-                                    F.zip_with(
-                                        F.slice(
-                                            F.col("r_vec"), j * sub + 1, sub
-                                        ).cast("array<double>"),
-                                        cw,
-                                        lambda x, y: (x - y) * (x - y),
-                                    ),
-                                    F.lit(0.0),
-                                    lambda acc, d: acc + d,
-                                ),
-                                d2_round,
-                            ).alias("d2r"),
-                            (
-                                ci
-                                if cb_codes is None
-                                else F.element_at(cb_codes, j + 1)[ci]
-                            ).alias("code"),
-                        ),
-                    )
-                ).alias("best"),
-                F.slice(F.col("r_vec"), j * sub + 1, sub)
-                .cast("array<double>")
-                .alias("sv"),
-            ),
+    def _pq_assign(df: DataFrame, cb_by_j: list, codes_by_j: list | None) -> DataFrame:
+        """df(cid, cell, r_vec) + ``__c{j}`` = the (d2r, code)-argmin
+        code per subspace: numpy raw distances over the r_vec slices,
+        JVM round + least + first-match CASE (codes ascend within a
+        subspace, so first match IS the lowest-code tie-break)."""
+        groups = [
+            [(j * sub, w) for w in cb_by_j[j]] for j in range(m)
+        ]
+        withd = _raw_d2(df, groups, "r_vec", float_arith=False)
+        offs = [0]
+        for j in range(m):
+            offs.append(offs[-1] + len(cb_by_j[j]))
+        rounds = [
+            f"round(__draw[{offs[j] + k}], {d2_round}) AS __d{j}_{k}"
+            for j in range(m)
+            for k in range(len(cb_by_j[j]))
+        ]
+        withd = withd.selectExpr("*", *rounds)
+        msel = []
+        for j in range(m):
+            dn = [f"__d{j}_{k}" for k in range(len(cb_by_j[j]))]
+            msel.append(
+                ("least(" + ", ".join(dn) + ")" if len(dn) > 1 else dn[0])
+                + f" AS __m{j}"
+            )
+        csel = []
+        for j in range(m):
+            case = (
+                "CASE "
+                + " ".join(
+                    f"WHEN __d{j}_{k} = __m{j} THEN "
+                    f"{codes_by_j[j][k] if codes_by_j is not None else k}"
+                    for k in range(len(cb_by_j[j]))
+                )
+                + " END"
+            )
+            csel.append(f"{case} AS __c{j}")
+        return withd.selectExpr("*", *msel).selectExpr(
+            "cid", "cell", "r_vec", *csel
         )
 
-    def _cb_relation(cb_rows_by_j: list, dtype: str) -> DataFrame:
-        # [j] -> (codes present, codewords) parallel arrays
-        return _one_row_relation(
-            spark,
-            {
-                "__cbc": ([[cd for cd, _ in per_j] for per_j in cb_rows_by_j],
-                          "array<array<int>>"),
-                "__cbw": ([[cw for _, cw in per_j] for per_j in cb_rows_by_j],
-                          f"array<array<array<{dtype}>>>"),
-            },
-        )
+    # --- ACTION 2a: PQ seed codebook = residual slices of the n_codes
+    # lowest-id vectors, code == rank by id asc (slicing happens on the
+    # driver over collected exact doubles — no arithmetic)
+    cb0_rows = sorted(
+        (r[0], list(r[1]))
+        for r in _resid(c.orderBy("cid").limit(n_codes)).select("cid", "r_vec").collect()
+    )
+    cb0_by_j = [
+        [vec[j * sub : (j + 1) * sub] for _, vec in cb0_rows] for j in range(m)
+    ]
 
-    # --- ACTION 2: one Lloyd step per subspace over residuals. The PQ
-    # seed codebook (residual slices of the n_codes lowest-id vectors,
-    # code = rank by id asc) again derives IN-PLAN as a one-row
-    # broadcast subtree of the same action.
-    cb0 = (
-        c.orderBy("cid")
-        .limit(n_codes)
-        .crossJoin(F.broadcast(cents1_b))
-        .select(
-            "cid",
-            F.zip_with(
-                "c_vec",
-                _argmin_cell(F.col("c_vec"), F.col("__c1v"), F.col("__c1i"))[
-                    "centroid"
-                ],
-                lambda x, ce: x - ce,
-            ).alias("r_vec"),
+    # --- ACTION 2b: one Lloyd step per subspace over residuals
+    stack0 = (
+        "array("
+        + ", ".join(
+            f"struct({j} AS j, __c{j} AS code,"
+            f" slice(r_vec, {j * sub + 1}, {sub}) AS sv)"
+            for j in range(m)
         )
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "r_vec"))).alias("s"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.transform(
-                    F.col("s.r_vec"), lambda rv: F.slice(rv, j * sub + 1, sub)
-                ),
-            ).alias("__cbw")
-        )
+        + ")"
     )
     cb1_rows = (
-        _resid_assigned(cents1_b)
-        .crossJoin(F.broadcast(cb0))
-        .select(
-            F.explode(_argmin_codes(None, F.col("__cbw"))).alias("a")
-        )
+        _pq_assign(_resid(c), cb0_by_j, None)
+        .selectExpr(f"explode({stack0}) AS a")
         .select(
             F.col("a.j").alias("j"),
-            F.col("a.best.code").alias("code"),
+            F.col("a.code").alias("code"),
             F.posexplode("a.sv").alias("spos", "v"),
         )
         .groupBy("j", "code", "spos")
@@ -794,20 +851,21 @@ def _ivfpq_build_tables(
     cb1_by_j: list[list] = [[] for _ in range(m)]
     for j, code, cw in cb1:
         cb1_by_j[j].append((code, cw))
-    cb1_b = _cb_relation(cb1_by_j, "double")
 
     # --- final encoding: map-only over the corpus (cid, cell, j, code)
+    stack1 = (
+        "array("
+        + ", ".join(f"struct({j} AS j, __c{j} AS code)" for j in range(m))
+        + ")"
+    )
     codes = (
-        _resid_assigned(cents1_b)
-        .crossJoin(F.broadcast(cb1_b))
-        .select(
-            "cid",
-            "cell",
-            F.explode(_argmin_codes(F.col("__cbc"), F.col("__cbw"))).alias("a"),
+        _pq_assign(
+            _resid(c),
+            [[cw for _, cw in per_j] for per_j in cb1_by_j],
+            [[cd for cd, _ in per_j] for per_j in cb1_by_j],
         )
-        .select(
-            "cid", "cell", F.col("a.j").alias("j"), F.col("a.best.code").alias("code")
-        )
+        .selectExpr("cid", "cell", f"explode({stack1}) AS a")
+        .selectExpr("cid", "cell", "a.j AS j", "a.code AS code")
     )
     return cents1, cb1, codes
 

@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # PySpark 4's DataFrame-debugging call-site capture wraps EVERY
+        # Column/functions call with getActiveSession + conf.get +
+        # PySparkCurrentOrigin.set/clear — ~4 extra JVM roundtrips per
+        # expression node, measured (cProfile) at ~2800 py4j roundtrips
+        # for ONE chunk_embed_pool construction and 25-40% of the
+        # construction wall across the bench (guide §5: the driver
+        # should do almost no work). Debug-origin capture belongs in
+        # interactive debugging, not a query engine's hot path.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Static size ESTIMATES routinely mis-broadcast aggregate join
         # sides (measured 2× slower than SMJ on sf0.1); disable the static
         # threshold and let AQE decide from ACTUAL runtime sizes. True
